@@ -1,0 +1,73 @@
+"""Label-space remapping between nnU-Net internal and BraTS conventions.
+
+Internal (regions export with ``region_class_order=(1,2,3)``):
+0 = background, 1 = ED (WT-only), 2 = NCR (TC-not-ET), 3 = ET
+(ref: /root/reference/convert_labels_to_brats.py:1-56).
+
+BraTS-2025: 1 = NCR, 2 = ED, 3 = ET.
+BraTS-2021: 1 = NCR, 2 = ED, 4 = ET.
+
+Instead of the reference's three boolean-mask passes, remaps are a single
+lookup-table gather — one fused XLA op, trivially batched/jittable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "INTERNAL_ED",
+    "INTERNAL_NCR",
+    "INTERNAL_ET",
+    "remap_labels",
+    "internal_to_brats2025",
+    "internal_to_brats2021",
+    "brats2021_to_brats2025",
+    "brats2025_to_brats2021",
+]
+
+INTERNAL_ED = 1
+INTERNAL_NCR = 2
+INTERNAL_ET = 3
+
+_INTERNAL_TO_2025 = (0, 2, 1, 3)  # index = internal label
+_INTERNAL_TO_2021 = (0, 2, 1, 4)
+_2021_TO_2025 = (0, 1, 2, 0, 3)  # label 3 unused in 2021 space
+_2025_TO_2021 = (0, 1, 2, 4)
+
+
+def remap_labels(seg, table) -> jnp.ndarray:
+    """Remap integer labels through a lookup table (rounding floats first).
+
+    ``table[i]`` is the output label for input label ``i``; labels outside the
+    table map to 0.
+    """
+    lut = jnp.asarray(table, dtype=jnp.uint8)
+    seg = jnp.asarray(seg)
+    if jnp.issubdtype(seg.dtype, jnp.floating):
+        seg = jnp.round(seg)
+    idx = jnp.clip(seg.astype(jnp.int32), 0, lut.shape[0] - 1)
+    valid = (seg >= 0) & (seg < lut.shape[0])
+    return jnp.where(valid, lut[idx], 0).astype(jnp.uint8)
+
+
+def internal_to_brats2025(seg) -> jnp.ndarray:
+    """nnU-Net internal [0,1,2,3] → BraTS-2025 [0,1,2,3] (ET stays 3)."""
+    return remap_labels(seg, _INTERNAL_TO_2025)
+
+
+def internal_to_brats2021(seg) -> jnp.ndarray:
+    """nnU-Net internal [0,1,2,3] → BraTS-2021 [0,1,2,4] (ET becomes 4)."""
+    return remap_labels(seg, _INTERNAL_TO_2021)
+
+
+def brats2021_to_brats2025(seg) -> jnp.ndarray:
+    return remap_labels(seg, _2021_TO_2025)
+
+
+def brats2025_to_brats2021(seg) -> jnp.ndarray:
+    return remap_labels(seg, _2025_TO_2021)

@@ -1,0 +1,24 @@
+"""Preprocessing: crop-to-nonzero, masked z-score, padding, resampling."""
+
+from .preprocess import (
+    CropInfo,
+    PreprocessResult,
+    compute_brain_mask,
+    crop_to_nonzero,
+    pad_to_patch,
+    preprocess_case,
+    zscore_masked,
+)
+from .resample import resize_nearest, resize_trilinear
+
+__all__ = [
+    "CropInfo",
+    "PreprocessResult",
+    "compute_brain_mask",
+    "crop_to_nonzero",
+    "pad_to_patch",
+    "preprocess_case",
+    "zscore_masked",
+    "resize_nearest",
+    "resize_trilinear",
+]

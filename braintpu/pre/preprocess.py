@@ -1,0 +1,153 @@
+"""Inference-time preprocessing with nnU-Net `GenericPreprocessor` semantics.
+
+The reference delegates this to the vendored nnU-Net
+(`trainer.preprocess_patient`, called at
+/root/reference/run_brats2021_inference_singlethread.py:89) configured by the
+plans pickle (/root/reference/data/temp_inference_output1):
+``normalization_schemes = nonCT`` for all 4 channels and
+``use_mask_for_norm = True``, target spacing 1 mm isotropic (identity for
+BraTS), transpose identity.
+
+Semantics reproduced here:
+1. **Crop to nonzero**: brain mask = union over channels of ``vol != 0``,
+   hole-filled; crop all channels to its bounding box.
+2. **Masked z-score** per channel over the brain mask only; background is set
+   to exactly 0.
+3. **Pad to patch size** (centered, zeros) so every axis >= patch.
+
+Steps 2-3 are jit-compiled `jnp`; step 1 is a cheap host-side bbox (dynamic
+output shapes cannot live under `jit`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage as ndi
+
+__all__ = [
+    "CropInfo",
+    "compute_brain_mask",
+    "crop_to_nonzero",
+    "zscore_masked",
+    "pad_to_patch",
+    "preprocess_case",
+    "PreprocessResult",
+]
+
+
+@dataclass(frozen=True)
+class CropInfo:
+    """Bounding box of the brain within the original volume (per axis [lo, hi))."""
+
+    original_shape: Tuple[int, int, int]
+    lo: Tuple[int, int, int]
+    hi: Tuple[int, int, int]
+
+    @property
+    def cropped_shape(self) -> Tuple[int, int, int]:
+        return tuple(h - l for l, h in zip(self.lo, self.hi))
+
+    @property
+    def slices(self) -> Tuple[slice, slice, slice]:
+        return tuple(slice(l, h) for l, h in zip(self.lo, self.hi))
+
+
+def compute_brain_mask(data: np.ndarray) -> np.ndarray:
+    """Union-over-channels nonzero mask, hole-filled (bool, spatial shape)."""
+    mask = np.any(np.asarray(data) != 0, axis=0)
+    return ndi.binary_fill_holes(mask)
+
+
+def crop_to_nonzero(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, CropInfo]:
+    """Crop a (C, X, Y, Z) stack to the brain bounding box.
+
+    Returns ``(cropped_data, cropped_brain_mask, crop_info)``.  If the volume
+    is entirely zero the full extent is kept.
+    """
+    data = np.asarray(data)
+    mask = compute_brain_mask(data)
+    if not mask.any():
+        info = CropInfo(data.shape[1:], (0, 0, 0), data.shape[1:])
+        return data, mask, info
+    lo, hi = [], []
+    for ax in range(3):
+        proj = mask.any(axis=tuple(a for a in range(3) if a != ax))
+        idx = np.nonzero(proj)[0]
+        lo.append(int(idx[0]))
+        hi.append(int(idx[-1]) + 1)
+    info = CropInfo(data.shape[1:], tuple(lo), tuple(hi))
+    sl = (slice(None),) + info.slices
+    return data[sl], mask[info.slices], info
+
+
+@jax.jit
+def zscore_masked(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel z-score over ``mask`` voxels; background forced to 0.
+
+    ``data``: (C, X, Y, Z) float; ``mask``: (X, Y, Z) bool.
+    Matches nnU-Net's ``nonCT`` + ``use_mask_for_norm``:
+    ``x = (x - mean) / (std + 1e-8)`` with biased std over masked voxels.
+    """
+    m = mask.astype(data.dtype)[None]
+    n = jnp.maximum(m.sum(axis=(1, 2, 3), keepdims=True), 1.0)
+    masked = data * m
+    mean = masked.sum(axis=(1, 2, 3), keepdims=True) / n
+    var = (((data - mean) * m) ** 2).sum(axis=(1, 2, 3), keepdims=True) / n
+    std = jnp.sqrt(var)
+    return (data - mean) / (std + 1e-8) * m
+
+
+def pad_to_patch(
+    data: np.ndarray | jnp.ndarray,
+    patch_size: Sequence[int],
+    mode: str = "constant",
+) -> Tuple[jnp.ndarray, Tuple[slice, ...]]:
+    """Center-pad spatial axes of a (C, X, Y, Z) stack up to >= patch_size.
+
+    Returns ``(padded, undo_slices)`` where ``undo_slices`` indexes the
+    original extent inside the padded array (spatial axes only).  Mirrors
+    nnU-Net's ``pad_nd_image(..., 'constant', 0)`` centering: lower pad =
+    diff // 2.
+    """
+    spatial = np.array(data.shape[1:])
+    target = np.maximum(spatial, np.array(patch_size))
+    diff = target - spatial
+    lo = diff // 2
+    hi = diff - lo
+    pads = [(0, 0)] + [(int(l), int(h)) for l, h in zip(lo, hi)]
+    padded = jnp.pad(jnp.asarray(data), pads, mode=mode)
+    undo = tuple(slice(int(l), int(l + s)) for l, s in zip(lo, spatial))
+    return padded, undo
+
+
+@dataclass
+class PreprocessResult:
+    """Everything inference needs downstream of preprocessing."""
+
+    data: jnp.ndarray  # (C, X', Y', Z') normalized, padded to >= patch
+    undo_slices: Tuple[slice, ...]  # crop of padding (spatial)
+    crop: CropInfo  # crop of brain bbox vs original volume
+    affine: Optional[np.ndarray] = None
+    zooms: Optional[Tuple[float, ...]] = None
+
+
+def preprocess_case(
+    data: np.ndarray,
+    patch_size: Sequence[int] = (128, 128, 128),
+    affine: Optional[np.ndarray] = None,
+    zooms: Optional[Tuple[float, ...]] = None,
+) -> PreprocessResult:
+    """Full inference preprocessing: crop → masked z-score → pad.
+
+    ``data``: float (C, X, Y, Z) in canonical modality order.
+    """
+    cropped, mask, info = crop_to_nonzero(np.asarray(data, dtype=np.float32))
+    norm = zscore_masked(jnp.asarray(cropped), jnp.asarray(mask))
+    padded, undo = pad_to_patch(norm, patch_size)
+    return PreprocessResult(padded, undo, info, affine, zooms)
