@@ -1,0 +1,191 @@
+"""Checkpoint conversion: PyTorch nnU-Net ``.model`` files → braintpu pytrees.
+
+The reference loads 10 torch checkpoints (2 models × 5 folds,
+``fold_{0..4}/model_final_checkpoint.model``) via nnU-Net's
+``load_model_and_checkpoint_files``
+(ref: /root/reference/run_brats2021_inference_singlethread.py:178-183,
+PROJECT_DOCUMENTATION.md:505-519).  This module maps their ``state_dict``
+naming onto the :mod:`braintpu.models.unet3d` pytree layout, with the layout
+transposes required by the NDHWC/DHWIO convention:
+
+==============================================  =============================
+torch name                                       braintpu path
+==============================================  =============================
+conv_blocks_context.{d}.blocks.{c}.conv.*        encoder[d][c].w/.b
+conv_blocks_context.{P}.{0|1}.blocks.{c}.conv.*  bottleneck[c'].w/.b
+conv_blocks_context...instnorm.*                 …scale/shift(/mean/var)
+tu.{u}.weight                                    decoder[u].up.w
+conv_blocks_localization.{u}.{0|1}.blocks...     decoder[u].blocks[c']
+seg_outputs.{u}.weight                           decoder[REV(u)].seg.w
+==============================================  =============================
+
+Weight transposes: Conv3d ``(O, I, kd, kh, kw) → (kd, kh, kw, I, O)``;
+ConvTranspose3d ``(I, O, kd, kh, kw) → (I, kd, kh, kw, O)``;
+seg 1×1×1 ``(O, I, 1, 1, 1) → (1, 1, 1, I, O)``.
+
+Note ``seg_outputs`` is indexed by decoder build order in torch (deepest
+first), same as our decoder list, so no reversal is actually needed; kept
+explicit in :func:`convert_state_dict` for clarity.
+
+Torch is only needed for ingesting legacy checkpoints; the framework's own
+checkpoints are plain ``.npz`` pytrees (:func:`save_pytree_npz`).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from typing import Any, Dict, List, Mapping, Optional
+
+import numpy as np
+
+from ..models.unet3d import UNetConfig, decoder_channels, encoder_features
+
+__all__ = [
+    "convert_state_dict",
+    "load_torch_checkpoint",
+    "convert_torch_checkpoint",
+    "save_pytree_npz",
+    "load_pytree_npz",
+    "flatten_pytree",
+    "unflatten_pytree",
+]
+
+
+def _np(x) -> np.ndarray:
+    """torch.Tensor | ndarray → float32 ndarray (no torch import required)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv_block_from(sd: Mapping[str, Any], prefix: str, has_bn_stats: bool) -> Dict[str, np.ndarray]:
+    block = {
+        "w": _np(sd[f"{prefix}.conv.weight"]).transpose(2, 3, 4, 1, 0),
+        "b": _np(sd[f"{prefix}.conv.bias"]),
+        "scale": _np(sd[f"{prefix}.instnorm.weight"]),
+        "shift": _np(sd[f"{prefix}.instnorm.bias"]),
+    }
+    if has_bn_stats:
+        block["mean"] = _np(sd[f"{prefix}.instnorm.running_mean"])
+        block["var"] = _np(sd[f"{prefix}.instnorm.running_var"])
+    return block
+
+
+def convert_state_dict(sd: Mapping[str, Any], cfg: UNetConfig) -> Dict[str, Any]:
+    """Map a ``Generic_UNet`` state_dict onto the braintpu param pytree."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    has_bn = cfg.norm == "batch"
+    P = cfg.num_pool
+
+    encoder: List[List[dict]] = []
+    for d in range(P):
+        stage = [
+            _conv_block_from(sd, f"conv_blocks_context.{d}.blocks.{c}", has_bn)
+            for c in range(cfg.conv_per_stage)
+        ]
+        encoder.append(stage)
+
+    # bottleneck = Sequential(Stacked(conv_per_stage-1), Stacked(1))
+    bottleneck: List[dict] = []
+    for c in range(cfg.conv_per_stage - 1):
+        bottleneck.append(_conv_block_from(sd, f"conv_blocks_context.{P}.0.blocks.{c}", has_bn))
+    bottleneck.append(_conv_block_from(sd, f"conv_blocks_context.{P}.1.blocks.0", has_bn))
+
+    decoder: List[dict] = []
+    for u in range(P):
+        up_w = _np(sd[f"tu.{u}.weight"]).transpose(0, 2, 3, 4, 1)
+        blocks = [
+            _conv_block_from(sd, f"conv_blocks_localization.{u}.0.blocks.{c}", has_bn)
+            for c in range(cfg.conv_per_stage - 1)
+        ]
+        blocks.append(_conv_block_from(sd, f"conv_blocks_localization.{u}.1.blocks.0", has_bn))
+        seg_w = _np(sd[f"seg_outputs.{u}.weight"]).transpose(2, 3, 4, 1, 0)
+        decoder.append({"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}})
+
+    params = {"encoder": encoder, "bottleneck": bottleneck, "decoder": decoder}
+    _validate_shapes(params, cfg)
+    return params
+
+
+def _validate_shapes(params: Dict[str, Any], cfg: UNetConfig) -> None:
+    enc = encoder_features(cfg)
+    for d, stage in enumerate(params["encoder"]):
+        for c, blk in enumerate(stage):
+            cin = (cfg.in_channels if d == 0 else enc[d - 1]) if c == 0 else enc[d]
+            expect = (*cfg.conv_kernel, cin, enc[d])
+            if blk["w"].shape != expect:
+                raise ValueError(
+                    f"encoder[{d}][{c}].w shape {blk['w'].shape} != {expect} "
+                    f"(checkpoint does not match config {cfg.name})"
+                )
+    for u, ch in enumerate(decoder_channels(cfg)):
+        got = params["decoder"][u]["up"]["w"].shape
+        expect = (ch["from_down"], *cfg.pool_kernel, ch["skip"])
+        if got != expect:
+            raise ValueError(f"decoder[{u}].up.w shape {got} != {expect}")
+
+
+def load_torch_checkpoint(path: os.PathLike) -> Dict[str, Any]:
+    """Load an nnU-Net ``.model`` file's state_dict (handles old pickles)."""
+    import torch
+
+    ckpt = torch.load(os.fspath(path), map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return ckpt["state_dict"]
+    return ckpt
+
+
+def convert_torch_checkpoint(path: os.PathLike, cfg: UNetConfig) -> Dict[str, Any]:
+    return convert_state_dict(load_torch_checkpoint(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Native pytree persistence (.npz with path keys)
+# ---------------------------------------------------------------------------
+
+_INDEX = re.compile(r"^\d+$")
+
+
+def flatten_pytree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out.update(flatten_pytree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_pytree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_pytree(flat: Mapping[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def densify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(_INDEX.match(k) for k in node):
+            return [densify(node[str(i)]) for i in range(len(node))]
+        return {k: densify(v) for k, v in node.items()}
+
+    return densify(root)
+
+
+def save_pytree_npz(params: Any, path: os.PathLike) -> None:
+    flat = flatten_pytree(params)
+    os.makedirs(os.path.dirname(os.fspath(path)) or ".", exist_ok=True)
+    np.savez_compressed(os.fspath(path), **flat)
+
+
+def load_pytree_npz(path: os.PathLike) -> Any:
+    with np.load(os.fspath(path)) as z:
+        return unflatten_pytree({k: z[k] for k in z.files})

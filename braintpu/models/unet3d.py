@@ -1,0 +1,418 @@
+"""TPU-native 3D U-Net family (nnU-Net KAIST BraTS-2021 topology).
+
+Functional re-design of the reference's PyTorch ``Generic_UNet``
+(/root/reference/model_architecture/generic_UNet.py:171-446) for JAX/XLA:
+
+* **Pure functions over param pytrees** — no module objects.  Parameters are
+  nested dicts of arrays, so fold ensembles are a leading ``vmap``/``scan``
+  axis away and sharding rules are direct ``PartitionSpec`` annotations.
+* **Channels-last (NDHWC)** — the feature dimension rides the TPU lane
+  dimension; XLA tiles the 3×3×3 convs onto the MXU.
+* **Strided convs / matmul up-convs** — convolutional pooling and
+  convolutional upsampling exactly as the checkpoints expect
+  (``nnUNetTrainerV2`` constructs ``Generic_UNet`` with
+  ``convolutional_pooling=convolutional_upsampling=True``).  The 2×2×2
+  stride-2 transposed conv has non-overlapping windows, so it is computed as
+  a single einsum (Ci → 8·Co) + reshape — pure MXU work, no scatter.
+* **bf16 compute, f32 normalization/accumulation** via ``compute_dtype``.
+
+Topology constants (from the plans pickle
+/root/reference/data/temp_inference_output1): patch 128³, 5 pools of 2×2×2,
+six 3×3×3 conv stages, base 32 features, cap 320, 2 convs per stage,
+4 input channels, 3 sigmoid region outputs.  Variants
+(ref PROJECT_DOCUMENTATION.md:35-51):
+  * model 1 ``BN``      — BatchNorm,  encoder_scale 1
+  * model 2 ``GN large``— GroupNorm,  encoder_scale 2
+Block = Conv3d → (Dropout) → Norm → LeakyReLU(0.01)
+(ref generic_UNet.py:56-72); per-decoder-stage 1×1×1 seg heads without bias
+(ref generic_UNet.py:389-391); deep supervision returns all heads in
+training, the full-resolution head at inference (ref generic_UNet.py:442-446).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "UNetConfig",
+    "MODEL1_BN",
+    "MODEL2_GN_LARGE",
+    "encoder_features",
+    "decoder_channels",
+    "init_params",
+    "apply_unet",
+    "fold_batchnorm",
+    "param_count",
+    "estimate_activation_bytes",
+]
+
+DimNums = jax.lax.conv_dimension_numbers
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Static architecture description (hashable → usable as a jit static arg)."""
+
+    in_channels: int = 4
+    num_classes: int = 3
+    base_features: int = 32
+    max_features: int = 320
+    num_pool: int = 5
+    conv_per_stage: int = 2
+    encoder_scale: int = 1
+    norm: str = "batch"  # "batch" | "group" | "instance"
+    group_norm_groups: int = 8
+    norm_eps: float = 1e-5
+    bn_momentum: float = 0.1
+    negative_slope: float = 0.01
+    patch_size: Tuple[int, int, int] = (128, 128, 128)
+    pool_kernel: Tuple[int, int, int] = (2, 2, 2)
+    conv_kernel: Tuple[int, int, int] = (3, 3, 3)
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    #: encoder stages that use dropout during training (KAIST: deepest stage).
+    dropout_levels: Tuple[int, ...] = (4,)
+    dropout_rate: float = 0.0
+    final_nonlin: str = "sigmoid"  # regions model; "softmax" for classic heads
+
+    @property
+    def name(self) -> str:
+        return (
+            f"unet3d_{self.norm}_s{self.encoder_scale}"
+            f"_f{self.base_features}x{self.num_pool}"
+        )
+
+
+#: KAIST model 1: nnUNetTrainerV2BraTSRegions_DA4_BN_BD.
+MODEL1_BN = UNetConfig(norm="batch", encoder_scale=1)
+#: KAIST model 2: ..._largeUnet_Groupnorm (GroupNorm, double-width encoder).
+MODEL2_GN_LARGE = UNetConfig(norm="group", encoder_scale=2)
+
+
+def encoder_features(cfg: UNetConfig) -> List[int]:
+    """Per-stage encoder output channels (before the bottleneck)."""
+    feats = []
+    f = cfg.base_features * cfg.encoder_scale
+    for _ in range(cfg.num_pool):
+        feats.append(min(f, cfg.max_features))
+        f = int(round(f * 2))
+    return feats
+
+
+def bottleneck_features(cfg: UNetConfig) -> int:
+    return min(encoder_features(cfg)[-1] * 2, cfg.max_features)
+
+
+def decoder_channels(cfg: UNetConfig) -> List[Dict[str, int]]:
+    """Channel plan for each decoder stage (shallowest index = last)."""
+    enc = encoder_features(cfg)
+    bneck = bottleneck_features(cfg)
+    plan = []
+    from_down = bneck
+    for u in range(cfg.num_pool):
+        skip = enc[cfg.num_pool - 1 - u]
+        out = max(1, int(skip // cfg.encoder_scale))
+        plan.append({"from_down": from_down, "skip": skip, "out": out})
+        from_down = out
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _he_init(key, shape, negative_slope, dtype):
+    """Kaiming-normal fan-in with leaky-ReLU gain (torch ``kaiming_normal_``)."""
+    fan_in = int(np.prod(shape[:-1]))  # (kd, kh, kw, cin) for DHWIO
+    gain = np.sqrt(2.0 / (1.0 + negative_slope**2))
+    std = gain / np.sqrt(fan_in)
+    return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+
+
+def _init_block(key, cin, cout, cfg: UNetConfig) -> Dict[str, jnp.ndarray]:
+    kw, kb = jax.random.split(key)
+    k = cfg.conv_kernel
+    block = {
+        "w": _he_init(kw, (*k, cin, cout), cfg.negative_slope, cfg.param_dtype),
+        "b": jnp.zeros((cout,), cfg.param_dtype),
+        "scale": jnp.ones((cout,), cfg.param_dtype),
+        "shift": jnp.zeros((cout,), cfg.param_dtype),
+    }
+    if cfg.norm == "batch":
+        block["mean"] = jnp.zeros((cout,), cfg.param_dtype)
+        block["var"] = jnp.ones((cout,), cfg.param_dtype)
+    return block
+
+
+def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
+    """Random-initialize the full parameter pytree."""
+    enc_feats = encoder_features(cfg)
+    bneck = bottleneck_features(cfg)
+    n_keys = (cfg.num_pool + 2) * (cfg.conv_per_stage + 4)
+    keys = iter(jax.random.split(key, n_keys * 4))
+
+    encoder = []
+    cin = cfg.in_channels
+    for d in range(cfg.num_pool):
+        stage = []
+        for c in range(cfg.conv_per_stage):
+            stage.append(_init_block(next(keys), cin if c == 0 else enc_feats[d], enc_feats[d], cfg))
+        encoder.append(stage)
+        cin = enc_feats[d]
+
+    bottleneck = []
+    for c in range(cfg.conv_per_stage):
+        bottleneck.append(_init_block(next(keys), cin if c == 0 else bneck, bneck, cfg))
+        cin = bneck
+
+    decoder = []
+    for u, ch in enumerate(decoder_channels(cfg)):
+        up_w = _he_init(
+            next(keys),
+            (ch["from_down"], *cfg.pool_kernel, ch["skip"]),
+            cfg.negative_slope,
+            cfg.param_dtype,
+        )
+        blocks = [_init_block(next(keys), 2 * ch["skip"], ch["skip"], cfg)]
+        for _ in range(cfg.conv_per_stage - 2):
+            blocks.append(_init_block(next(keys), ch["skip"], ch["skip"], cfg))
+        blocks.append(_init_block(next(keys), ch["skip"], ch["out"], cfg))
+        seg_w = _he_init(
+            next(keys), (1, 1, 1, ch["out"], cfg.num_classes), cfg.negative_slope, cfg.param_dtype
+        )
+        decoder.append({"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}})
+
+    return {"encoder": encoder, "bottleneck": bottleneck, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(x, w, b, stride, compute_dtype):
+    dn = DimNums(x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    k = w.shape[:3]
+    pad = tuple(((s - 1) // 2, (s - 1) // 2) for s in k)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=stride,
+        padding=pad,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _norm(x, block, cfg: UNetConfig, train: bool, batch_stats: Optional[dict] = None):
+    """Normalize in f32.  Returns (y, new_running_stats_or_None)."""
+    scale = block["scale"].astype(jnp.float32)
+    shift = block["shift"].astype(jnp.float32)
+    eps = cfg.norm_eps
+    new_stats = None
+    if cfg.norm == "batch":
+        if train:
+            mean = x.mean(axis=(0, 1, 2, 3))
+            var = x.var(axis=(0, 1, 2, 3))
+            n = x.size // x.shape[-1]
+            unbiased = var * (n / max(n - 1, 1))
+            m = cfg.bn_momentum
+            new_stats = {
+                "mean": (1 - m) * block["mean"].astype(jnp.float32) + m * mean,
+                "var": (1 - m) * block["var"].astype(jnp.float32) + m * unbiased,
+            }
+        else:
+            mean = block["mean"].astype(jnp.float32)
+            var = block["var"].astype(jnp.float32)
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + shift
+    elif cfg.norm == "group":
+        g = cfg.group_norm_groups
+        N, D, H, W, C = x.shape
+        xg = x.reshape(N, D, H, W, g, C // g)
+        mean = xg.mean(axis=(1, 2, 3, 5), keepdims=True)
+        var = xg.var(axis=(1, 2, 3, 5), keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape) * scale + shift
+    elif cfg.norm == "instance":
+        mean = x.mean(axis=(1, 2, 3), keepdims=True)
+        var = x.var(axis=(1, 2, 3), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + shift
+    else:
+        raise ValueError(f"unknown norm {cfg.norm!r}")
+    return y, new_stats
+
+
+def _block_apply(x, block, cfg: UNetConfig, stride=(1, 1, 1), train=False, folded=False):
+    """Conv → Norm → LeakyReLU.  Returns (y, new_stats)."""
+    y = _conv3d(x, block["w"], block["b"], stride, cfg.compute_dtype)
+    if folded:
+        new_stats = None
+    else:
+        y, new_stats = _norm(y, block, cfg, train)
+    y = jnp.where(y >= 0, y, y * cfg.negative_slope)
+    return y.astype(cfg.compute_dtype), new_stats
+
+
+def _upconv(x, w, compute_dtype):
+    """2×2×2 stride-2 transposed conv as einsum + pixel-shuffle reshape.
+
+    ``w``: (Ci, kd, kh, kw, Co).  Non-overlapping windows make this exact.
+    """
+    ci, kd, kh, kw, co = w.shape
+    N, D, H, W, _ = x.shape
+    wm = w.reshape(ci, kd * kh * kw * co).astype(compute_dtype)
+    y = jnp.einsum(
+        "ndhwc,ck->ndhwk", x.astype(compute_dtype), wm, preferred_element_type=jnp.float32
+    )
+    y = y.reshape(N, D, H, W, kd, kh, kw, co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(N, D * kd, H * kh, W * kw, co).astype(compute_dtype)
+
+
+def _seg_head(x, seg_w, compute_dtype):
+    return jnp.einsum(
+        "ndhwc,co->ndhwo",
+        x.astype(compute_dtype),
+        seg_w["w"][0, 0, 0].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "train", "deep_supervision", "folded"))
+def apply_unet(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    cfg: UNetConfig,
+    train: bool = False,
+    deep_supervision: bool = False,
+    rng: Optional[jax.Array] = None,
+    folded: bool = False,
+):
+    """Forward pass.
+
+    Args:
+      params: pytree from :func:`init_params` (or a converted checkpoint).
+      x: (N, D, H, W, C) input patches.
+      train: batch-norm in batch-stats mode + dropout active.
+      deep_supervision: return logits from every decoder head
+        (full-resolution head first), matching the reference's training-time
+        output ordering (generic_UNet.py:442-444).
+      folded: params had BatchNorm folded into convs (inference fast path).
+
+    Returns:
+      eval mode: (N, D, H, W, num_classes) f32 logits of the final head.
+      train/deep_supervision: (logits_list, new_batch_stats) where
+      ``new_batch_stats`` mirrors the param tree with updated BN running
+      stats (empty for non-BN norms).
+    """
+    stride1 = (1, 1, 1)
+    pool = cfg.pool_kernel
+    new_stats: Dict[str, Any] = {"encoder": [], "bottleneck": [], "decoder": []}
+    drop_keys = None
+    if train and cfg.dropout_rate > 0 and rng is not None:
+        drop_keys = iter(jax.random.split(rng, cfg.num_pool + 1))
+
+    skips = []
+    h = x
+    for d, stage in enumerate(params["encoder"]):
+        stage_stats = []
+        for c, block in enumerate(stage):
+            s = pool if (d > 0 and c == 0) else stride1
+            h, st = _block_apply(h, block, cfg, s, train, folded)
+            stage_stats.append(st)
+        if train and cfg.dropout_rate > 0 and d in cfg.dropout_levels and drop_keys is not None:
+            keep = 1.0 - cfg.dropout_rate
+            mask = jax.random.bernoulli(next(drop_keys), keep, h.shape)
+            h = jnp.where(mask, h / keep, 0).astype(h.dtype)
+        new_stats["encoder"].append(stage_stats)
+        skips.append(h)
+
+    for c, block in enumerate(params["bottleneck"]):
+        s = pool if c == 0 else stride1
+        h, st = _block_apply(h, block, cfg, s, train, folded)
+        new_stats["bottleneck"].append(st)
+
+    seg_logits = []
+    for u, stage in enumerate(params["decoder"]):
+        h = _upconv(h, stage["up"]["w"], cfg.compute_dtype)
+        h = jnp.concatenate([h, skips[-(u + 1)]], axis=-1)
+        stage_stats = []
+        for block in stage["blocks"]:
+            h, st = _block_apply(h, block, cfg, stride1, train, folded)
+            stage_stats.append(st)
+        new_stats["decoder"].append(stage_stats)
+        seg_logits.append(_seg_head(h, stage["seg"], cfg.compute_dtype))
+
+    if deep_supervision or train:
+        ordered = [seg_logits[-1]] + seg_logits[:-1][::-1]
+        return ordered, new_stats
+    return seg_logits[-1]
+
+
+# ---------------------------------------------------------------------------
+# Inference-time transforms & introspection
+# ---------------------------------------------------------------------------
+
+
+def fold_batchnorm(params: Dict[str, Any], cfg: UNetConfig) -> Dict[str, Any]:
+    """Fold eval-mode BatchNorm into conv weights/biases.
+
+    ``y = ((conv(x) + b) - mean) * scale / sqrt(var+eps) + shift``
+    becomes a plain conv with ``w' = w * k`` and ``b' = (b - mean) * k +
+    shift`` where ``k = scale / sqrt(var+eps)``.  Cuts one full elementwise
+    pass per block from the inference graph.  Only valid for ``norm='batch'``.
+    """
+    if cfg.norm != "batch":
+        raise ValueError("fold_batchnorm requires a BatchNorm model")
+
+    def fold_block(block):
+        k = block["scale"] / jnp.sqrt(block["var"] + cfg.norm_eps)
+        return {
+            "w": block["w"] * k,
+            "b": (block["b"] - block["mean"]) * k + block["shift"],
+        }
+
+    return {
+        "encoder": [[fold_block(b) for b in stage] for stage in params["encoder"]],
+        "bottleneck": [fold_block(b) for b in params["bottleneck"]],
+        "decoder": [
+            {
+                "up": stage["up"],
+                "blocks": [fold_block(b) for b in stage["blocks"]],
+                "seg": stage["seg"],
+            }
+            for stage in params["decoder"]
+        ],
+    }
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def estimate_activation_bytes(cfg: UNetConfig, batch: int = 1) -> int:
+    """Rough peak activation footprint for one forward pass (bytes).
+
+    TPU-native replacement for the reference's VRAM estimator
+    (generic_UNet.py:448-487, generic_modular_UNet.py VRAM constants):
+    sums encoder+decoder feature maps at ``compute_dtype`` width.
+    """
+    itemsize = jnp.dtype(cfg.compute_dtype).itemsize
+    vox = int(np.prod(cfg.patch_size))
+    total = 0
+    enc = encoder_features(cfg)
+    for d, f in enumerate(enc):
+        total += (vox // (8**d)) * f * cfg.conv_per_stage
+    total += (vox // (8**cfg.num_pool)) * bottleneck_features(cfg) * cfg.conv_per_stage
+    for u, ch in enumerate(decoder_channels(cfg)):
+        scale = 8 ** (cfg.num_pool - 1 - u)
+        total += (vox // scale) * (2 * ch["skip"] + ch["out"])
+    return total * batch * itemsize

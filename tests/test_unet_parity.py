@@ -1,0 +1,211 @@
+"""U-Net forward parity vs a clean-room PyTorch functional oracle.
+
+Builds a random nnU-Net-style state_dict (torch naming/layout), runs it
+through (a) a minimal torch.nn.functional forward implementing the
+Generic_UNet semantics (conv pooling, eval BatchNorm/GroupNorm, transposed
+conv upsampling, per-stage seg heads) and (b) braintpu's converter + JAX
+forward, and asserts agreement.  This is the SURVEY.md §4(b) "numerical
+parity vs a PyTorch oracle" layer.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from braintpu.ckpt import (
+    convert_state_dict,
+    load_pytree_npz,
+    save_pytree_npz,
+)
+from braintpu.models import (
+    UNetConfig,
+    apply_unet,
+    decoder_channels,
+    encoder_features,
+    bottleneck_features,
+    fold_batchnorm,
+    init_params,
+    param_count,
+)
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+
+def tiny_cfg(norm="batch", encoder_scale=1):
+    return UNetConfig(
+        in_channels=2,
+        num_classes=3,
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        conv_per_stage=2,
+        encoder_scale=encoder_scale,
+        norm=norm,
+        group_norm_groups=2,
+        patch_size=(16, 16, 16),
+        compute_dtype=jnp.float32,
+    )
+
+
+def make_torch_state_dict(cfg, seed=0):
+    """Random weights with nnU-Net Generic_UNet naming and torch layouts."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def conv_block(prefix, cin, cout):
+        sd[f"{prefix}.conv.weight"] = torch.randn(cout, cin, 3, 3, 3, generator=g) * 0.2
+        sd[f"{prefix}.conv.bias"] = torch.randn(cout, generator=g) * 0.1
+        sd[f"{prefix}.instnorm.weight"] = torch.rand(cout, generator=g) + 0.5
+        sd[f"{prefix}.instnorm.bias"] = torch.randn(cout, generator=g) * 0.1
+        if cfg.norm == "batch":
+            sd[f"{prefix}.instnorm.running_mean"] = torch.randn(cout, generator=g) * 0.2
+            sd[f"{prefix}.instnorm.running_var"] = torch.rand(cout, generator=g) + 0.5
+
+    enc = encoder_features(cfg)
+    cin = cfg.in_channels
+    for d in range(cfg.num_pool):
+        for c in range(cfg.conv_per_stage):
+            conv_block(f"conv_blocks_context.{d}.blocks.{c}", cin if c == 0 else enc[d], enc[d])
+        cin = enc[d]
+    bneck = bottleneck_features(cfg)
+    conv_block(f"conv_blocks_context.{cfg.num_pool}.0.blocks.0", cin, bneck)
+    conv_block(f"conv_blocks_context.{cfg.num_pool}.1.blocks.0", bneck, bneck)
+
+    for u, ch in enumerate(decoder_channels(cfg)):
+        sd[f"tu.{u}.weight"] = torch.randn(ch["from_down"], ch["skip"], 2, 2, 2, generator=g) * 0.2
+        conv_block(f"conv_blocks_localization.{u}.0.blocks.0", 2 * ch["skip"], ch["skip"])
+        conv_block(f"conv_blocks_localization.{u}.1.blocks.0", ch["skip"], ch["out"])
+        sd[f"seg_outputs.{u}.weight"] = torch.randn(cfg.num_classes, ch["out"], 1, 1, 1, generator=g) * 0.2
+    return sd
+
+
+def torch_forward(sd, cfg, x):
+    """Eval-mode forward with Generic_UNet semantics (torch functional)."""
+
+    def block(prefix, h, stride=1):
+        h = F.conv3d(h, sd[f"{prefix}.conv.weight"], sd[f"{prefix}.conv.bias"], stride, 1)
+        if cfg.norm == "batch":
+            h = F.batch_norm(
+                h,
+                sd[f"{prefix}.instnorm.running_mean"],
+                sd[f"{prefix}.instnorm.running_var"],
+                sd[f"{prefix}.instnorm.weight"],
+                sd[f"{prefix}.instnorm.bias"],
+                training=False,
+                eps=cfg.norm_eps,
+            )
+        elif cfg.norm == "group":
+            h = F.group_norm(
+                h,
+                cfg.group_norm_groups,
+                sd[f"{prefix}.instnorm.weight"],
+                sd[f"{prefix}.instnorm.bias"],
+                eps=cfg.norm_eps,
+            )
+        else:
+            h = F.instance_norm(
+                h,
+                weight=sd[f"{prefix}.instnorm.weight"],
+                bias=sd[f"{prefix}.instnorm.bias"],
+                eps=cfg.norm_eps,
+            )
+        return F.leaky_relu(h, cfg.negative_slope)
+
+    skips = []
+    h = x
+    for d in range(cfg.num_pool):
+        for c in range(cfg.conv_per_stage):
+            stride = 2 if (d > 0 and c == 0) else 1
+            h = block(f"conv_blocks_context.{d}.blocks.{c}", h, stride)
+        skips.append(h)
+    h = block(f"conv_blocks_context.{cfg.num_pool}.0.blocks.0", h, 2)
+    h = block(f"conv_blocks_context.{cfg.num_pool}.1.blocks.0", h, 1)
+
+    seg = None
+    for u in range(cfg.num_pool):
+        h = F.conv_transpose3d(h, sd[f"tu.{u}.weight"], stride=2)
+        h = torch.cat([h, skips[-(u + 1)]], dim=1)
+        h = block(f"conv_blocks_localization.{u}.0.blocks.0", h)
+        h = block(f"conv_blocks_localization.{u}.1.blocks.0", h)
+        seg = F.conv3d(h, sd[f"seg_outputs.{u}.weight"])
+    return seg
+
+
+@pytest.mark.parametrize("norm,scale", [("batch", 1), ("group", 2), ("instance", 1)])
+def test_forward_parity_vs_torch(norm, scale):
+    cfg = tiny_cfg(norm, scale)
+    sd = make_torch_state_dict(cfg)
+    x_t = torch.randn(1, cfg.in_channels, 16, 16, 16, generator=torch.Generator().manual_seed(7))
+    with torch.no_grad():
+        ref = torch_forward(sd, cfg, x_t).numpy()  # (N, C, D, H, W)
+
+    params = convert_state_dict(sd, cfg)
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))  # NDHWC
+    out = np.asarray(apply_unet(params, x_j, cfg))
+    out_nchw = out.transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_nchw, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fold_batchnorm_equivalence():
+    cfg = tiny_cfg("batch")
+    sd = make_torch_state_dict(cfg, seed=2)
+    params = convert_state_dict(sd, cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 2)).astype(np.float32))
+    ref = np.asarray(apply_unet(params, x, cfg))
+    folded = fold_batchnorm(params, cfg)
+    out = np.asarray(apply_unet(folded, x, cfg, folded=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_deep_supervision_heads():
+    cfg = tiny_cfg("batch")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    heads, _ = apply_unet(params, x, cfg, deep_supervision=True)
+    assert len(heads) == cfg.num_pool
+    # head 0 = full resolution, then decreasing
+    assert heads[0].shape == (1, 16, 16, 16, 3)
+    assert heads[1].shape == (1, 8, 8, 8, 3)
+
+
+def test_real_config_channel_plan():
+    """The production configs reproduce the documented channel progression."""
+    from braintpu.models import MODEL1_BN, MODEL2_GN_LARGE
+
+    assert encoder_features(MODEL1_BN) == [32, 64, 128, 256, 320]
+    assert bottleneck_features(MODEL1_BN) == 320
+    plan1 = decoder_channels(MODEL1_BN)
+    assert [p["skip"] for p in plan1] == [320, 256, 128, 64, 32]
+    assert [p["out"] for p in plan1] == [320, 256, 128, 64, 32]
+
+    assert encoder_features(MODEL2_GN_LARGE) == [64, 128, 256, 320, 320]
+    plan2 = decoder_channels(MODEL2_GN_LARGE)
+    assert [p["out"] for p in plan2] == [160, 160, 128, 64, 32]
+    assert [p["from_down"] for p in plan2] == [320, 160, 160, 128, 64]
+
+
+def test_npz_roundtrip(tmp_path):
+    cfg = tiny_cfg("batch")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    path = tmp_path / "ckpt.npz"
+    save_pytree_npz(params, path)
+    loaded = load_pytree_npz(path)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert param_count(loaded) == param_count(params)
+
+
+def test_init_shapes_match_converted_shapes():
+    cfg = tiny_cfg("group", 2)
+    sd = make_torch_state_dict(cfg)
+    converted = convert_state_dict(sd, cfg)
+    initialized = init_params(cfg, jax.random.PRNGKey(0))
+    ca = jax.tree_util.tree_map(lambda a: a.shape, converted)
+    cb = jax.tree_util.tree_map(lambda a: a.shape, initialized)
+    assert ca == cb
