@@ -1,0 +1,26 @@
+"""Inference engine: sliding-window + TTA + fold/model ensembling."""
+
+from .engine import InferenceEngine, ModelBundle, calculate_volumes, uncrop_labels
+from .gaussian import gaussian_importance_map, patch_grid, sliding_window_starts
+from .sliding_window import (
+    MIRROR_COMBOS,
+    predict_probs,
+    region_probs_to_labels,
+    sliding_window_predict,
+    stack_folds,
+)
+
+__all__ = [
+    "InferenceEngine",
+    "ModelBundle",
+    "calculate_volumes",
+    "uncrop_labels",
+    "gaussian_importance_map",
+    "patch_grid",
+    "sliding_window_starts",
+    "MIRROR_COMBOS",
+    "predict_probs",
+    "region_probs_to_labels",
+    "sliding_window_predict",
+    "stack_folds",
+]

@@ -1,0 +1,175 @@
+"""Case-level inference: preprocess → sliding-window ensemble → export.
+
+Replaces the reference's multi-script, multi-subprocess segmentation stage
+(/root/reference/run_brats2021_inference_singlethread.py:161-327) with a
+single in-process engine:
+
+* **softmax-level ensemble** (canonical): mean of the two models' sigmoid
+  region maps before thresholding + the KAIST 200-voxel ET post-process —
+  the original winning recipe
+  (ref: /root/reference/archived/kaist_original_inference.py:30-34).
+* **label-level ensemble** (repo-parity): ``round((seg1 + seg2) / 2)`` on
+  the two exported label maps
+  (ref: run_brats2021_inference_singlethread.py:288-312).
+
+Only NIfTI decode and the nonzero-bbox run on host; everything from z-score
+to label painting is on-device XLA.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import nifti
+from ..io.brats import BratsCase, load_case_volumes
+from ..labels.convert import internal_to_brats2021, internal_to_brats2025
+from ..labels.postprocess import et_min_size_postprocess
+from ..models.unet3d import UNetConfig, fold_batchnorm
+from ..pre.preprocess import PreprocessResult, preprocess_case
+from ..pre.resample import resize_trilinear
+from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
+
+__all__ = ["ModelBundle", "InferenceEngine", "calculate_volumes", "uncrop_labels"]
+
+
+@dataclass
+class ModelBundle:
+    """One architecture + its stacked fold weights, inference-ready."""
+
+    cfg: UNetConfig
+    params_stacked: Dict[str, Any]  # leading fold axis on every leaf
+    folded: bool = False
+    name: str = ""
+
+    @classmethod
+    def from_folds(
+        cls,
+        cfg: UNetConfig,
+        fold_params: Sequence[Dict[str, Any]],
+        fold_bn: bool = True,
+        name: str = "",
+    ) -> "ModelBundle":
+        """Stack fold pytrees; pre-fold BatchNorm when possible (faster eval)."""
+        folded = False
+        if fold_bn and cfg.norm == "batch":
+            fold_params = [fold_batchnorm(p, cfg) for p in fold_params]
+            folded = True
+        return cls(cfg, stack_folds(fold_params), folded, name or cfg.name)
+
+
+def uncrop_labels(seg_cropped: np.ndarray, crop) -> np.ndarray:
+    """Place cropped-space labels back into the original volume extent."""
+    out = np.zeros(crop.original_shape, dtype=seg_cropped.dtype)
+    out[crop.slices] = seg_cropped
+    return out
+
+
+def calculate_volumes(
+    seg: np.ndarray, voxel_volume_cm3: float, et_label: int = 3
+) -> Dict[str, float]:
+    """NCR/ED/ET/TC/WT volumes in cm³ from a BraTS-space label map.
+
+    (ref semantics: run_brats2021_inference_singlethread.py:217-243, which
+    hard-codes ET=4; here the ET label follows the active convention.)
+    """
+    ncr = float((seg == 1).sum())
+    ed = float((seg == 2).sum())
+    et = float((seg == et_label).sum())
+    return {
+        "NCR": ncr * voxel_volume_cm3,
+        "ED": ed * voxel_volume_cm3,
+        "ET": et * voxel_volume_cm3,
+        "TC": (ncr + et) * voxel_volume_cm3,
+        "WT": (ncr + ed + et) * voxel_volume_cm3,
+    }
+
+
+@dataclass
+class InferenceEngine:
+    """Multi-model, multi-fold BraTS segmentation engine."""
+
+    models: List[ModelBundle]
+    step_size: float = 0.5
+    tta: bool = True
+    ensemble: str = "softmax"  # "softmax" (canonical) | "label" (repo parity)
+    et_min_voxels: int = 200  # 0 disables; applied only in softmax mode
+    output_convention: str = "brats2025"  # "brats2025" | "brats2021" | "internal"
+
+    def predict_case_array(
+        self, data_cxyz: np.ndarray
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """(C, X, Y, Z) float stack → (labels in output convention, info)."""
+        t0 = time.perf_counter()
+        patch = self.models[0].cfg.patch_size
+        pre = preprocess_case(data_cxyz, patch_size=patch)
+        info: Dict[str, Any] = {"preprocess_s": time.perf_counter() - t0}
+
+        t1 = time.perf_counter()
+        vol = jnp.moveaxis(pre.data, 0, -1)
+        per_model_probs = []
+        for m in self.models:
+            probs = predict_probs(
+                m.params_stacked,
+                jnp.moveaxis(vol, -1, 0),
+                m.cfg,
+                step_size=self.step_size,
+                tta=self.tta,
+                folded=m.folded,
+            )
+            per_model_probs.append(probs)
+        info["predict_s"] = None  # set after sync below
+
+        undo = pre.undo_slices
+        if self.ensemble == "label" and len(per_model_probs) > 1:
+            segs = [
+                np.asarray(region_probs_to_labels(p)[undo]) for p in per_model_probs
+            ]
+            seg_internal = np.round(sum(s.astype(np.float32) for s in segs) / len(segs)).astype(
+                np.uint8
+            )
+        else:
+            mean_probs = sum(per_model_probs) / len(per_model_probs)
+            seg_internal = np.asarray(region_probs_to_labels(mean_probs)[undo])
+            if self.et_min_voxels:
+                seg_internal = et_min_size_postprocess(
+                    seg_internal,
+                    et_label=3,
+                    replace_with=2,
+                    min_voxels=self.et_min_voxels,
+                )
+        jax.block_until_ready(seg_internal if isinstance(seg_internal, jnp.ndarray) else per_model_probs[-1])
+        info["predict_s"] = time.perf_counter() - t1
+
+        full = uncrop_labels(np.asarray(seg_internal), pre.crop)
+        if self.output_convention == "brats2025":
+            out = np.asarray(internal_to_brats2025(full))
+        elif self.output_convention == "brats2021":
+            out = np.asarray(internal_to_brats2021(full))
+        else:
+            out = full
+        info["total_s"] = time.perf_counter() - t0
+        info["num_models"] = len(self.models)
+        info["ensemble"] = self.ensemble
+        return out, info
+
+    def predict_case(
+        self, case: BratsCase, output_path: Optional[Path] = None
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Load a case from disk, segment it, optionally save NIfTI + volumes."""
+        data, affine, zooms = load_case_volumes(case)
+        seg, info = self.predict_case_array(data)
+        voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
+        et_label = 4 if self.output_convention == "brats2021" else 3
+        info["volumes_cm3"] = calculate_volumes(seg, voxel_cm3, et_label)
+        info["case_id"] = case.case_id
+        if output_path is not None:
+            nifti.save(seg.astype(np.uint8), output_path, affine=affine)
+            info["output_path"] = str(output_path)
+        return seg, info

@@ -1,0 +1,182 @@
+"""Sliding-window inference engine tests (grid, Gaussian, aggregation, e2e)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from braintpu.infer import (
+    InferenceEngine,
+    MIRROR_COMBOS,
+    ModelBundle,
+    calculate_volumes,
+    gaussian_importance_map,
+    patch_grid,
+    predict_probs,
+    region_probs_to_labels,
+    sliding_window_starts,
+    stack_folds,
+)
+from braintpu.io import brats
+from braintpu.models import UNetConfig, init_params
+
+
+def tiny_cfg(norm="batch"):
+    return UNetConfig(
+        in_channels=4,
+        num_classes=3,
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        conv_per_stage=2,
+        norm=norm,
+        group_norm_groups=2,
+        patch_size=(16, 16, 16),
+        compute_dtype=jnp.float32,
+    )
+
+
+def test_gaussian_map_matches_nnunet_semantics():
+    g = gaussian_importance_map((16, 16, 16))
+    assert g.shape == (16, 16, 16)
+    assert g.dtype == np.float32
+    assert g.max() == pytest.approx(1.0)
+    assert g.min() > 0  # zero-floor clamp
+    center = g[8, 8, 8]
+    assert center == pytest.approx(1.0)
+    assert g[0, 0, 0] < 0.01  # strong falloff
+
+    # cross-check against scipy directly
+    from scipy.ndimage import gaussian_filter
+
+    imp = np.zeros((16, 16, 16))
+    imp[8, 8, 8] = 1
+    ref = gaussian_filter(imp, [2, 2, 2], mode="constant")
+    ref = (ref / ref.max()).astype(np.float32)
+    ref[ref == 0] = ref[ref > 0].min()
+    np.testing.assert_allclose(g, ref, rtol=1e-5)
+
+
+def test_sliding_window_starts_formula():
+    # size == patch → single patch at 0
+    assert sliding_window_starts((16,), (16,)) == ((0,),)
+    # nnU-Net formula: size 24, patch 16, target step 8 → 2 steps: 0 and 8
+    assert sliding_window_starts((24,), (16,)) == ((0, 8),)
+    # size 40, patch 16 → ceil(24/8)+1 = 4 steps, actual step 8
+    assert sliding_window_starts((40,), (16,)) == ((0, 8, 16, 24),)
+    # uneven: size 30, patch 16 → ceil(14/8)+1 = 3 steps of 7
+    assert sliding_window_starts((30,), (16,)) == ((0, 7, 14),)
+
+
+def test_patch_grid_covers_volume():
+    grid = patch_grid((24, 16, 30), (16, 16, 16))
+    assert grid.shape == (2 * 1 * 3, 3)
+    ends = grid + 16
+    assert ends[:, 0].max() == 24
+    assert ends[:, 1].max() == 16
+    assert ends[:, 2].max() == 30
+
+
+def test_mirror_combos_complete():
+    assert len(MIRROR_COMBOS) == 8
+    assert len(set(MIRROR_COMBOS)) == 8
+
+
+def test_aggregation_weights_sum():
+    """With a constant-output 'network', the blended output must be constant
+    regardless of patch overlap (weights normalize out)."""
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # zero all weights → logits 0 → sigmoid 0.5 everywhere
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    stacked = stack_folds([params])
+    vol = jnp.asarray(np.random.default_rng(0).normal(size=(4, 24, 16, 30)).astype(np.float32))
+    probs = np.asarray(predict_probs(stacked, vol, cfg, tta=False))
+    np.testing.assert_allclose(probs, 0.5, atol=1e-5)
+
+
+def test_tta_equivariance_on_symmetric_input():
+    """TTA-averaged prediction of a flip-symmetric volume is flip-symmetric."""
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    stacked = stack_folds([params])
+    rng = np.random.default_rng(3)
+    half = rng.normal(size=(4, 16, 16, 8)).astype(np.float32)
+    vol = np.concatenate([half, half[:, :, :, ::-1]], axis=3)  # symmetric in z
+    probs = np.asarray(predict_probs(stacked, jnp.asarray(vol), cfg, tta=True))
+    np.testing.assert_allclose(probs, probs[:, :, ::-1, :], atol=2e-4)
+
+
+def test_fold_ensemble_is_mean():
+    cfg = tiny_cfg()
+    p1 = init_params(cfg, jax.random.PRNGKey(2))
+    p2 = init_params(cfg, jax.random.PRNGKey(3))
+    vol = jnp.asarray(np.random.default_rng(1).normal(size=(4, 16, 16, 16)).astype(np.float32))
+    probs_1 = np.asarray(predict_probs(stack_folds([p1]), vol, cfg, tta=False))
+    probs_2 = np.asarray(predict_probs(stack_folds([p2]), vol, cfg, tta=False))
+    probs_12 = np.asarray(predict_probs(stack_folds([p1, p2]), vol, cfg, tta=False))
+    np.testing.assert_allclose(probs_12, (probs_1 + probs_2) / 2, atol=1e-5)
+
+
+def test_region_probs_to_labels_overwrite_order():
+    probs = np.zeros((2, 2, 2, 3), np.float32)
+    probs[0, 0, 0] = [0.9, 0.1, 0.1]  # WT only → 1
+    probs[1, 0, 0] = [0.9, 0.9, 0.1]  # WT+TC → 2
+    probs[0, 1, 0] = [0.9, 0.9, 0.9]  # all → 3
+    probs[1, 1, 0] = [0.1, 0.1, 0.9]  # ET overrides even without WT → 3
+    seg = np.asarray(region_probs_to_labels(jnp.asarray(probs)))
+    assert seg[0, 0, 0] == 1
+    assert seg[1, 0, 0] == 2
+    assert seg[0, 1, 0] == 3
+    assert seg[1, 1, 0] == 3
+    assert seg[0, 0, 1] == 0
+
+
+def test_calculate_volumes():
+    seg = np.zeros((10, 10, 10), np.uint8)
+    seg[:2] = 1  # 200 NCR
+    seg[2:4] = 2  # 200 ED
+    seg[4:5] = 3  # 100 ET
+    v = calculate_volumes(seg, voxel_volume_cm3=0.001, et_label=3)
+    assert v["NCR"] == pytest.approx(0.2)
+    assert v["ED"] == pytest.approx(0.2)
+    assert v["ET"] == pytest.approx(0.1)
+    assert v["TC"] == pytest.approx(0.3)
+    assert v["WT"] == pytest.approx(0.5)
+
+
+def test_engine_end_to_end_synthetic(synth_case):
+    """Full engine on a synthetic case: run, save, reload, sanity-check."""
+    cfg = tiny_cfg()
+    folds = [init_params(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+    bundle = ModelBundle.from_folds(cfg, folds)
+    assert bundle.folded  # BN folding happened
+    engine = InferenceEngine(models=[bundle], tta=False)
+    cases = brats.find_cases(synth_case)
+    out_path = synth_case / "pred_seg.nii.gz"
+    seg, info = engine.predict_case(cases[0], out_path)
+    assert seg.shape == (48, 52, 44)
+    assert set(np.unique(seg)) <= {0, 1, 2, 3}
+    assert out_path.exists()
+    assert "volumes_cm3" in info and info["total_s"] > 0
+
+    from braintpu.io import nifti
+
+    reloaded = nifti.load(out_path)
+    np.testing.assert_array_equal(np.asarray(reloaded.dataobj), seg)
+
+
+def test_engine_label_vs_softmax_ensemble(synth_case):
+    cfg = tiny_cfg()
+    b1 = ModelBundle.from_folds(cfg, [init_params(cfg, jax.random.PRNGKey(0))])
+    b2 = ModelBundle.from_folds(cfg, [init_params(cfg, jax.random.PRNGKey(9))])
+    cases = brats.find_cases(synth_case)
+    from braintpu.io.brats import load_case_volumes
+
+    data, _, _ = load_case_volumes(cases[0])
+    seg_soft, _ = InferenceEngine(models=[b1, b2], tta=False).predict_case_array(data)
+    seg_label, _ = InferenceEngine(
+        models=[b1, b2], tta=False, ensemble="label"
+    ).predict_case_array(data)
+    assert seg_soft.shape == seg_label.shape
