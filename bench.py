@@ -1,0 +1,118 @@
+"""End-to-end benchmark: BraTS case segmentation on one TPU chip.
+
+Measures steady-state wall-clock for the full flagship configuration —
+dual-model (BN + GN-large) × 5-fold ensemble, mirror TTA, sliding-window
+Gaussian blending — on a synthetic 240×240×155 BraTS-geometry case, and
+reports it against the reference pipeline's ~5-6 min CPU segmentation stage
+(BASELINE.md; reference README.md:127).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Weights are randomly initialized (no public checkpoints ship with the
+reference repo); runtime is independent of weight values.
+
+Flags:
+  --quick        single model, single fold, no TTA (BASELINE config 1)
+  --models N     number of models (default 2)
+  --folds N      folds per model (default 5)
+  --no-tta       disable mirror TTA
+  --cases N      timed repetitions (default 2)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synthetic_case(shape=(240, 240, 155), seed=0):
+    """Deterministic BraTS-like 4-modality volume with a realistic brain bbox."""
+    rng = np.random.default_rng(seed)
+    data = np.zeros((4,) + shape, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    c = np.array(shape) / 2.0
+    brain = (
+        ((zz - c[0]) / (shape[0] * 0.36)) ** 2
+        + ((yy - c[1]) / (shape[1] * 0.40)) ** 2
+        + ((xx - c[2]) / (shape[2] * 0.44)) ** 2
+    ) < 1.0
+    n = int(brain.sum())
+    for ch in range(4):
+        data[ch][brain] = np.clip(rng.normal(600 + 40 * ch, 90, n), 1, None)
+    return data
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--models", type=int, default=2)
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--no-tta", action="store_true")
+    ap.add_argument("--cases", type=int, default=2)
+    args = ap.parse_args()
+    if args.quick:
+        args.models, args.folds = 1, 1
+        args.no_tta = True
+
+    import jax
+
+    from braintpu.infer import InferenceEngine, ModelBundle
+    from braintpu.models import MODEL1_BN, MODEL2_GN_LARGE, init_params
+
+    configs = [MODEL1_BN, MODEL2_GN_LARGE][: args.models]
+    key = jax.random.PRNGKey(0)
+    bundles = []
+    for i, cfg in enumerate(configs):
+        folds = [
+            init_params(cfg, jax.random.PRNGKey(i * 10 + f)) for f in range(args.folds)
+        ]
+        bundles.append(ModelBundle.from_folds(cfg, folds))
+    engine = InferenceEngine(models=bundles, tta=not args.no_tta)
+
+    data = synthetic_case()
+
+    # Warm-up: triggers all compilations.
+    t0 = time.perf_counter()
+    seg, info = engine.predict_case_array(data)
+    warm = time.perf_counter() - t0
+    print(
+        f"# warm-up (incl. compile): {warm:.1f}s  seg labels {np.unique(seg)}",
+        file=sys.stderr,
+    )
+
+    times = []
+    for _ in range(args.cases):
+        t0 = time.perf_counter()
+        seg, info = engine.predict_case_array(data)
+        times.append(time.perf_counter() - t0)
+    per_case = float(np.median(times))
+    print(f"# steady-state times: {times}", file=sys.stderr)
+
+    # Reference: full segmentation stage ~5-6 min on CPU → 330 s midpoint.
+    baseline_s = 330.0
+    result = {
+        "metric": "brats_case_e2e_seconds"
+        + ("_quick" if args.quick else ""),
+        "value": round(per_case, 3),
+        "unit": "s/case",
+        "vs_baseline": round(baseline_s / per_case, 2),
+        "detail": {
+            "models": args.models,
+            "folds": args.folds,
+            "tta": not args.no_tta,
+            "cases_per_min_per_chip": round(60.0 / per_case, 2),
+            "warmup_s": round(warm, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,218 @@
+"""Shared state for the radiology feature-extraction pipeline.
+
+The reference re-loads every NIfTI from disk in each of its six step scripts
+(SURVEY.md §3.1 note at run_all.py; e.g.
+/root/reference/feature_extraction/step1_sequence_findings.py:392-401).
+Here a single :class:`FeatureContext` holds the four modalities, the
+segmentation, derived masks and normal-brain references — loaded once,
+shared by every step.
+
+Mask/stat semantics mirror /root/reference/feature_extraction/utils.py:
+* tumor masks: ncr = seg==1, ed = seg==2, et = seg∈{3,4},
+  tc = seg∈{1,3,4}, wt = seg>0 (utils.py:167-183),
+* brain mask: intensity > 5th percentile of nonzero voxels (utils.py:63-68),
+* normal-brain reference: brain-mask ∧ non-tumor (utils.py:54-60),
+* intensity stats: mean/std/min/max/median/q25/q75/voxel_count
+  (utils.py:27-51).
+
+The volume-wide reductions (percentiles, masked means) are batched into as
+few passes as possible; everything is plain numpy on the host — these are
+bandwidth-trivial compared to segmentation and keep the feature layer
+runnable with zero device state.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..io import nifti
+from ..io.brats import MODALITIES, BratsCase, find_cases, load_case_volumes
+
+__all__ = [
+    "intensity_stats",
+    "tumor_masks_from_seg",
+    "brain_mask_from",
+    "FeatureContext",
+    "NumpyJSONEncoder",
+    "save_json",
+]
+
+
+def intensity_stats(data: np.ndarray, mask: np.ndarray) -> Dict:
+    """Masked intensity summary (None-filled when the mask is empty)."""
+    n = int(np.count_nonzero(mask))
+    if n == 0:
+        return {
+            "mean": None,
+            "std": None,
+            "min": None,
+            "max": None,
+            "median": None,
+            "q25": None,
+            "q75": None,
+            "voxel_count": 0,
+        }
+    values = data[mask]
+    q25, median, q75 = np.percentile(values, [25, 50, 75])
+    return {
+        "mean": float(values.mean()),
+        "std": float(values.std()),
+        "min": float(values.min()),
+        "max": float(values.max()),
+        "median": float(median),
+        "q25": float(q25),
+        "q75": float(q75),
+        "voxel_count": n,
+    }
+
+
+def tumor_masks_from_seg(seg: np.ndarray) -> Dict[str, np.ndarray]:
+    """Region masks in BraTS label space (accepts both ET=3 and ET=4)."""
+    seg = np.round(seg).astype(np.int32)
+    et = (seg == 3) | (seg == 4)
+    ncr = seg == 1
+    return {
+        "background": seg == 0,
+        "ncr": ncr,
+        "ed": seg == 2,
+        "et": et,
+        "tc": ncr | et,
+        "wt": seg > 0,
+    }
+
+
+def brain_mask_from(data: np.ndarray, threshold_percentile: float = 5) -> np.ndarray:
+    if data.max() == 0:
+        return data > 0
+    thr = np.percentile(data[data > 0], threshold_percentile)
+    return data > thr
+
+
+@dataclass
+class FeatureContext:
+    """Loaded case + derived quantities shared across feature steps."""
+
+    case_id: str
+    modalities: Dict[str, np.ndarray]  # t1/t1ce/t2/flair → (X, Y, Z) float32
+    seg: np.ndarray  # int32 labels, BraTS space
+    affine: np.ndarray
+    zooms: Tuple[float, float, float]
+    modality_files: Dict[str, str] = field(default_factory=dict)
+
+    _tumor_masks: Optional[Dict[str, np.ndarray]] = None
+    _brain_masks: Dict[str, np.ndarray] = field(default_factory=dict)
+    _normal_stats: Dict[str, Dict] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, input_folder, segmentation_path) -> "FeatureContext":
+        cases = find_cases(input_folder, recursive=False)
+        if not cases:
+            raise FileNotFoundError(f"no complete BraTS case in {input_folder}")
+        case = cases[0]
+        data, affine, zooms = load_case_volumes(case)
+        seg_img = nifti.load(segmentation_path)
+        seg = np.round(seg_img.get_fdata(dtype=np.float32)).astype(np.int32)
+        return cls(
+            case_id=case.case_id,
+            modalities={m: data[i] for i, m in enumerate(MODALITIES)},
+            seg=seg,
+            affine=affine,
+            zooms=tuple(float(z) for z in zooms[:3]),
+            modality_files={m: str(p.name) for m, p in case.modality_paths.items()},
+        )
+
+    @classmethod
+    def from_arrays(
+        cls,
+        modalities: Dict[str, np.ndarray],
+        seg: np.ndarray,
+        zooms=(1.0, 1.0, 1.0),
+        case_id: str = "case",
+        affine: Optional[np.ndarray] = None,
+    ) -> "FeatureContext":
+        return cls(
+            case_id=case_id,
+            modalities={k: np.asarray(v, np.float32) for k, v in modalities.items()},
+            seg=np.round(np.asarray(seg)).astype(np.int32),
+            affine=affine if affine is not None else np.eye(4),
+            zooms=tuple(float(z) for z in zooms),
+        )
+
+    # -- derived, cached ---------------------------------------------------
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self.seg.shape
+
+    @property
+    def voxel_volume_mm3(self) -> float:
+        return float(np.prod(self.zooms))
+
+    @property
+    def voxel_volume_cm3(self) -> float:
+        return self.voxel_volume_mm3 / 1000.0
+
+    @property
+    def tumor_masks(self) -> Dict[str, np.ndarray]:
+        if self._tumor_masks is None:
+            self._tumor_masks = tumor_masks_from_seg(self.seg)
+        return self._tumor_masks
+
+    def brain_mask(self, modality: str = "t1") -> np.ndarray:
+        if modality not in self._brain_masks:
+            self._brain_masks[modality] = brain_mask_from(self.modalities[modality])
+        return self._brain_masks[modality]
+
+    def normal_stats(self, modality: str) -> Dict:
+        """Normal-brain (non-tumor, >5th-pct) intensity reference per sequence."""
+        if modality not in self._normal_stats:
+            data = self.modalities[modality]
+            normal = self.brain_mask(modality) & (self.seg == 0)
+            self._normal_stats[modality] = intensity_stats(data, normal)
+        return self._normal_stats[modality]
+
+    def region_volume_cm3(self, region: str) -> float:
+        return float(self.tumor_masks[region].sum() * self.voxel_volume_cm3)
+
+    def voxel_info(self) -> Dict:
+        return {
+            "dimensions_mm": list(self.zooms),
+            "volume_mm3": self.voxel_volume_mm3,
+            "volume_cm3": self.voxel_volume_cm3,
+        }
+
+    def acquisition_details(self) -> Dict:
+        shape = self.shape
+        return {
+            "slice_thickness_mm": float(self.zooms[2]),
+            "in_plane_resolution_mm": (float(self.zooms[0]), float(self.zooms[1])),
+            "voxel_size_mm": [float(d) for d in self.zooms],
+            "matrix_size": (int(shape[0]), int(shape[1]), int(shape[2])),
+            "num_slices": int(shape[2]),
+            "description": None,
+        }
+
+
+class NumpyJSONEncoder(json.JSONEncoder):
+    def default(self, obj):
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.bool_):
+            return bool(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return super().default(obj)
+
+
+def save_json(results: Dict, path) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2, cls=NumpyJSONEncoder)

@@ -1,0 +1,426 @@
+"""Feature step 5: quality control & confidence metrics.
+
+Semantics-parity re-implementation of
+/root/reference/feature_extraction/step5_quality.py:
+* segmentation QC score 0-100 with the 8 deductive checks (no-tumor -50,
+  size bounds ±10, TC⊆WT -20, >5 fragments -5, ET⊆TC -5, >10 % holes -5,
+  boundary truncation -10; ref :32-159),
+* per-sequence SNR estimate + zero/outlier fractions + quality grades with
+  SNR bins 5/10/20 (ref :162-258),
+* artifact detectors: bias-field center/periphery ratio (0.7/1.4 bounds),
+  ghosting background CV > 0.5, susceptibility inferior-zeros, wrap-around
+  edge signal (≥3 edges), Gibbs edge-gradient CV > 1.5 (ref :261-454),
+* fixed measurement-confidence table (ref :457-500),
+* limitations & caveats incl. guarded non-enhancing language (ref :503-545).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+from scipy import ndimage
+from scipy.ndimage import binary_erosion, sobel
+
+from .context import FeatureContext
+
+__all__ = ["analyze_quality"]
+
+SEQ_DISPLAY = {"t1": "T1", "t1ce": "T1ce", "t2": "T2", "flair": "FLAIR"}
+
+
+def assess_segmentation_quality(ctx: FeatureContext) -> Dict:
+    masks = ctx.tumor_masks
+    issues: List[str] = []
+    warnings: List[str] = []
+    score = 100
+    v = ctx.voxel_volume_cm3
+    wt_vol = float(masks["wt"].sum() * v)
+    tc_vol = float(masks["tc"].sum() * v)
+    et = masks["et"]
+
+    if wt_vol == 0:
+        issues.append("No tumor segmentation detected")
+        return {
+            "quality_score": 50,
+            "grade": "Poor",
+            "issues": issues,
+            "warnings": warnings,
+            "recommendation": "Manual review required - no segmentation found",
+        }
+    if wt_vol < 0.5:
+        warnings.append(f"Very small tumor volume ({wt_vol:.2f} cm³) - may be artifact")
+        score -= 10
+    if wt_vol > 300:
+        warnings.append(f"Very large tumor volume ({wt_vol:.0f} cm³) - verify boundaries")
+        score -= 10
+    if tc_vol > wt_vol * 1.01:
+        issues.append("Tumor core volume exceeds whole tumor - label inconsistency")
+        score -= 20
+
+    structure = ndimage.generate_binary_structure(3, 3)
+    _, num_components = ndimage.label(masks["wt"], structure=structure)
+    if num_components > 5:
+        warnings.append(
+            f"Multiple disconnected components ({num_components}) - possible over-segmentation"
+        )
+        score -= 5
+
+    if et.sum() > 0:
+        outside = et & ~masks["tc"]
+        if outside.sum() > et.sum() * 0.05:
+            warnings.append("Some enhancing tumor voxels outside tumor core boundary")
+            score -= 5
+
+    filled = ndimage.binary_fill_holes(masks["wt"])
+    holes = filled & ~masks["wt"]
+    hole_fraction = float(holes.sum() / masks["wt"].sum()) if masks["wt"].sum() > 0 else 0.0
+    if hole_fraction > 0.1:
+        warnings.append(f"Segmentation has internal holes ({hole_fraction*100:.0f}% of volume)")
+        score -= 5
+
+    m = 3
+    wt = masks["wt"]
+    at_boundary = bool(
+        wt[:m].any()
+        or wt[-m:].any()
+        or wt[:, :m].any()
+        or wt[:, -m:].any()
+        or wt[:, :, :m].any()
+        or wt[:, :, -m:].any()
+    )
+    if at_boundary:
+        warnings.append("Tumor extends to image boundary - may be truncated")
+        score -= 10
+
+    if score >= 90:
+        grade, rec = "Excellent", "High confidence in segmentation quality"
+    elif score >= 75:
+        grade, rec = "Good", "Acceptable quality, routine review recommended"
+    elif score >= 60:
+        grade, rec = "Fair", "Some concerns identified, careful review advised"
+    elif score >= 40:
+        grade, rec = "Poor", "Multiple issues detected, manual verification required"
+    else:
+        grade, rec = "Unacceptable", "Significant problems, re-segmentation may be needed"
+
+    return {
+        "quality_score": max(0, score),
+        "grade": grade,
+        "issues": issues,
+        "warnings": warnings,
+        "num_components": int(num_components),
+        "hole_fraction": hole_fraction,
+        "at_image_boundary": at_boundary,
+        "recommendation": rec,
+    }
+
+
+def assess_image_quality(ctx: FeatureContext) -> Dict:
+    brain = ctx.brain_mask("t1")
+    metrics: Dict[str, Dict] = {}
+    overall_issues: List[str] = []
+    for mod, name in SEQ_DISPLAY.items():
+        data = ctx.modalities[mod]
+        seq_issues: List[str] = []
+        brain_values = data[brain]
+        if brain_values.size == 0:
+            seq_issues.append("No brain tissue detected")
+            metrics[name] = {"snr_estimate": 0, "issues": seq_issues, "quality": "Poor"}
+            continue
+        signal_mean = float(brain_values.mean())
+        nz = data[data > 0]
+        bg = ~brain & (data > 0) & (data < np.percentile(nz, 10))
+        if bg.sum() > 100:
+            bg_std = float(data[bg].std())
+            snr = signal_mean / bg_std if bg_std > 0 else 0.0
+        else:
+            snr = signal_mean / float(brain_values.std()) if brain_values.std() > 0 else 0.0
+
+        zero_fraction = float(((data == 0) & brain).sum() / brain.sum()) if brain.sum() > 0 else 0.0
+        if zero_fraction > 0.01:
+            seq_issues.append(f"Missing data: {zero_fraction*100:.1f}% zeros within brain")
+
+        q01, q25, q75, q99 = np.percentile(brain_values, [1, 25, 75, 99])
+        iqr = q75 - q25
+        outliers = int((brain_values > q99 + 3 * iqr).sum() + (brain_values < q01 - 3 * iqr).sum())
+        outlier_fraction = outliers / brain_values.size
+        if outlier_fraction > 0.01:
+            seq_issues.append(f"Intensity outliers detected ({outlier_fraction*100:.1f}%)")
+
+        if snr > 20 and not seq_issues:
+            quality = "Excellent"
+        elif snr > 10 and len(seq_issues) <= 1:
+            quality = "Good"
+        elif snr > 5:
+            quality = "Fair"
+        else:
+            quality = "Poor"
+
+        metrics[name] = {
+            "snr_estimate": float(snr),
+            "zero_fraction": zero_fraction,
+            "outlier_fraction": float(outlier_fraction),
+            "mean_intensity": signal_mean,
+            "std_intensity": float(brain_values.std()),
+            "issues": seq_issues,
+            "quality": quality,
+        }
+        overall_issues.extend(f"{name}: {i}" for i in seq_issues)
+
+    qualities = [m["quality"] for m in metrics.values()]
+    if all(q == "Excellent" for q in qualities):
+        overall = "Excellent"
+    elif all(q in ("Excellent", "Good") for q in qualities):
+        overall = "Good"
+    elif any(q == "Poor" for q in qualities):
+        overall = "Poor"
+    else:
+        overall = "Fair"
+    return {"sequences": metrics, "overall_quality": overall, "issues": overall_issues}
+
+
+def detect_artifacts(ctx: FeatureContext) -> Dict:
+    brain = ctx.brain_mask("t1")
+    t1 = ctx.modalities["t1"]
+    detected: List[str] = []
+    details: Dict[str, Dict] = {}
+
+    coords = np.nonzero(brain)
+    if coords[0].size > 0:
+        center = np.array([c.mean() for c in coords])
+        dist = np.sqrt(sum((coords[i] - center[i]) ** 2 for i in range(3)))
+        max_dist = dist.max()
+        brain_vals = t1[brain]
+        inner = brain_vals[dist < max_dist * 0.3]
+        outer = brain_vals[dist > max_dist * 0.7]
+        if inner.size > 100 and outer.size > 100:
+            ratio = float(outer.mean() / inner.mean()) if inner.mean() > 0 else 1.0
+            if ratio < 0.7 or ratio > 1.4:
+                detected.append("Intensity inhomogeneity")
+                details["intensity_inhomogeneity"] = {
+                    "detected": True,
+                    "severity": "Moderate" if 0.6 < ratio < 1.6 else "Severe",
+                    "ratio": ratio,
+                    "description": "Significant signal intensity variation across the brain (bias field artifact)",
+                    "impact": "May affect intensity-based measurements",
+                }
+            else:
+                details["intensity_inhomogeneity"] = {"detected": False, "ratio": ratio}
+
+    for mod, name in SEQ_DISPLAY.items():
+        data = ctx.modalities[mod]
+        bg = ~brain & (data > 0)
+        if bg.sum() > 1000:
+            vals = data[bg]
+            cv = float(vals.std() / vals.mean()) if vals.mean() > 0 else 0.0
+            if cv > 0.5:
+                if "motion_ghosting" not in details:
+                    detected.append("Possible motion artifact")
+                    details["motion_ghosting"] = {
+                        "detected": True,
+                        "affected_sequences": [name],
+                        "background_cv": cv,
+                        "description": "Elevated background signal variation suggests possible motion/ghosting",
+                        "impact": "May affect tumor boundary delineation",
+                    }
+                else:
+                    details["motion_ghosting"]["affected_sequences"].append(name)
+    details.setdefault("motion_ghosting", {"detected": False})
+
+    zero_clusters = (t1 == 0) & brain
+    if zero_clusters.sum() > 100:
+        mean_z = float(np.nonzero(zero_clusters)[2].mean())
+        brain_z = float(np.nonzero(brain)[2].mean())
+        if mean_z < brain_z * 0.5:
+            detected.append("Susceptibility artifact")
+            details["susceptibility"] = {
+                "detected": True,
+                "location": "Inferior brain (near skull base)",
+                "volume_mm3": float(zero_clusters.sum()),
+                "description": "Signal dropout in inferior brain, typical susceptibility artifact near air-bone interface",
+                "impact": "May affect assessment of inferior tumor components",
+            }
+        else:
+            details["susceptibility"] = {
+                "detected": True,
+                "location": "Atypical location",
+                "description": "Signal voids detected in unexpected location - may indicate pathology or artifact",
+            }
+    else:
+        details["susceptibility"] = {"detected": False}
+
+    m = 5
+    edge_signal = {
+        "x_min": bool(t1[:m].max() > 0),
+        "x_max": bool(t1[-m:].max() > 0),
+        "y_min": bool(t1[:, :m].max() > 0),
+        "y_max": bool(t1[:, -m:].max() > 0),
+    }
+    if sum(edge_signal.values()) >= 3:
+        detected.append("Possible wrap-around")
+        details["wrap_around"] = {
+            "detected": True,
+            "description": "Brain tissue extends to image boundaries - possible aliasing or tight FOV",
+            "edges_affected": [k for k, v in edge_signal.items() if v],
+            "impact": "Anatomy at edges may be compromised",
+        }
+    else:
+        details["wrap_around"] = {"detected": False}
+
+    if ctx.seg.max() > 0:
+        tumor = ctx.tumor_masks["wt"]
+        edge = tumor & ~binary_erosion(tumor, iterations=2)
+        if edge.sum() > 100:
+            g = np.sqrt(
+                sobel(t1.astype(float), axis=0) ** 2
+                + sobel(t1.astype(float), axis=1) ** 2
+                + sobel(t1.astype(float), axis=2) ** 2
+            )
+            vals = g[edge]
+            cv = float(vals.std() / vals.mean()) if vals.mean() > 0 else 0.0
+            if cv > 1.5:
+                detected.append("Possible Gibbs ringing")
+                details["gibbs_ringing"] = {
+                    "detected": True,
+                    "edge_gradient_cv": cv,
+                    "description": "High gradient variation at tumor margins, may indicate Gibbs/truncation artifact",
+                    "impact": "May affect precise tumor boundary measurement",
+                }
+            else:
+                details["gibbs_ringing"] = {"detected": False}
+        else:
+            details["gibbs_ringing"] = {"detected": False, "note": "Insufficient edge for analysis"}
+    else:
+        details["gibbs_ringing"] = {"detected": False}
+
+    if not detected:
+        overall, severity = "No significant artifacts detected", "None"
+    elif len(detected) <= 2:
+        overall, severity = f"Minor artifacts detected: {', '.join(detected)}", "Mild"
+    else:
+        overall, severity = f"Multiple artifacts present: {', '.join(detected)}", "Moderate to Severe"
+
+    return {
+        "artifacts_detected": detected,
+        "artifact_count": len(detected),
+        "severity": severity,
+        "overall_assessment": overall,
+        "details": details,
+        "impact_on_analysis": "Review recommended" if len(detected) > 1 else "Minimal impact expected",
+    }
+
+
+def calculate_measurement_confidence() -> Dict:
+    """Fixed confidence table (ref :457-500)."""
+    return {
+        "volume_measurements": {
+            "confidence": "High",
+            "note": "Volume calculations are mathematically precise given the segmentation",
+        },
+        "enhancement_analysis": {
+            "confidence": "High",
+            "note": "Based on objective intensity comparisons",
+        },
+        "midline_shift": {
+            "confidence": "Moderate",
+            "note": "Estimated from tissue asymmetry; clinical correlation recommended",
+        },
+        "margin_analysis": {
+            "confidence": "Moderate",
+            "note": "Based on intensity gradients; subjective component remains",
+        },
+        "anatomical_localization": {
+            "confidence": "Moderate",
+            "note": "Based on standard atlas coordinates; individual variation exists",
+        },
+        "multiplicity": {
+            "confidence": "High",
+            "note": "3D connected component analysis is objective",
+        },
+    }
+
+
+def identify_limitations(ctx: FeatureContext, seg_quality: Dict, image_quality: Dict) -> Dict:
+    limitations = [
+        "Automated analysis should be verified by qualified radiologist",
+        "Segmentation based on BraTS 2021 model trained on glioma cases",
+        "DWI/ADC sequences not available - diffusion characteristics not assessed",
+        "Perfusion imaging not available - cannot assess tumor vascularity",
+    ]
+    caveats: List[str] = []
+    if ctx.tumor_masks["et"].sum() == 0:
+        caveats.append(
+            "Non-enhancing pattern: Can be seen with lower-grade glioma, treatment effect, "
+            "or other pathology; clinical and histopathological correlation required"
+        )
+    if seg_quality.get("at_image_boundary", False):
+        caveats.append("Tumor at image boundary: Volume may be underestimated")
+    t2_snr = image_quality.get("sequences", {}).get("T2", {}).get("snr_estimate", 10)
+    if t2_snr < 6:
+        caveats.append(
+            f"Low T2 SNR ({t2_snr:.1f}): Necrosis fraction and cystic/solid classification less reliable"
+        )
+    if image_quality.get("overall_quality") in ("Fair", "Poor"):
+        caveats.append("Suboptimal image quality may affect measurement accuracy")
+    caveats.append("Model optimized for adult gliomas; performance may vary for other tumor types")
+    caveats.append(
+        "Peritumoral edema vs infiltrating tumor cannot be distinguished on conventional MRI"
+    )
+    return {"limitations": limitations, "caveats": caveats}
+
+
+def _text_summary(results: Dict) -> str:
+    lines = ["QUALITY CONTROL AND CONFIDENCE ASSESSMENT:", ""]
+    seg = results["segmentation_quality"]
+    lines.append(f"Segmentation Quality: {seg['grade']} (Score: {seg['quality_score']}/100)")
+    lines.append(f"  {seg['recommendation']}")
+    if seg["issues"]:
+        lines.append("  Issues:")
+        lines += [f"    ⚠ {i}" for i in seg["issues"]]
+    if seg["warnings"]:
+        lines.append("  Warnings:")
+        lines += [f"    ⚡ {w}" for w in seg["warnings"]]
+    lines.append("")
+    img = results["image_quality"]
+    lines.append(f"Image Quality: {img['overall_quality']}")
+    for seq, m in img["sequences"].items():
+        lines.append(f"  - {seq}: {m['quality']} (SNR ≈ {m['snr_estimate']:.1f})")
+    lines.append("")
+    art = results.get("artifact_detection", {})
+    if art:
+        lines.append(f"Artifact Assessment: {art.get('severity', 'Not assessed')}")
+        lines.append(f"  {art.get('overall_assessment', 'Not assessed')}")
+        for a in art.get("artifacts_detected", []):
+            lines.append(f"    • {a}")
+    lines += ["", "Measurement Confidence:"]
+    for measure, conf in results["measurement_confidence"].items():
+        lines.append(f"  - {measure.replace('_', ' ').title()}: {conf['confidence']}")
+    lines += ["", "Key Limitations:"]
+    for lim in results["limitations_and_caveats"]["limitations"][:3]:
+        lines.append(f"  • {lim}")
+    if results["limitations_and_caveats"]["caveats"]:
+        lines += ["", "Case-Specific Caveats:"]
+        for cav in results["limitations_and_caveats"]["caveats"]:
+            lines.append(f"  • {cav}")
+    return "\n".join(lines)
+
+
+def analyze_quality(ctx: FeatureContext) -> Dict:
+    """Run step 5 on a loaded case; returns the reference-schema dict."""
+    seg_quality = assess_segmentation_quality(ctx)
+    image_quality = assess_image_quality(ctx)
+    artifact_detection = detect_artifacts(ctx)
+    confidence = calculate_measurement_confidence()
+    limitations = identify_limitations(ctx, seg_quality, image_quality)
+    results = {
+        "case_id": ctx.case_id,
+        "step": "Step 5 - Quality control and confidence metrics",
+        "segmentation_quality": seg_quality,
+        "image_quality": image_quality,
+        "artifact_detection": artifact_detection,
+        "measurement_confidence": confidence,
+        "limitations_and_caveats": limitations,
+    }
+    results["text_summary"] = _text_summary(results)
+    return results
