@@ -3,6 +3,7 @@
 from .engine import InferenceEngine, ModelBundle, calculate_volumes, uncrop_labels
 from .gaussian import gaussian_importance_map, patch_grid, sliding_window_starts
 from .sliding_window import (
+    default_mirror_chunk,
     MIRROR_COMBOS,
     predict_probs,
     region_probs_to_labels,

@@ -75,7 +75,7 @@ def _unmirror_mean(probs: jnp.ndarray, combos) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_mirror", "folded"),
+    static_argnames=("cfg", "num_mirror", "folded", "mirror_chunk"),
     donate_argnames=(),
 )
 def sliding_window_predict(
@@ -86,6 +86,7 @@ def sliding_window_predict(
     cfg: UNetConfig,
     num_mirror: int = 8,
     folded: bool = False,
+    mirror_chunk: int = 8,
 ) -> jnp.ndarray:
     """Gaussian-blended, mirror-TTA, fold-averaged region probabilities.
 
@@ -97,6 +98,9 @@ def sliding_window_predict(
       cfg: architecture config (static).
       num_mirror: 1 (no TTA) or 8 (full mirror TTA).
       folded: params have BatchNorm pre-folded into convs.
+      mirror_chunk: mirrors forwarded per batch.  8 maximizes MXU batching;
+        wide models (encoder_scale 2) need 4 to fit full-resolution decoder
+        concat buffers in 16 GB HBM.
 
     Returns:
       (X, Y, Z, K) float32 probabilities (sigmoid regions, fold-averaged).
@@ -106,6 +110,9 @@ def sliding_window_predict(
     K = cfg.num_classes
     X, Y, Z, _ = volume.shape
     num_folds = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
+    chunks = [
+        combos[i : i + mirror_chunk] for i in range(0, len(combos), mirror_chunk)
+    ]
 
     gauss = gaussian.astype(jnp.float32)[..., None]  # (pd, ph, pw, 1)
 
@@ -115,18 +122,23 @@ def sliding_window_predict(
         patch = jax.lax.dynamic_slice(
             volume, (x0, y0, z0, 0), (pd, ph, pw, volume.shape[3])
         )
-        batch = _mirror_batch(patch, combos)  # (M, pd, ph, pw, C)
 
-        def fold_step(prob_sum, fold_params):
-            logits = apply_unet(fold_params, batch, cfg, folded=folded)
-            return prob_sum + jax.nn.sigmoid(logits), None
+        probs = jnp.zeros((pd, ph, pw, K), jnp.float32)
+        for chunk in chunks:  # static unroll over mirror chunks
+            batch = _mirror_batch(patch, chunk)  # (mc, pd, ph, pw, C)
 
-        prob_sum, _ = jax.lax.scan(
-            fold_step,
-            jnp.zeros((len(combos), pd, ph, pw, K), jnp.float32),
-            params_stacked,
-        )
-        probs = _unmirror_mean(prob_sum / num_folds, combos)  # (pd, ph, pw, K)
+            def fold_step(prob_sum, fold_params):
+                logits = apply_unet(fold_params, batch, cfg, folded=folded)
+                return prob_sum + jax.nn.sigmoid(logits), None
+
+            prob_sum, _ = jax.lax.scan(
+                fold_step,
+                jnp.zeros((len(chunk), pd, ph, pw, K), jnp.float32),
+                params_stacked,
+            )
+            # sum (not mean) of unflipped chunk members
+            probs = probs + _unmirror_mean(prob_sum, chunk) * len(chunk)
+        probs = probs / (num_folds * len(combos))
 
         acc_patch = jax.lax.dynamic_slice(acc, (x0, y0, z0, 0), (pd, ph, pw, K))
         acc = jax.lax.dynamic_update_slice(acc, acc_patch + probs * gauss, (x0, y0, z0, 0))
@@ -140,6 +152,11 @@ def sliding_window_predict(
     return acc / wsum
 
 
+def default_mirror_chunk(cfg: UNetConfig) -> int:
+    """Largest TTA batch that fits HBM for this architecture width."""
+    return 8 if cfg.encoder_scale <= 1 else 4
+
+
 def predict_probs(
     params_stacked: Dict[str, Any],
     volume_cxyz: jnp.ndarray,
@@ -147,6 +164,7 @@ def predict_probs(
     step_size: float = 0.5,
     tta: bool = True,
     folded: bool = False,
+    mirror_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Convenience wrapper: (C, X, Y, Z) volume → (X, Y, Z, K) probabilities.
 
@@ -165,6 +183,7 @@ def predict_probs(
         cfg,
         num_mirror=8 if tta else 1,
         folded=folded,
+        mirror_chunk=mirror_chunk or default_mirror_chunk(cfg),
     )
 
 
