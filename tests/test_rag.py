@@ -1,0 +1,116 @@
+"""RAG layer tests: gating, retrieval quality, prompt grounding, persistence."""
+
+import numpy as np
+import pytest
+
+from braintpu.rag import (
+    BLOCKED_KEYWORDS,
+    REFUSAL_CLINICAL,
+    REFUSAL_DATA,
+    RagAssistant,
+    build_prompt,
+    build_vector_store,
+    builtin_knowledge_base,
+    is_clinical_query,
+    load_vector_store,
+    parse_md_text,
+)
+
+
+def test_clinical_gate_blocks_all_keywords():
+    for kw in BLOCKED_KEYWORDS:
+        assert is_clinical_query(f"What about the {kw} options?"), kw
+    assert is_clinical_query("What is the PROGNOSIS here?")  # case-insensitive
+    assert not is_clinical_query("What is midline shift?")
+    assert not is_clinical_query("How large is the tumor?")
+
+
+def test_gate_refuses_before_llm():
+    assistant = RagAssistant()
+    out = assistant.answer_query("What surgery do I need?", "report text")
+    assert out == REFUSAL_CLINICAL
+    # offline (no API key): grounded refusal
+    out = assistant.answer_query("What is midline shift?", "report text")
+    assert out == REFUSAL_DATA
+
+
+def test_builtin_kb_topics():
+    docs = builtin_knowledge_base()
+    titles = {d.title for d in docs}
+    assert titles == {
+        "Midline Shift",
+        "Peritumoral Edema",
+        "Enhancing Tumor",
+        "Non-enhancing Tumor",
+        "Tumor Volumes",
+        "MRI Sequences",
+        "Glioma Overview",
+    }
+    for d in docs:
+        assert "What This Does NOT Mean" in d.body
+        assert d.keywords
+
+
+def test_md_parsing():
+    doc = parse_md_text("TITLE: X\nKEYWORDS: a, b\nVERSION: 2.0\n---\nBody text.")
+    assert doc.title == "X" and doc.keywords == "a, b" and doc.version == "2.0"
+    assert doc.body == "Body text."
+    assert "Title: X" in doc.embed_text
+
+
+@pytest.mark.parametrize(
+    "query,expected_title",
+    [
+        ("what is midline shift?", "Midline Shift"),
+        ("explain peritumoral edema around the tumor", "Peritumoral Edema"),
+        ("why does the tumor enhance with contrast gadolinium?", "Enhancing Tumor"),
+        ("what do the volume measurements WT TC ET mean?", "Tumor Volumes"),
+        ("what are T1 T2 FLAIR sequences?", "MRI Sequences"),
+        ("tell me about glioma", "Glioma Overview"),
+    ],
+)
+def test_retrieval_quality(query, expected_title):
+    store = build_vector_store()
+    hits = store.retrieve(query, k=2)
+    assert hits[0][0].title == expected_title, [h[0].title for h in hits]
+
+
+def test_chromadb_shaped_query():
+    store = build_vector_store()
+    res = store.query("midline shift", n_results=2)
+    assert len(res["documents"][0]) == 2
+    assert res["metadatas"][0][0]["title"] == "Midline Shift"
+    assert res["distances"][0][0] <= res["distances"][0][1]
+
+
+def test_prompt_grounding_structure():
+    store = build_vector_store()
+    hits = store.retrieve("midline shift", 2)
+    prompt = build_prompt("What is midline shift?", "PATIENT REPORT BODY", hits)
+    assert "### CONTEXT 1: PATIENT REPORT" in prompt
+    assert "PATIENT REPORT BODY" in prompt
+    assert "### CONTEXT 2: KNOWLEDGE BASE" in prompt
+    assert "Midline Shift" in prompt
+    assert "Anchor & Explain" in prompt
+    assert prompt.rstrip().endswith("What is midline shift?")
+
+
+def test_store_roundtrip(tmp_path):
+    store = build_vector_store()
+    path = tmp_path / "store.npz"
+    store.save(path)
+    loaded = load_vector_store(path)
+    assert len(loaded.docs) == len(store.docs)
+    np.testing.assert_allclose(loaded.matrix, store.matrix)
+    assert loaded.retrieve("midline shift", 1)[0][0].title == "Midline Shift"
+
+
+def test_embedder_determinism():
+    from braintpu.rag import HashedNgramEmbedder
+
+    e = HashedNgramEmbedder()
+    a = e.embed(["midline shift measurement"])
+    b = e.embed(["midline shift measurement"])
+    np.testing.assert_array_equal(a, b)
+    # normalized
+    np.testing.assert_allclose(np.linalg.norm(a[0]), 1.0, rtol=1e-5)
