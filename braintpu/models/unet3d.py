@@ -226,7 +226,7 @@ def _conv3d_xla(x, w, b, stride, compute_dtype):
         dimension_numbers=dn,
         preferred_element_type=acc,
     )
-    return y.astype(jnp.float32) + b.astype(jnp.float32)
+    return y + b.astype(acc)
 
 
 def _conv3d_decomp2d(x, w, b, stride, compute_dtype):
@@ -267,7 +267,7 @@ def _conv3d_decomp2d(x, w, b, stride, compute_dtype):
         )
         out = y if out is None else out + y
     out = out.reshape(N, d_out, h_out, w_out, co)
-    return out.astype(jnp.float32) + b.astype(jnp.float32)
+    return out + b.astype(acc_dt)
 
 
 def _conv3d(x, w, b, stride, compute_dtype, conv_impl="decomp2d"):
@@ -277,7 +277,12 @@ def _conv3d(x, w, b, stride, compute_dtype, conv_impl="decomp2d"):
 
 
 def _norm(x, block, cfg: UNetConfig, train: bool, batch_stats: Optional[dict] = None):
-    """Normalize in f32.  Returns (y, new_running_stats_or_None)."""
+    """Normalize with f32 statistics/arithmetic.  Returns (y, new_stats|None).
+
+    ``x`` may be bf16; the upcast is elementwise and fuses into the
+    normalize+activation chain, so no f32 tensor is materialized in HBM.
+    """
+    x = x.astype(jnp.float32)
     scale = block["scale"].astype(jnp.float32)
     shift = block["shift"].astype(jnp.float32)
     eps = cfg.norm_eps

@@ -1,0 +1,271 @@
+"""Single-process pipeline orchestrator with structured progress events.
+
+Replaces the reference's 8-step subprocess chain
+(/root/reference/run_full_pipeline.py:460-672: rename → segment →
+convert labels → evaluate → extract features → report → PDF → RAG), which
+communicated progress by printing ``STAGE:`` markers that the API
+regex-scrapes from a log file (ref :519-669, api.py:95-146).
+
+Here every stage runs in-process against shared state; progress is a stream
+of typed :class:`StageEvent` records (also journaled as JSONL) instead of
+stdout markers, and the result layout matches the reference so downstream
+consumers are drop-in compatible::
+
+    results/<case_id>/
+        <case_id>.nii.gz            internal-label segmentation
+        <case_id>_brats.nii.gz      BraTS-convention labels
+        evaluation.json             Dice/IoU vs ground truth (if present)
+        feature_extraction/         step JSONs + llm_ready_summary.json +
+                                    radiology_report.txt/.json/.pdf
+        pipeline_summary.json
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+import traceback
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..features import FeatureContext, run_all_steps
+from ..features.context import NumpyJSONEncoder
+from ..infer.engine import InferenceEngine
+from ..io import nifti
+from ..io.brats import find_cases, rename_brats2025_folder
+from ..labels.convert import internal_to_brats2025
+from ..metrics import evaluate_segmentation
+from ..report import generate_pdf_report, generate_report_from_summary, refine_report
+from ..report.llm import GeminiClient
+
+__all__ = ["StageEvent", "PipelineConfig", "PipelineResult", "Pipeline", "STAGES"]
+
+#: Stage names, superset-compatible with the reference's STAGE markers
+#: (renaming, segmenting, converting, evaluating, extracting, generating,
+#: exporting, done/error).
+STAGES = [
+    "renaming",
+    "segmenting",
+    "converting",
+    "evaluating",
+    "extracting",
+    "generating",
+    "exporting",
+    "done",
+]
+
+
+@dataclass
+class StageEvent:
+    stage: str
+    status: str  # "start" | "ok" | "skip" | "error"
+    t: float
+    detail: Dict[str, Any] = field(default_factory=dict)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class PipelineConfig:
+    output_root: Path = Path("results")
+    evaluate_if_gt: bool = True
+    generate_pdf: bool = True
+    use_llm_refinement: bool = False
+    save_brats_convention: str = "brats2025"
+    fail_fast: bool = False
+
+
+@dataclass
+class PipelineResult:
+    case_id: str
+    output_folder: Path
+    seg: Optional[np.ndarray] = None
+    metrics: Optional[Dict] = None
+    features: Optional[Dict] = None
+    report_text: Optional[str] = None
+    summary: Dict[str, Any] = field(default_factory=dict)
+    events: List[StageEvent] = field(default_factory=list)
+
+    @property
+    def succeeded(self) -> bool:
+        return self.summary.get("status") == "completed"
+
+
+class Pipeline:
+    """End-to-end case pipeline: NIfTI in → segmentation + report out."""
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        config: Optional[PipelineConfig] = None,
+        on_event: Optional[Callable[[StageEvent], None]] = None,
+    ):
+        self.engine = engine
+        self.config = config or PipelineConfig()
+        self.on_event = on_event
+        self._journal_fh = None
+
+    # -- events -------------------------------------------------------------
+
+    def _emit(self, result: PipelineResult, stage: str, status: str, **detail) -> None:
+        event = StageEvent(stage=stage, status=status, t=time.time(), detail=detail)
+        result.events.append(event)
+        if self.on_event:
+            self.on_event(event)
+        if self._journal_fh:
+            self._journal_fh.write(json.dumps(event.as_dict(), cls=NumpyJSONEncoder) + "\n")
+            self._journal_fh.flush()
+
+    # -- main ---------------------------------------------------------------
+
+    def run_case(self, case_folder) -> PipelineResult:
+        case_folder = Path(case_folder)
+        t_start = time.time()
+
+        # stage 1: naming normalization (BraTS-2025 → 2021)
+        result = PipelineResult(case_id="", output_folder=Path("."))
+        try:
+            self._emit(result, "renaming", "start")
+            renamed = rename_brats2025_folder(case_folder)
+            cases = find_cases(case_folder, recursive=False)
+            if not cases:
+                raise FileNotFoundError(f"no complete BraTS case in {case_folder}")
+            case = cases[0]
+            result.case_id = case.case_id
+            out = Path(self.config.output_root) / case.case_id
+            result.output_folder = out
+            out.mkdir(parents=True, exist_ok=True)
+            self._journal_fh = open(out / "events.jsonl", "a")
+            self._emit(result, "renaming", "ok", renamed=len(renamed), case_id=case.case_id)
+
+            # stage 2: segmentation (ensemble sliding-window on device)
+            self._emit(result, "segmenting", "start")
+            seg_path = out / f"{case.case_id}.nii.gz"
+            seg, info = self.engine.predict_case(case, seg_path)
+            result.seg = seg
+            self._emit(
+                result,
+                "segmenting",
+                "ok",
+                seconds=round(info["total_s"], 2),
+                volumes_cm3=info["volumes_cm3"],
+            )
+
+            # stage 3: label conversion → BraTS-convention artifact
+            self._emit(result, "converting", "start")
+            img = nifti.load(seg_path)
+            if self.engine.output_convention == "internal":
+                seg_brats = np.asarray(internal_to_brats2025(seg)).astype(np.uint8)
+            else:
+                seg_brats = seg.astype(np.uint8)
+            brats_path = out / f"{case.case_id}_brats.nii.gz"
+            nifti.save(seg_brats, brats_path, affine=img.affine)
+            self._emit(result, "converting", "ok", path=str(brats_path))
+
+            # stage 4: evaluation against ground truth (when shipped;
+            # ground truth ships in BraTS label space)
+            if self.config.evaluate_if_gt and case.seg_path is not None:
+                self._emit(result, "evaluating", "start")
+                gt = np.round(
+                    nifti.load(case.seg_path).get_fdata(dtype=np.float32)
+                ).astype(np.int32)
+                metrics = evaluate_segmentation(seg_brats, gt)
+                result.metrics = metrics
+                with open(out / "evaluation.json", "w") as f:
+                    json.dump(metrics, f, indent=2, cls=NumpyJSONEncoder)
+                self._emit(
+                    result, "evaluating", "ok", mean_dice=round(metrics["mean_dice"], 4)
+                )
+            else:
+                self._emit(result, "evaluating", "skip", reason="no ground truth")
+
+            # stage 5: feature extraction (6 steps, shared context, BraTS labels)
+            self._emit(result, "extracting", "start")
+            fe_out = out / "feature_extraction"
+            ctx = FeatureContext.load(case_folder, brats_path)
+            features = run_all_steps(
+                case_folder,
+                brats_path,
+                fe_out,
+                ctx=ctx,
+                progress=lambda s: self._emit(result, "extracting", "start", step=s),
+            )
+            result.features = features
+            self._emit(result, "extracting", "ok")
+
+            # stage 6: report generation (deterministic + optional LLM)
+            self._emit(result, "generating", "start")
+            report, vlog, facts = generate_report_from_summary(features["llm_summary"])
+            method = "template"
+            if self.config.use_llm_refinement:
+                client = GeminiClient()
+                if client.available:
+                    report = refine_report(report, client)
+                    method = "template+llm"
+            (fe_out / "radiology_report.txt").write_text(report, encoding="utf-8")
+            with open(fe_out / "radiology_report.json", "w") as f:
+                json.dump(
+                    {
+                        "case_id": case.case_id,
+                        "generation_method": method,
+                        "validation_log": vlog,
+                        "report": report,
+                    },
+                    f,
+                    indent=2,
+                    cls=NumpyJSONEncoder,
+                )
+            result.report_text = report
+            self._emit(result, "generating", "ok", method=method, violations=len(vlog))
+
+            # stage 7: PDF export
+            if self.config.generate_pdf:
+                self._emit(result, "exporting", "start")
+                pdf_path = fe_out / "radiology_report.pdf"
+                generate_pdf_report(report, pdf_path, case_id=case.case_id)
+                self._emit(result, "exporting", "ok", path=str(pdf_path))
+            else:
+                self._emit(result, "exporting", "skip")
+
+            duration = time.time() - t_start
+            result.summary = {
+                "case_id": case.case_id,
+                "status": "completed",
+                "pipeline_duration_seconds": round(duration, 2),
+                "pipeline_duration_minutes": round(duration / 60, 2),
+                "output_folder": str(out),
+                "segmentation": str(seg_path),
+                "mean_dice": result.metrics["mean_dice"] if result.metrics else None,
+                "stages": [e.as_dict() for e in result.events],
+            }
+            with open(out / "pipeline_summary.json", "w") as f:
+                json.dump(result.summary, f, indent=2, cls=NumpyJSONEncoder)
+            self._emit(result, "done", "ok", seconds=round(duration, 2))
+            return result
+
+        except Exception as exc:
+            self._emit(result, "error", "error", error=str(exc))
+            result.summary = {
+                "case_id": result.case_id,
+                "status": "error",
+                "error": str(exc),
+                "traceback": traceback.format_exc(),
+            }
+            if result.output_folder != Path("."):
+                try:
+                    with open(result.output_folder / "pipeline_summary.json", "w") as f:
+                        json.dump(result.summary, f, indent=2, cls=NumpyJSONEncoder)
+                except OSError:
+                    pass
+            if self.config.fail_fast:
+                raise
+            return result
+        finally:
+            if self._journal_fh:
+                self._journal_fh.close()
+                self._journal_fh = None

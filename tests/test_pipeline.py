@@ -1,0 +1,88 @@
+"""End-to-end pipeline orchestrator tests on a synthetic case."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from braintpu.infer import InferenceEngine, ModelBundle
+from braintpu.models import UNetConfig, init_params
+from braintpu.pipeline import Pipeline, PipelineConfig, StageEvent
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    cfg = UNetConfig(
+        in_channels=4,
+        num_classes=3,
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        conv_per_stage=2,
+        norm="batch",
+        patch_size=(16, 16, 16),
+        compute_dtype=jnp.float32,
+    )
+    bundle = ModelBundle.from_folds(cfg, [init_params(cfg, jax.random.PRNGKey(0))])
+    return InferenceEngine(models=[bundle], tta=False, output_convention="internal")
+
+
+def test_full_pipeline_on_synthetic_case(tmp_path, synth_case, tiny_engine):
+    events = []
+    pipeline = Pipeline(
+        tiny_engine,
+        PipelineConfig(output_root=tmp_path / "results"),
+        on_event=events.append,
+    )
+    result = pipeline.run_case(synth_case)
+
+    assert result.succeeded, result.summary
+    assert result.case_id == "BraTS-GLI-99999-000"
+    out = result.output_folder
+    for f in [
+        "BraTS-GLI-99999-000.nii.gz",
+        "BraTS-GLI-99999-000_brats.nii.gz",
+        "evaluation.json",
+        "pipeline_summary.json",
+        "events.jsonl",
+        "feature_extraction/llm_ready_summary.json",
+        "feature_extraction/radiology_report.txt",
+        "feature_extraction/radiology_report.json",
+        "feature_extraction/radiology_report.pdf",
+        "feature_extraction/comprehensive_analysis.json",
+    ]:
+        assert (out / f).exists(), f
+
+    # structured events cover the stage lifecycle
+    stages_seen = {e.stage for e in events}
+    for s in ("renaming", "segmenting", "converting", "evaluating", "extracting", "generating", "exporting", "done"):
+        assert s in stages_seen, s
+
+    # summary content
+    with open(out / "pipeline_summary.json") as f:
+        summary = json.load(f)
+    assert summary["status"] == "completed"
+    assert summary["pipeline_duration_seconds"] > 0
+    assert summary["mean_dice"] is not None
+
+    # report is governed: FINDINGS has no diagnostic language
+    report = (out / "feature_extraction" / "radiology_report.txt").read_text()
+    assert "MRI BRAIN WITH CONTRAST" in report
+    assert "DISCLAIMER" in report
+
+    # evaluation metrics structure
+    with open(out / "evaluation.json") as f:
+        metrics = json.load(f)
+    assert set(metrics["compound"]) == {"WT", "TC", "ET"}
+
+
+def test_pipeline_error_path(tmp_path, tiny_engine):
+    empty = tmp_path / "empty_case"
+    empty.mkdir()
+    pipeline = Pipeline(tiny_engine, PipelineConfig(output_root=tmp_path / "results"))
+    result = pipeline.run_case(empty)
+    assert not result.succeeded
+    assert result.summary["status"] == "error"
+    assert "no complete BraTS case" in result.summary["error"]
