@@ -1,0 +1,160 @@
+"""REST API tests: full upload → poll → report → chat cycle over HTTP."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+import uuid
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from braintpu.infer import InferenceEngine, ModelBundle
+from braintpu.models import UNetConfig, init_params
+from braintpu.serve import CLINICAL_REFUSAL, make_server
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = UNetConfig(
+        in_channels=4,
+        num_classes=3,
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        conv_per_stage=2,
+        norm="batch",
+        patch_size=(16, 16, 16),
+        compute_dtype=jnp.float32,
+    )
+    bundle = ModelBundle.from_folds(cfg, [init_params(cfg, jax.random.PRNGKey(0))])
+    engine = InferenceEngine(models=[bundle], tta=False, output_convention="internal")
+    root = tmp_path_factory.mktemp("serve_root")
+    srv = make_server(engine, root, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _req(url, data=None, headers=None, method=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {}, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def _case_files(synth_case):
+    files = {}
+    for mod in ("t1", "t1ce", "t2", "flair", "seg"):
+        p = synth_case / f"BraTS-GLI-99999-000_{mod}.nii.gz"
+        files[mod] = p.read_bytes()
+    return files
+
+
+def _multipart(fields, files):
+    boundary = f"----braintpu{uuid.uuid4().hex}"
+    buf = io.BytesIO()
+    for name, value in fields.items():
+        buf.write(f"--{boundary}\r\nContent-Disposition: form-data; name=\"{name}\"\r\n\r\n{value}\r\n".encode())
+    for name, data in files.items():
+        buf.write(
+            f"--{boundary}\r\nContent-Disposition: form-data; name=\"{name}\"; "
+            f"filename=\"{name}.nii.gz\"\r\nContent-Type: application/octet-stream\r\n\r\n".encode()
+        )
+        buf.write(data)
+        buf.write(b"\r\n")
+    buf.write(f"--{boundary}--\r\n".encode())
+    return buf.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def test_index_page(server):
+    code, body, headers = _req(server + "/")
+    assert code == 200
+    assert b"Brain MRI Analysis" in body
+
+
+def test_analyze_missing_modalities(server):
+    body, ctype = _multipart({"case_id": "X"}, {})
+    code, resp, _ = _req(
+        server + "/api/analyze", data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    assert code == 400
+    assert b"Missing required modality" in resp
+
+
+def test_unknown_job_404(server):
+    for path in ("/api/status/nope", "/api/report/nope", "/api/metrics/nope"):
+        code, _, _ = _req(server + path)
+        assert code == 404
+
+
+def test_full_job_cycle(server, synth_case):
+    files = _case_files(synth_case)
+    body, ctype = _multipart({"case_id": "BraTS-GLI-99999-000"}, files)
+    code, resp, _ = _req(
+        server + "/api/analyze", data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    assert code == 200, resp
+    job_id = json.loads(resp)["job_id"]
+
+    # poll until done
+    deadline = time.time() + 120
+    status = None
+    while time.time() < deadline:
+        code, resp, _ = _req(server + f"/api/status/{job_id}")
+        assert code == 200
+        status = json.loads(resp)
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert status and status["status"] == "done", status
+    assert status["progress_pct"] == 100
+
+    # report text
+    code, resp, _ = _req(server + f"/api/report/{job_id}")
+    assert code == 200
+    assert b"MRI BRAIN WITH CONTRAST" in resp
+
+    # report PDF
+    code, resp, headers = _req(server + f"/api/report/{job_id}/pdf")
+    assert code == 200
+    assert resp.startswith(b"%PDF")
+    assert headers.get("Content-Type") == "application/pdf"
+
+    # metrics (GT was uploaded)
+    code, resp, _ = _req(server + f"/api/metrics/{job_id}")
+    assert code == 200
+    metrics = json.loads(resp)
+    assert "mean_dice" in metrics
+
+    # chat: clinical gate refuses with 400
+    code, resp, _ = _req(
+        server + f"/api/chat/{job_id}",
+        data=json.dumps({"question": "What treatment should I get?"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert code == 400
+    assert CLINICAL_REFUSAL.encode() in resp
+
+    # chat: educational question answered (offline → grounded refusal string)
+    code, resp, _ = _req(
+        server + f"/api/chat/{job_id}",
+        data=json.dumps({"question": "What is midline shift?"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert code == 200
+    assert "answer" in json.loads(resp)
+
+    # jobs listing includes this job
+    code, resp, _ = _req(server + "/api/jobs")
+    assert code == 200
+    assert any(j["job_id"] == job_id for j in json.loads(resp)["jobs"])
