@@ -73,6 +73,35 @@ def _unmirror_mean(probs: jnp.ndarray, combos) -> jnp.ndarray:
     return sum(parts) / len(parts)
 
 
+def mirror_flag_groups(combos, group_size: int) -> np.ndarray:
+    """(G, B, 3) boolean flip flags covering ``combos`` in groups of B.
+
+    Flags make the flip configuration DATA rather than program structure, so
+    mirror groups run under one `lax.scan` body — the network is compiled
+    exactly once regardless of TTA setting (critical: each extra unrolled
+    copy of the U-Net multiplies XLA compile time).
+    """
+    flags = np.zeros((len(combos), 3), bool)
+    for i, axes in enumerate(combos):
+        for ax in axes:
+            flags[i, ax] = True
+    g = max(1, group_size)
+    assert len(combos) % g == 0, "mirror group size must divide the combo count"
+    return flags.reshape(len(combos) // g, g, 3)
+
+
+def _apply_flips(x: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+    """Conditionally flip each batch element along each spatial axis.
+
+    ``x``: (B, pd, ph, pw, C); ``flags``: (B, 3) bool (traced).  Flip-by-select
+    is bandwidth-trivial next to the conv stack it feeds.
+    """
+    for ax in range(3):
+        flag = flags[:, ax].reshape(-1, 1, 1, 1, 1)
+        x = jnp.where(flag, jnp.flip(x, axis=ax + 1), x)
+    return x
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_mirror", "folded", "mirror_chunk"),
@@ -110,9 +139,8 @@ def sliding_window_predict(
     K = cfg.num_classes
     X, Y, Z, _ = volume.shape
     num_folds = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
-    chunks = [
-        combos[i : i + mirror_chunk] for i in range(0, len(combos), mirror_chunk)
-    ]
+    B = min(mirror_chunk, len(combos))
+    flag_groups = jnp.asarray(mirror_flag_groups(combos, B))  # (G, B, 3)
 
     gauss = gaussian.astype(jnp.float32)[..., None]  # (pd, ph, pw, 1)
 
@@ -122,22 +150,25 @@ def sliding_window_predict(
         patch = jax.lax.dynamic_slice(
             volume, (x0, y0, z0, 0), (pd, ph, pw, volume.shape[3])
         )
+        tiled = jnp.broadcast_to(patch, (B, pd, ph, pw, patch.shape[3]))
 
-        probs = jnp.zeros((pd, ph, pw, K), jnp.float32)
-        for chunk in chunks:  # static unroll over mirror chunks
-            batch = _mirror_batch(patch, chunk)  # (mc, pd, ph, pw, C)
+        def mirror_group_step(prob_sum, flags):
+            batch = _apply_flips(tiled, flags)  # (B, pd, ph, pw, C)
 
-            def fold_step(prob_sum, fold_params):
+            def fold_step(group_sum, fold_params):
                 logits = apply_unet(fold_params, batch, cfg, folded=folded)
-                return prob_sum + jax.nn.sigmoid(logits), None
+                return group_sum + jax.nn.sigmoid(logits), None
 
-            prob_sum, _ = jax.lax.scan(
+            group_sum, _ = jax.lax.scan(
                 fold_step,
-                jnp.zeros((len(chunk), pd, ph, pw, K), jnp.float32),
+                jnp.zeros((B, pd, ph, pw, K), jnp.float32),
                 params_stacked,
             )
-            # sum (not mean) of unflipped chunk members
-            probs = probs + _unmirror_mean(prob_sum, chunk) * len(chunk)
+            return prob_sum + _apply_flips(group_sum, flags).sum(axis=0), None
+
+        probs, _ = jax.lax.scan(
+            mirror_group_step, jnp.zeros((pd, ph, pw, K), jnp.float32), flag_groups
+        )
         probs = probs / (num_folds * len(combos))
 
         acc_patch = jax.lax.dynamic_slice(acc, (x0, y0, z0, 0), (pd, ph, pw, K))
