@@ -1,0 +1,25 @@
+"""Multi-chip scaling: device mesh, sharding rules, sharded train/infer."""
+
+from .distributed import (
+    DataParallelPatchRunner,
+    make_sharded_train_step,
+    shard_train_state,
+)
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    spatial_sharding,
+)
+
+__all__ = [
+    "DataParallelPatchRunner",
+    "make_sharded_train_step",
+    "shard_train_state",
+    "batch_sharding",
+    "make_mesh",
+    "param_shardings",
+    "replicated",
+    "spatial_sharding",
+]

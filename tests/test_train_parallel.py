@@ -1,0 +1,161 @@
+"""Training-step and multi-chip sharding tests (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from braintpu.models import UNetConfig, init_params
+from braintpu.parallel import (
+    DataParallelPatchRunner,
+    make_mesh,
+    make_sharded_train_step,
+    param_shardings,
+    shard_train_state,
+)
+from braintpu.train import (
+    TrainConfig,
+    create_train_state,
+    deep_supervision_weights,
+    dice_bce_loss,
+    labels_to_region_targets,
+    soft_dice_loss,
+    train_step,
+)
+from braintpu.infer import stack_folds
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        in_channels=4,
+        num_classes=3,
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        conv_per_stage=2,
+        norm="batch",
+        patch_size=(16, 16, 16),
+        compute_dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return UNetConfig(**defaults)
+
+
+def make_batch(n=2, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": jnp.asarray(rng.normal(size=(n, size, size, size, 4)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, 4, (n, size, size, size)).astype(np.int32)),
+    }
+
+
+def test_region_targets():
+    labels = jnp.asarray([[0, 1, 2, 3]])
+    t = np.asarray(labels_to_region_targets(labels))
+    np.testing.assert_array_equal(t[0, :, 0], [0, 1, 1, 1])  # WT
+    np.testing.assert_array_equal(t[0, :, 1], [0, 1, 0, 1])  # TC
+    np.testing.assert_array_equal(t[0, :, 2], [0, 0, 0, 1])  # ET
+
+
+def test_dice_loss_perfect_and_worst():
+    targets = jnp.ones((1, 4, 4, 4, 3))
+    assert float(soft_dice_loss(jnp.full((1, 4, 4, 4, 3), 20.0), targets)) < 1e-3
+    assert float(soft_dice_loss(jnp.full((1, 4, 4, 4, 3), -20.0), targets)) > 0.99
+
+
+def test_ds_weights_normalized():
+    w = np.asarray(deep_supervision_weights(3))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+    assert w[0] > w[1] > w[2]
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_cfg()
+    tc = TrainConfig(base_lr=5e-3, max_steps=100)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(params, tc)
+    batch = make_batch()
+    losses = []
+    for _ in range(8):
+        state, metrics = train_step(state, batch, cfg, tc)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_bn_running_stats_updated():
+    cfg = tiny_cfg()
+    tc = TrainConfig()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(params, tc)
+    before = np.asarray(state.params["encoder"][0][0]["mean"])
+    state, _ = train_step(state, make_batch(), cfg, tc)
+    after = np.asarray(state.params["encoder"][0][0]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_mesh_and_param_shardings():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 4, "model": 2}
+    cfg = tiny_cfg(base_features=64, max_features=128)  # wide → shardable
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sh = param_shardings(params, cfg, mesh, min_ch=64)
+    spec = sh["encoder"][0][0]["w"].spec
+    assert spec[-1] == "model"  # 64-channel conv weight TP-sharded
+    # seg head stays replicated
+    assert sh["decoder"][0]["seg"]["w"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_dp_tp():
+    """Full train step over a 4x2 (data x model) mesh: compiles and runs."""
+    mesh = make_mesh(data=4, model=2)
+    cfg = tiny_cfg(base_features=8, max_features=64)
+    tc = TrainConfig(base_lr=1e-3, max_steps=100)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(params, tc)
+    state, shardings = shard_train_state(state, cfg, mesh)
+    step_fn = make_sharded_train_step(mesh, cfg, tc, shardings)
+    batch = make_batch(n=4)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics2 = step_fn(state, batch)
+    assert float(metrics2["loss"]) < float(metrics["loss"]) * 1.5
+
+
+def test_sharded_equals_single_device():
+    """DP-sharded step must produce the same loss trajectory as single-chip."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(base_lr=1e-3, max_steps=100)
+    batch = make_batch(n=4, seed=3)
+
+    # train_step donates its input state, so build each run from fresh params
+    s1 = create_train_state(init_params(cfg, jax.random.PRNGKey(1)), tc)
+    s1, m1 = train_step(s1, batch, cfg, tc)
+
+    mesh = make_mesh(data=4, model=1)
+    s2 = create_train_state(init_params(cfg, jax.random.PRNGKey(1)), tc)
+    s2, shardings = shard_train_state(s2, cfg, mesh)
+    step_fn = make_sharded_train_step(mesh, cfg, tc, shardings)
+    s2, m2 = step_fn(s2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+
+
+def test_data_parallel_patch_runner_matches_single():
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    stacked = stack_folds([params])
+    mesh = make_mesh(data=8, model=1)
+    runner = DataParallelPatchRunner(stacked, cfg, mesh, batch_size=8)
+    rng = np.random.default_rng(0)
+    vols = [rng.normal(size=(4, 24, 16, 16)).astype(np.float32) for _ in range(3)]
+    probs = runner.run(vols)
+    assert len(probs) == 3
+    assert probs[0].shape == (24, 16, 16, 3)
+    # cross-check against the single-case engine path
+    from braintpu.infer import predict_probs
+
+    ref = np.asarray(predict_probs(stacked, jnp.asarray(vols[0]), cfg, tta=False))
+    np.testing.assert_allclose(probs[0], ref, atol=2e-4)
