@@ -1,0 +1,410 @@
+"""Unified command-line interface.
+
+One ``braintpu`` entry point replaces the reference's constellation of
+standalone scripts (SURVEY.md §2.1): ``run_full_pipeline.py``,
+``run_brats2021_inference_singlethread.py``, ``convert_labels_to_brats.py``,
+``evaluate_segmentation.py``, ``check_labels.py``, ``compare_segmentations.py``,
+``visualize_segmentation.py``, ``feature_extraction/run_all.py``,
+``generate_report_gemini.py``, ``generate_pdf_report.py``,
+``RAG_Assistant/rag_assistant.py`` / ``vector_store_builder.py`` /
+``test_rag.py``, ``scripts/check_compatibility.py``, ``api.py`` and
+``convert_brats2025_naming.py`` — each as a subcommand sharing one process,
+one device context and one config surface.
+
+Run ``python -m braintpu.cli --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# engine construction
+# ---------------------------------------------------------------------------
+
+
+def load_engine(args):
+    """Build an InferenceEngine from checkpoints (or random weights)."""
+    import jax
+
+    from .ckpt import convert_torch_checkpoint, load_pytree_npz
+    from .infer import InferenceEngine, ModelBundle
+    from .models import MODEL1_BN, MODEL2_GN_LARGE, init_params
+
+    configs = {"model1": MODEL1_BN, "model2": MODEL2_GN_LARGE}
+    selected = args.models.split(",") if args.models else ["model1", "model2"]
+    folds = list(range(args.folds))
+
+    bundles = []
+    for name in selected:
+        cfg = configs[name]
+        fold_params = []
+        for f in folds:
+            loaded = None
+            if args.checkpoints:
+                root = Path(args.checkpoints)
+                npz = root / name / f"fold_{f}.npz"
+                torch_ckpt = root / name / f"fold_{f}" / "model_final_checkpoint.model"
+                if npz.exists():
+                    loaded = load_pytree_npz(npz)
+                elif torch_ckpt.exists():
+                    loaded = convert_torch_checkpoint(torch_ckpt, cfg)
+            if loaded is None:
+                if not args.random_weights:
+                    raise SystemExit(
+                        f"checkpoint for {name}/fold_{f} not found under "
+                        f"{args.checkpoints!r}; pass --random-weights for a dry run"
+                    )
+                loaded = init_params(cfg, jax.random.PRNGKey(hash((name, f)) % 2**31))
+            fold_params.append(loaded)
+        bundles.append(ModelBundle.from_folds(cfg, fold_params, name=name))
+
+    return InferenceEngine(
+        models=bundles,
+        tta=not args.no_tta,
+        ensemble=args.ensemble,
+        et_min_voxels=0 if args.no_et_postprocess else 200,
+        output_convention="internal",
+    )
+
+
+def _add_engine_args(p):
+    p.add_argument("--checkpoints", help="checkpoint root (model{1,2}/fold_N.npz or torch layout)")
+    p.add_argument("--models", default="model1,model2", help="comma list: model1,model2")
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--no-tta", action="store_true")
+    p.add_argument("--ensemble", choices=["softmax", "label"], default="softmax")
+    p.add_argument("--no-et-postprocess", action="store_true")
+    p.add_argument("--random-weights", action="store_true", help="random init (demo/bench)")
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+
+def cmd_pipeline(args):
+    from .pipeline import Pipeline, PipelineConfig
+
+    engine = load_engine(args)
+    cfg = PipelineConfig(
+        output_root=Path(args.output),
+        use_llm_refinement=args.use_llm,
+        generate_pdf=not args.no_pdf,
+    )
+    pipeline = Pipeline(
+        engine,
+        cfg,
+        on_event=lambda e: print(f"STAGE:{e.stage}:{e.status} {e.detail or ''}"),
+    )
+    result = pipeline.run_case(args.case_folder)
+    print(json.dumps(result.summary, indent=2, default=str))
+    return 0 if result.succeeded else 1
+
+
+def cmd_segment(args):
+    from .io.brats import find_cases
+
+    engine = load_engine(args)
+    cases = find_cases(args.input)
+    if not cases:
+        raise SystemExit(f"no complete BraTS case under {args.input}")
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    for case in cases:
+        seg, info = engine.predict_case(case, out / f"{case.case_id}.nii.gz")
+        print(f"{case.case_id}: {info['total_s']:.1f}s  volumes={info['volumes_cm3']}")
+    return 0
+
+
+def cmd_convert_labels(args):
+    from .io import nifti
+    from .labels import internal_to_brats2021, internal_to_brats2025
+
+    img = nifti.load(args.input)
+    data = img.get_fdata(dtype=np.float32)
+    fn = internal_to_brats2021 if args.format == "brats2021" else internal_to_brats2025
+    converted = np.asarray(fn(data)).astype(np.uint8)
+    out = args.output or str(Path(args.input).with_name(Path(args.input).name.replace(".nii", "_brats.nii")))
+    nifti.save(converted, out, affine=img.affine)
+    print(f"labels before: {sorted(np.unique(np.round(data)).astype(int).tolist())}")
+    print(f"labels after:  {sorted(np.unique(converted).astype(int).tolist())}")
+    print(f"saved: {out}")
+    return 0
+
+
+def cmd_evaluate(args):
+    from .io import nifti
+    from .metrics import evaluate_segmentation
+
+    pred = np.round(nifti.load(args.pred).get_fdata(dtype=np.float32)).astype(np.int32)
+    gt = np.round(nifti.load(args.gt).get_fdata(dtype=np.float32)).astype(np.int32)
+    results = evaluate_segmentation(pred, gt)
+    print(json.dumps(results, indent=2))
+    print(f"\nMean Dice (WT, TC, ET): {results['mean_dice']:.4f} ({results['mean_dice']*100:.2f}%)")
+    return 0
+
+
+def cmd_check_labels(args):
+    from .viz.diagnostics import audit_labels_file, format_label_audit
+
+    print(format_label_audit(audit_labels_file(args.input)))
+    return 0
+
+
+def cmd_features(args):
+    from .features import run_all_steps
+
+    run_all_steps(args.input, args.segmentation, args.output)
+    print(f"feature extraction complete → {args.output}")
+    return 0
+
+
+def cmd_report(args):
+    from .report import generate_report_from_summary, refine_report
+
+    if args.summary:
+        summary_path = Path(args.summary)
+    else:
+        summary_path = Path(args.results_folder) / "feature_extraction" / "llm_ready_summary.json"
+    with open(summary_path) as f:
+        summary = json.load(f)
+    report, vlog, _ = generate_report_from_summary(summary)
+    if args.use_llm:
+        report = refine_report(report)
+    out = args.output or summary_path.parent / "radiology_report.txt"
+    Path(out).write_text(report, encoding="utf-8")
+    print(report)
+    if vlog:
+        print(f"\n[{len(vlog)} validation event(s) logged]", file=sys.stderr)
+    return 0
+
+
+def cmd_pdf(args):
+    from .report import generate_pdf_report
+
+    text = Path(args.report).read_text(encoding="utf-8")
+    out = args.output or str(Path(args.report).with_suffix(".pdf"))
+    generate_pdf_report(text, out)
+    print(f"saved: {out}")
+    return 0
+
+
+def cmd_rag(args):
+    from .rag import RagAssistant, build_vector_store, load_vector_store
+
+    store = load_vector_store(args.store) if args.store else build_vector_store(
+        knowledge_dir=args.knowledge_dir
+    )
+    assistant = RagAssistant(store=store)
+    report_text = Path(args.report).read_text() if args.report else ""
+    if args.question:
+        print(assistant.answer_query(args.question, report_text))
+        return 0
+    if args.test:
+        sample_questions = [
+            "What is midline shift?",
+            "What does peritumoral edema mean?",
+            "Why does a tumor enhance with contrast?",
+            "What is the whole tumor volume?",
+            "What MRI sequences were used?",
+            "What is a glioma?",
+        ]
+        for q in sample_questions:
+            hits = store.retrieve(q, 2)
+            best = hits[0]
+            print(f"Q: {q}\n   → {best[0].title} (score {best[1]:.3f})")
+        return 0
+    assistant.interactive(report_text)
+    return 0
+
+
+def cmd_build_kb(args):
+    from .rag import build_vector_store
+
+    store = build_vector_store(knowledge_dir=args.knowledge_dir)
+    store.save(args.output)
+    print(f"embedded {len(store.docs)} documents → {args.output}")
+    return 0
+
+
+def cmd_serve(args):
+    from .serve import make_server
+
+    engine = load_engine(args)
+    server = make_server(engine, Path(args.root), host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}  (root: {args.root})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_check_env(args):
+    from .utils import format_env_report, run_env_checks
+
+    checks = run_env_checks(Path(args.checkpoints) if args.checkpoints else None)
+    print(format_env_report(checks))
+    return 0 if all(c["ok"] for c in checks) else 1
+
+
+def cmd_rename(args):
+    from .io.brats import rename_brats2025_folder
+
+    changes = rename_brats2025_folder(args.folder, dry_run=args.dry_run)
+    for old, new in changes:
+        print(f"{'would rename' if args.dry_run else 'renamed'}: {old} → {new}")
+    print(f"{len(changes)} file(s)")
+    return 0
+
+
+def cmd_visualize(args):
+    from .viz import visualize_case
+
+    written = visualize_case(args.input, args.segmentation, args.output, args.num_slices)
+    for p in written:
+        print(f"saved: {p}")
+    return 0
+
+
+def cmd_compare(args):
+    from .viz import compare_segmentations
+
+    out = compare_segmentations(args.gt, args.pred, args.output, args.background)
+    print(f"saved: {out}")
+    return 0
+
+
+def cmd_convert_checkpoint(args):
+    from .ckpt import convert_torch_checkpoint, save_pytree_npz
+    from .models import MODEL1_BN, MODEL2_GN_LARGE
+
+    cfg = MODEL1_BN if args.config == "model1" else MODEL2_GN_LARGE
+    params = convert_torch_checkpoint(args.input, cfg)
+    save_pytree_npz(params, args.output)
+    print(f"converted {args.input} → {args.output} ({args.config})")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="braintpu", description="TPU-native brain MRI analysis framework"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("pipeline", help="full case pipeline: segment → features → report → PDF")
+    p.add_argument("case_folder")
+    p.add_argument("--output", default="results")
+    p.add_argument("--use-llm", action="store_true")
+    p.add_argument("--no-pdf", action="store_true")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("segment", help="ensemble segmentation only")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_segment)
+
+    p = sub.add_parser("convert-labels", help="internal labels → BraTS convention")
+    p.add_argument("input")
+    p.add_argument("output", nargs="?")
+    p.add_argument("--format", choices=["brats2025", "brats2021"], default="brats2025")
+    p.set_defaults(fn=cmd_convert_labels)
+
+    p = sub.add_parser("evaluate", help="Dice/IoU/sensitivity/specificity vs ground truth")
+    p.add_argument("--pred", required=True)
+    p.add_argument("--gt", required=True)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("check-labels", help="label audit of a segmentation file")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_check_labels)
+
+    p = sub.add_parser("features", help="6-step radiology feature extraction")
+    p.add_argument("--input", required=True)
+    p.add_argument("--segmentation", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_features)
+
+    p = sub.add_parser("report", help="governed template report from llm_ready_summary.json")
+    p.add_argument("--summary")
+    p.add_argument("--results-folder")
+    p.add_argument("--output")
+    p.add_argument("--use-llm", action="store_true")
+    p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser("pdf", help="render a text report to PDF")
+    p.add_argument("--report", required=True)
+    p.add_argument("--output")
+    p.set_defaults(fn=cmd_pdf)
+
+    p = sub.add_parser("rag", help="educational Q&A assistant")
+    p.add_argument("--report")
+    p.add_argument("--question")
+    p.add_argument("--store")
+    p.add_argument("--knowledge-dir")
+    p.add_argument("--test", action="store_true", help="run canned retrieval checks")
+    p.set_defaults(fn=cmd_rag)
+
+    p = sub.add_parser("build-kb", help="embed a knowledge base into a vector store")
+    p.add_argument("--knowledge-dir")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_build_kb)
+
+    p = sub.add_parser("serve", help="REST API + web UI")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--root", default="serve_data")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("check-env", help="environment preflight checks")
+    p.add_argument("--checkpoints")
+    p.set_defaults(fn=cmd_check_env)
+
+    p = sub.add_parser("rename", help="BraTS-2025 → 2021 filename conversion")
+    p.add_argument("folder")
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(fn=cmd_rename)
+
+    p = sub.add_parser("visualize", help="segmentation overlay PNGs per modality")
+    p.add_argument("--input", required=True)
+    p.add_argument("--segmentation", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-slices", type=int, default=9)
+    p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("compare", help="GT vs prediction comparison grid")
+    p.add_argument("--gt", required=True)
+    p.add_argument("--pred", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--background", help="optional MRI for the underlay")
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("convert-checkpoint", help="torch nnU-Net .model → braintpu .npz")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--config", choices=["model1", "model2"], default="model1")
+    p.set_defaults(fn=cmd_convert_checkpoint)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""CLI subcommand and visualization/diagnostics tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from braintpu.cli import main
+from braintpu.io import nifti
+from braintpu.viz.diagnostics import audit_labels, format_label_audit
+
+
+def test_audit_labels_2025():
+    seg = np.zeros((10, 10, 10), np.uint8)
+    seg[0:2] = 1
+    seg[2:4] = 2
+    seg[4:5] = 3
+    report = audit_labels(seg)
+    assert report["convention"] == "brats2025"
+    assert report["is_brats_compliant"]
+    assert report["labels"][1]["count"] == 200
+    assert report["tumor_volume_cm3"] == pytest.approx(0.5)
+    text = format_label_audit(report)
+    assert "brats2025" in text
+
+
+def test_audit_labels_mixed_flagged():
+    seg = np.zeros((6, 6, 6), np.uint8)
+    seg[0] = 3
+    seg[1] = 4
+    report = audit_labels(seg)
+    assert report["convention"] == "mixed"
+    assert not report["is_brats_compliant"]
+    assert report["hints"]
+
+
+def test_cli_convert_and_evaluate(tmp_path, capsys):
+    seg = np.zeros((8, 8, 8), np.float32)
+    seg[0:2] = 1  # internal ED
+    seg[2:4] = 2  # internal NCR
+    seg[4:5] = 3  # internal ET
+    src = tmp_path / "seg.nii.gz"
+    nifti.save(seg.astype(np.uint8), src)
+
+    out = tmp_path / "seg_brats.nii.gz"
+    assert main(["convert-labels", str(src), str(out)]) == 0
+    conv = np.asarray(nifti.load(out).dataobj)
+    assert set(np.unique(conv)) == {0, 1, 2, 3}
+
+    # evaluate converted against itself → perfect
+    assert main(["evaluate", "--pred", str(out), "--gt", str(out)]) == 0
+    stdout = capsys.readouterr().out
+    assert "Mean Dice" in stdout and "100.00%" in stdout
+
+
+def test_cli_check_labels(tmp_path, capsys):
+    seg = np.zeros((8, 8, 8), np.uint8)
+    seg[0] = 2
+    path = tmp_path / "x.nii.gz"
+    nifti.save(seg, path)
+    assert main(["check-labels", str(path)]) == 0
+    assert "Label audit" in capsys.readouterr().out
+
+
+def test_cli_check_env(capsys):
+    rc = main(["check-env"])
+    out = capsys.readouterr().out
+    assert "Environment preflight" in out
+    assert "jax importable" in out
+    assert rc == 0
+
+
+def test_cli_rename(tmp_path, capsys):
+    vol = np.zeros((4, 4, 4), np.float32)
+    nifti.save(vol, tmp_path / "BraTS-GLI-00001-000-t1n.nii.gz")
+    assert main(["rename", str(tmp_path)]) == 0
+    assert (tmp_path / "BraTS-GLI-00001-000_t1.nii.gz").exists()
+
+
+def test_cli_rag_question(capsys):
+    rc = main(["rag", "--question", "what is midline shift?"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # offline → grounded refusal string
+    assert "not present in the generated report" in out
+
+
+def test_cli_rag_test_mode(capsys):
+    assert main(["rag", "--test"]) == 0
+    out = capsys.readouterr().out
+    assert "Midline Shift" in out
+
+
+def test_cli_build_kb_roundtrip(tmp_path, capsys):
+    out = tmp_path / "store.npz"
+    assert main(["build-kb", "--output", str(out)]) == 0
+    assert out.exists()
+    rc = main(["rag", "--store", str(out), "--test"])
+    assert rc == 0
+
+
+def test_cli_report_from_summary(tmp_path, capsys):
+    summary = {
+        "case_id": "T",
+        "patient_info": {},
+        "technique": {"sequences_performed": ["T1"], "contrast_administered": False},
+        "tumor_characteristics": {"volume_cm3": 10, "edema_volume_cm3": 3, "max_diameter_mm": 30},
+        "location": {"hemisphere": "left", "primary_lobe": "frontal"},
+        "enhancement": {"present": False},
+        "necrosis": {"present": False},
+        "mass_effect": {"midline_shift_mm": 0},
+        "morphology": {},
+        "multiplicity": {"lesion_count": 1},
+        "normal_structures": {},
+        "differential_considerations": [],
+    }
+    spath = tmp_path / "llm_ready_summary.json"
+    spath.write_text(json.dumps(summary))
+    assert main(["report", "--summary", str(spath), "--output", str(tmp_path / "r.txt")]) == 0
+    report = (tmp_path / "r.txt").read_text()
+    assert "MRI BRAIN WITH CONTRAST" in report
+
+
+def test_cli_pdf(tmp_path):
+    rpt = tmp_path / "r.txt"
+    rpt.write_text("FINDINGS:\nStable examination.")
+    assert main(["pdf", "--report", str(rpt)]) == 0
+    assert (tmp_path / "r.pdf").read_bytes().startswith(b"%PDF")
+
+
+def test_cli_visualize_and_compare(tmp_path, synth_case):
+    seg = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
+    out_dir = tmp_path / "viz"
+    assert (
+        main(
+            [
+                "visualize",
+                "--input",
+                str(synth_case),
+                "--segmentation",
+                str(seg),
+                "--output",
+                str(out_dir),
+                "--num-slices",
+                "4",
+            ]
+        )
+        == 0
+    )
+    pngs = list(out_dir.glob("*.png"))
+    assert len(pngs) == 4  # one per modality
+
+    cmp_out = tmp_path / "cmp.png"
+    assert (
+        main(["compare", "--gt", str(seg), "--pred", str(seg), "--output", str(cmp_out)])
+        == 0
+    )
+    assert cmp_out.exists()
+    assert cmp_out.with_name("cmp_labels.png").exists()
+
+
+def test_cli_convert_checkpoint(tmp_path):
+    torch = pytest.importorskip("torch")
+    from tests.test_unet_parity import make_torch_state_dict, tiny_cfg
+
+    # build a real-size model1 checkpoint is heavy; use monkey config via model1?
+    # Use the actual MODEL1_BN topology but tiny tensors won't match; instead
+    # exercise the CLI path with a full-size random state dict.
+    from braintpu.models import MODEL1_BN
+    import sys
+    sys.path.insert(0, "tests")
+    from test_unet_parity import make_torch_state_dict as mk
+
+    sd = mk(MODEL1_BN, seed=0)
+    ckpt = {"state_dict": sd, "epoch": 1}
+    path = tmp_path / "model_final_checkpoint.model"
+    torch.save(ckpt, path)
+    out = tmp_path / "fold_0.npz"
+    assert main(["convert-checkpoint", "--input", str(path), "--output", str(out), "--config", "model1"]) == 0
+    from braintpu.ckpt import load_pytree_npz
+
+    params = load_pytree_npz(out)
+    assert params["encoder"][0][0]["w"].shape == (3, 3, 3, 4, 32)
