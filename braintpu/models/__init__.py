@@ -1,7 +1,9 @@
 """Model family: functional 3D U-Nets (nnU-Net KAIST topology) + plans ingestion."""
 
 from .plans import PreprocessPlan, config_from_plans, load_nnunet_plans
+from .axial import apply_axial_attention, axial_stage_shapes, init_axial_params
 from .unet3d import (
+    AXIAL_UNET,
     MODEL1_BN,
     MODEL2_GN_LARGE,
     UNetConfig,
@@ -16,6 +18,10 @@ from .unet3d import (
 )
 
 __all__ = [
+    "AXIAL_UNET",
+    "apply_axial_attention",
+    "axial_stage_shapes",
+    "init_axial_params",
     "MODEL1_BN",
     "MODEL2_GN_LARGE",
     "UNetConfig",

@@ -1,0 +1,145 @@
+"""Axial attention for 3D volumes (the KAIST Axial_UNet ingredient).
+
+Functional JAX re-design of the reference's axial-attention option
+(/root/reference/model_architecture/generic_UNet.py:377-387, 489-799, which
+wraps the ``axial_attention`` PyTorch package): factorized self-attention
+applied along each spatial axis in turn — the conv-world analog of
+blockwise/sequence-parallel attention (SURVEY.md §5) — plus additive per-axis
+positional embeddings, used residually in the decoder
+(``x = attn(pos_emb(x)) + x``, ref :436-437).
+
+TPU notes: each axis pass folds the other two axes into the batch dimension,
+so the QK^T / PV contractions are large dense matmuls over sequence lengths
+≤ patch size (128) — ideal MXU shapes without any custom kernel.  Attention
+math runs in f32 (softmax stability) with bf16 activations in/out.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "init_axial_params",
+    "apply_axial_attention",
+    "axial_stage_shapes",
+]
+
+
+def _he(key, shape, dtype):
+    fan_in = shape[0] if len(shape) == 2 else int(np.prod(shape[:-1]))
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_in)
+
+
+def init_axial_params(
+    key: jax.Array,
+    channels: int,
+    shape_dhw: Tuple[int, int, int],
+    heads: int,
+    dim_head: int,
+    param_dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Parameters for one axial-attention block at one decoder scale.
+
+    Per spatial axis: fused QKV projection and output projection (separate
+    per-axis attentions, matching the reference package's structure), plus
+    additive positional embeddings per axis.
+    """
+    inner = heads * dim_head
+    keys = jax.random.split(key, 7)
+    d, h, w = shape_dhw
+    return {
+        "pos": {
+            "d": jnp.zeros((d, channels), param_dtype),
+            "h": jnp.zeros((h, channels), param_dtype),
+            "w": jnp.zeros((w, channels), param_dtype),
+        },
+        "axes": [
+            {
+                "qkv": _he(keys[2 * i], (channels, 3 * inner), param_dtype),
+                "out": _he(keys[2 * i + 1], (inner, channels), param_dtype),
+            }
+            for i in range(3)
+        ],
+        # NOTE: head count is derived statically from qkv's shape at apply
+        # time (inner // dim_head) — ints must not live in the pytree, they
+        # would become traced leaves under jit/vmap/scan.
+    }
+
+
+def _axis_attention(x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int) -> jnp.ndarray:
+    """Self-attention along the second-to-last axis of (B, L, C)."""
+    B, L, C = x.shape
+    inner = heads * dim_head
+    qkv = jnp.einsum("blc,ck->blk", x, wqkv.astype(x.dtype))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(B, L, heads, dim_head).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    logits = jnp.einsum(
+        "bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32
+    ) * (dim_head**-0.5)
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhlm,bhmd->bhld", weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, inner)
+    return jnp.einsum("blk,kc->blc", out, wout.astype(x.dtype))
+
+
+def apply_axial_attention(
+    params: Dict[str, Any], x: jnp.ndarray, dim_head: int = 32
+) -> jnp.ndarray:
+    """(N, D, H, W, C) → (N, D, H, W, C): pos-embed + sequential axis passes.
+
+    Sequential composition (``sum_axial_out=False`` in the reference,
+    generic_UNet.py:387): each axis attends on the output of the previous.
+    """
+    inner = params["axes"][0]["qkv"].shape[1] // 3
+    heads = max(1, inner // dim_head)
+    N, D, H, W, C = x.shape
+    pos = params["pos"]
+    x = (
+        x
+        + pos["d"].astype(x.dtype)[None, :, None, None, :]
+        + pos["h"].astype(x.dtype)[None, None, :, None, :]
+        + pos["w"].astype(x.dtype)[None, None, None, :, :]
+    )
+
+    # axis 0: attend along D (fold H, W into batch)
+    a = params["axes"][0]
+    y = x.transpose(0, 2, 3, 1, 4).reshape(N * H * W, D, C)
+    y = _axis_attention(y, a["qkv"], a["out"], heads, dim_head)
+    x = y.reshape(N, H, W, D, C).transpose(0, 3, 1, 2, 4)
+
+    # axis 1: attend along H
+    a = params["axes"][1]
+    y = x.transpose(0, 1, 3, 2, 4).reshape(N * D * W, H, C)
+    y = _axis_attention(y, a["qkv"], a["out"], heads, dim_head)
+    x = y.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4)
+
+    # axis 2: attend along W
+    a = params["axes"][2]
+    y = x.reshape(N * D * H, W, C)
+    y = _axis_attention(y, a["qkv"], a["out"], heads, dim_head)
+    return y.reshape(N, D, H, W, C)
+
+
+def axial_stage_shapes(
+    patch_size: Tuple[int, int, int], num_pool: int, no_attention: Sequence[int]
+) -> Dict[int, Tuple[int, int, int]]:
+    """Decoder-stage index → feature-map shape where attention applies.
+
+    Matches the reference's per-level shapes: decoder stage ``u`` operates at
+    ``patch / 2^(num_pool - u - 1)`` (generic_UNet.py:379-381).
+    """
+    out = {}
+    for u in range(num_pool):
+        if u in no_attention:
+            continue
+        d = num_pool - u - 1
+        out[u] = tuple(int(s // (2**d)) for s in patch_size)
+    return out

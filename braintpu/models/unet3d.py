@@ -86,6 +86,14 @@ class UNetConfig:
     dropout_levels: Tuple[int, ...] = (4,)
     dropout_rate: float = 0.0
     final_nonlin: str = "sigmoid"  # regions model; "softmax" for classic heads
+    #: Axial-attention decoder variant (the reference's Axial_UNet extras,
+    #: generic_UNet.py:198, 377-387): residual factorized attention after
+    #: each up-convolution, skipped at the levels in `no_attention_levels`
+    #: (reference default: the deepest decoder stage, u=0).
+    axial_attention: bool = False
+    attn_heads: int = 8
+    attn_dim_head: int = 32
+    no_attention_levels: Tuple[int, ...] = (0,)
 
     @property
     def name(self) -> str:
@@ -99,6 +107,8 @@ class UNetConfig:
 MODEL1_BN = UNetConfig(norm="batch", encoder_scale=1)
 #: KAIST model 2: ..._largeUnet_Groupnorm (GroupNorm, double-width encoder).
 MODEL2_GN_LARGE = UNetConfig(norm="group", encoder_scale=2)
+#: Axial-attention variant (the reference's Axial_UNet family).
+AXIAL_UNET = UNetConfig(norm="batch", encoder_scale=1, axial_attention=True)
 
 
 def encoder_features(cfg: UNetConfig) -> List[int]:
@@ -193,7 +203,23 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
         seg_w = _he_init(
             next(keys), (1, 1, 1, ch["out"], cfg.num_classes), cfg.negative_slope, cfg.param_dtype
         )
-        decoder.append({"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}})
+        stage = {"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}}
+        if cfg.axial_attention and u not in cfg.no_attention_levels:
+            from .axial import init_axial_params
+
+            d = cfg.num_pool - u - 1
+            shape_dhw = tuple(int(s // (2**d)) for s in cfg.patch_size)
+            # reference scales heads/dim_head by 2^d with depth
+            # (generic_UNet.py:383-384); cap the inner dim at 2× channels to
+            # keep deep-stage projections sane.
+            heads = cfg.attn_heads * (2**d)
+            dim_head = cfg.attn_dim_head
+            while heads * dim_head > 2 * ch["skip"] and heads > 1:
+                heads //= 2
+            stage["attn"] = init_axial_params(
+                next(keys), ch["skip"], shape_dhw, heads, dim_head, cfg.param_dtype
+            )
+        decoder.append(stage)
 
     return {"encoder": encoder, "bottleneck": bottleneck, "decoder": decoder}
 
@@ -411,6 +437,12 @@ def apply_unet(
     seg_logits = []
     for u, stage in enumerate(params["decoder"]):
         h = _upconv(h, stage["up"]["w"], cfg.compute_dtype)
+        if "attn" in stage:
+            from .axial import apply_axial_attention
+
+            h = (
+                apply_axial_attention(stage["attn"], h, cfg.attn_dim_head) + h
+            ).astype(cfg.compute_dtype)
         h = jnp.concatenate([h, skips[-(u + 1)]], axis=-1)
         stage_stats = []
         for block in stage["blocks"]:
@@ -453,9 +485,8 @@ def fold_batchnorm(params: Dict[str, Any], cfg: UNetConfig) -> Dict[str, Any]:
         "bottleneck": [fold_block(b) for b in params["bottleneck"]],
         "decoder": [
             {
-                "up": stage["up"],
+                **{k: v for k, v in stage.items() if k not in ("blocks",)},
                 "blocks": [fold_block(b) for b in stage["blocks"]],
-                "seg": stage["seg"],
             }
             for stage in params["decoder"]
         ],

@@ -209,3 +209,45 @@ def test_init_shapes_match_converted_shapes():
     ca = jax.tree_util.tree_map(lambda a: a.shape, converted)
     cb = jax.tree_util.tree_map(lambda a: a.shape, initialized)
     assert ca == cb
+
+
+def test_axial_attention_variant():
+    """Axial_UNet variant: shapes, determinism, and residual behavior."""
+    import jax
+    import jax.numpy as jnp
+    from braintpu.models import init_params as ip, apply_unet as au
+
+    cfg = tiny_cfg("batch")
+    cfg = cfg.__class__(**{**cfg.__dict__, "axial_attention": True,
+                           "attn_heads": 2, "attn_dim_head": 4,
+                           "no_attention_levels": (0,)})
+    params = ip(cfg, jax.random.PRNGKey(0))
+    # attention present only at decoder stage 1 (stage 0 excluded)
+    assert "attn" not in params["decoder"][0]
+    assert "attn" in params["decoder"][1]
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 2)).astype(np.float32))
+    out = au(params, x, cfg)
+    assert out.shape == (1, 16, 16, 16, 3)
+    out2 = au(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # zeroed attention output-projection == plain U-Net (residual identity)
+    zeroed = jax.tree_util.tree_map(lambda a: a, params)
+    import copy
+    zeroed = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    for ax in zeroed["decoder"][1]["attn"]["axes"]:
+        ax["out"] = np.zeros_like(ax["out"])
+    for k in ("d", "h", "w"):
+        zeroed["decoder"][1]["attn"]["pos"][k] = np.zeros_like(
+            zeroed["decoder"][1]["attn"]["pos"][k]
+        )
+    plain_params = {
+        "encoder": zeroed["encoder"],
+        "bottleneck": zeroed["bottleneck"],
+        "decoder": [
+            {k: v for k, v in st.items() if k != "attn"} for st in zeroed["decoder"]
+        ],
+    }
+    plain_cfg = tiny_cfg("batch")
+    a = np.asarray(au(zeroed, x, cfg))
+    b = np.asarray(au(plain_params, x, plain_cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
