@@ -176,7 +176,22 @@ def load_case_volumes(case: BratsCase) -> Tuple[np.ndarray, np.ndarray, Tuple[fl
     the affine/zooms of the first modality are used (BraTS volumes are
     co-registered on a 1 mm isotropic grid).
     """
-    imgs = [nifti.load(p) for p in case.ordered_paths()]
+    paths = case.ordered_paths()
+    try:
+        # Fast path: native batch decoder (one zlib-inflate thread per file).
+        from braintpu import native
+
+        vols = native.read_batch_f32(paths)
+        shapes = {v.shape for v in vols}
+        if len(shapes) != 1:
+            raise ValueError(f"modality shape mismatch for {case.case_id}: {shapes}")
+        _, affine, zooms = nifti.load_header(paths[0])
+        return np.stack(vols, axis=0), affine, zooms
+    except ValueError:
+        raise
+    except Exception:
+        pass  # native unavailable or decode failure — pure-Python fallback
+    imgs = [nifti.load(p) for p in paths]
     shapes = {im.shape for im in imgs}
     if len(shapes) != 1:
         raise ValueError(f"modality shape mismatch for {case.case_id}: {shapes}")

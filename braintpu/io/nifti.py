@@ -223,6 +223,20 @@ def _open_maybe_gzip(path: Union[str, os.PathLike], mode: str):
     return open(path, mode)
 
 
+def load_header(path: Union[str, os.PathLike]) -> Tuple[Tuple[int, ...], np.ndarray, Tuple[float, ...]]:
+    """Stream only the 348-byte header → ``(shape, affine, zooms)``.
+
+    Much cheaper than :func:`load` for gzipped volumes: only the first
+    deflate block is inflated, not the whole file.
+    """
+    with _open_maybe_gzip(path, "rb") as f:
+        hdr = f.read(_HDR_SIZE)
+    h = _parse_header(hdr)
+    ndim = len(h["shape"])
+    zooms = tuple(abs(float(z)) for z in h["pixdim"][1 : 1 + ndim])
+    return h["shape"], _affine_from_header(h), zooms
+
+
 def load(path: Union[str, os.PathLike]) -> NiftiImage:
     """Load a ``.nii`` or ``.nii.gz`` file into a :class:`NiftiImage`."""
     with _open_maybe_gzip(path, "rb") as f:

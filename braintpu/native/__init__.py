@@ -1,0 +1,160 @@
+"""Native runtime components (C++): parallel NIfTI batch decoding.
+
+The shared library is built on demand with the system toolchain
+(:func:`build_native`) and loaded through ctypes; every entry point has a
+pure-Python fallback, so the framework works without a compiler — native is
+an accelerator, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["build_native", "native_available", "read_nifti_f32", "read_batch_f32"]
+
+_DIR = Path(__file__).parent
+_SRC = _DIR / "nifti_native.cpp"
+_LIB = _DIR / "libbraintpu_nifti.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_ERRORS = {
+    1: "cannot open file",
+    2: "gzip decode error",
+    3: "malformed NIfTI header",
+    4: "unsupported datatype",
+    5: "output buffer too small",
+}
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the shared library with g++ (idempotent); True on success."""
+    global _build_failed
+    if _LIB.exists() and not force:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                str(_SRC),
+                "-o",
+                str(_LIB),
+                "-lz",
+                "-lpthread",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        _build_failed = True
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB.exists() and not build_native():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.nifti_read_header.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.nifti_read_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.nifti_read_batch_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _read_header(lib, path) -> Tuple[Tuple[int, ...], np.ndarray, Tuple[float, ...]]:
+    dims = (ctypes.c_int64 * 8)()
+    dtype = ctypes.c_int32()
+    affine = (ctypes.c_float * 12)()
+    zooms = (ctypes.c_float * 3)()
+    rc = lib.nifti_read_header(
+        os.fspath(path).encode(), dims, ctypes.byref(dtype), affine, zooms
+    )
+    if rc != 0:
+        raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
+    ndim = dims[0]
+    shape = tuple(int(dims[i]) for i in range(1, 1 + ndim))
+    aff = np.eye(4, dtype=np.float64)
+    aff[:3, :] = np.ctypeslib.as_array(affine).reshape(3, 4)
+    return shape, aff, tuple(float(z) for z in zooms)
+
+
+def read_nifti_f32(path) -> Tuple[np.ndarray, np.ndarray, Tuple[float, ...]]:
+    """Native single-file read → (data f32 Fortran-order, affine, zooms).
+
+    Raises IOError on failure; callers fall back to :mod:`braintpu.io.nifti`.
+    """
+    lib = _load()
+    if lib is None:
+        raise IOError("native library unavailable")
+    shape, affine, zooms = _read_header(lib, path)
+    n = int(np.prod(shape))
+    flat = np.empty(n, np.float32)
+    rc = lib.nifti_read_f32(
+        os.fspath(path).encode(), flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+    )
+    if rc != 0:
+        raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
+    return flat.reshape(shape, order="F"), affine, zooms
+
+
+def read_batch_f32(paths: Sequence) -> List[np.ndarray]:
+    """Parallel native batch read (one inflate thread per file)."""
+    lib = _load()
+    if lib is None:
+        raise IOError("native library unavailable")
+    metas = [_read_header(lib, p) for p in paths]
+    buffers = [np.empty(int(np.prod(shape)), np.float32) for shape, _, _ in metas]
+    c_paths = (ctypes.c_char_p * len(paths))(*[os.fspath(p).encode() for p in paths])
+    c_outs = (ctypes.POINTER(ctypes.c_float) * len(paths))(
+        *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for b in buffers]
+    )
+    c_caps = (ctypes.c_int64 * len(paths))(*[b.size for b in buffers])
+    rc = lib.nifti_read_batch_f32(c_paths, len(paths), c_outs, c_caps)
+    if rc != 0:
+        raise IOError(f"batch read failed: {_ERRORS.get(rc, rc)}")
+    return [
+        b.reshape(shape, order="F") for b, (shape, _, _) in zip(buffers, metas)
+    ]

@@ -1,0 +1,206 @@
+// Native NIfTI-1 batch loader: parallel gzip inflate + header parse.
+//
+// The framework's data layer (braintpu.io) is pure Python by default; this
+// shared library accelerates the host-side hot path — decompressing and
+// decoding the four ~4-8 MB .nii.gz modality files per case — by running
+// zlib inflation on one thread per file and writing voxels straight into
+// caller-provided float32 buffers (no intermediate Python bytes objects).
+//
+// C ABI (ctypes-friendly):
+//   nifti_read_header(path, int64 out[8 dims], int32* datatype,
+//                     float out_affine[12], float out_zooms[3]) -> 0/err
+//   nifti_read_f32(path, float* out, int64 capacity)            -> 0/err
+//   nifti_read_batch_f32(paths[], n, float* outs[], caps[])     -> 0/err
+//
+// Build: g++ -O3 -shared -fPIC nifti_native.cpp -o libbraintpu_nifti.so -lz -lpthread
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int kHeaderSize = 348;
+
+// Error codes
+enum : int {
+  OK = 0,
+  ERR_OPEN = 1,
+  ERR_GZIP = 2,
+  ERR_HEADER = 3,
+  ERR_DTYPE = 4,
+  ERR_CAPACITY = 5,
+};
+
+struct Header {
+  int16_t dim[8];
+  int16_t datatype;
+  int16_t bitpix;
+  float pixdim[8];
+  float vox_offset;
+  float scl_slope, scl_inter;
+  int16_t qform_code, sform_code;
+  float srow[12];
+  bool swapped;
+};
+
+template <typename T>
+T bswap(T v) {
+  union {
+    T value;
+    unsigned char bytes[sizeof(T)];
+  } in, out;
+  in.value = v;
+  for (size_t i = 0; i < sizeof(T); ++i) out.bytes[i] = in.bytes[sizeof(T) - 1 - i];
+  return out.value;
+}
+
+// Read the whole (possibly gzipped) file into `out`.  gzread handles both
+// gzip streams and plain files transparently.
+int read_all(const char* path, std::vector<unsigned char>& out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return ERR_OPEN;
+  gzbuffer(f, 1 << 20);
+  const size_t chunk = 4 << 20;
+  size_t size = 0;
+  for (;;) {
+    out.resize(size + chunk);
+    int n = gzread(f, out.data() + size, static_cast<unsigned>(chunk));
+    if (n < 0) {
+      gzclose(f);
+      return ERR_GZIP;
+    }
+    size += static_cast<size_t>(n);
+    if (static_cast<size_t>(n) < chunk) break;
+  }
+  out.resize(size);
+  gzclose(f);
+  return OK;
+}
+
+int parse_header(const unsigned char* buf, size_t len, Header* h) {
+  if (len < kHeaderSize) return ERR_HEADER;
+  int32_t sizeof_hdr;
+  std::memcpy(&sizeof_hdr, buf, 4);
+  h->swapped = false;
+  if (sizeof_hdr != kHeaderSize) {
+    sizeof_hdr = bswap(sizeof_hdr);
+    if (sizeof_hdr != kHeaderSize) return ERR_HEADER;
+    h->swapped = true;
+  }
+  auto rd16 = [&](size_t off) {
+    int16_t v;
+    std::memcpy(&v, buf + off, 2);
+    return h->swapped ? bswap(v) : v;
+  };
+  auto rdf = [&](size_t off) {
+    float v;
+    std::memcpy(&v, buf + off, 4);
+    return h->swapped ? bswap(v) : v;
+  };
+  for (int i = 0; i < 8; ++i) h->dim[i] = rd16(40 + 2 * i);
+  h->datatype = rd16(70);
+  h->bitpix = rd16(72);
+  for (int i = 0; i < 8; ++i) h->pixdim[i] = rdf(76 + 4 * i);
+  h->vox_offset = rdf(108);
+  h->scl_slope = rdf(112);
+  h->scl_inter = rdf(116);
+  h->qform_code = rd16(252);
+  h->sform_code = rd16(254);
+  for (int i = 0; i < 12; ++i) h->srow[i] = rdf(280 + 4 * i);
+  if (h->dim[0] < 1 || h->dim[0] > 7) return ERR_HEADER;
+  return OK;
+}
+
+int64_t num_voxels(const Header& h) {
+  int64_t n = 1;
+  for (int i = 1; i <= h.dim[0]; ++i) n *= h.dim[i];
+  return n;
+}
+
+template <typename T>
+void convert_loop(const unsigned char* src, float* dst, int64_t n, bool swapped,
+                  float slope, float inter) {
+  const T* p = reinterpret_cast<const T*>(src);
+  for (int64_t i = 0; i < n; ++i) {
+    T v = p[i];
+    if (swapped) v = bswap(v);
+    dst[i] = static_cast<float>(v) * slope + inter;
+  }
+}
+
+int decode_f32(const std::vector<unsigned char>& raw, float* out, int64_t capacity) {
+  Header h;
+  int rc = parse_header(raw.data(), raw.size(), &h);
+  if (rc != OK) return rc;
+  int64_t n = num_voxels(h);
+  if (n > capacity) return ERR_CAPACITY;
+  size_t offset = static_cast<size_t>(h.vox_offset > 0 ? h.vox_offset : 352);
+  if (raw.size() < offset + n * (h.bitpix / 8)) return ERR_HEADER;
+  const unsigned char* src = raw.data() + offset;
+  float slope = (h.scl_slope == 0.0f || h.scl_slope != h.scl_slope) ? 1.0f : h.scl_slope;
+  float inter = (h.scl_inter != h.scl_inter) ? 0.0f : h.scl_inter;
+  switch (h.datatype) {
+    case 2:    convert_loop<uint8_t>(src, out, n, false, slope, inter); break;
+    case 4:    convert_loop<int16_t>(src, out, n, h.swapped, slope, inter); break;
+    case 8:    convert_loop<int32_t>(src, out, n, h.swapped, slope, inter); break;
+    case 16:   convert_loop<float>(src, out, n, h.swapped, slope, inter); break;
+    case 64:   convert_loop<double>(src, out, n, h.swapped, slope, inter); break;
+    case 256:  convert_loop<int8_t>(src, out, n, h.swapped, slope, inter); break;
+    case 512:  convert_loop<uint16_t>(src, out, n, h.swapped, slope, inter); break;
+    case 768:  convert_loop<uint32_t>(src, out, n, h.swapped, slope, inter); break;
+    default:   return ERR_DTYPE;
+  }
+  return OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+int nifti_read_header(const char* path, int64_t* out_dims, int32_t* out_datatype,
+                      float* out_affine, float* out_zooms) {
+  std::vector<unsigned char> raw;
+  int rc = read_all(path, raw);
+  if (rc != OK) return rc;
+  Header h;
+  rc = parse_header(raw.data(), raw.size(), &h);
+  if (rc != OK) return rc;
+  for (int i = 0; i < 8; ++i) out_dims[i] = h.dim[i];
+  *out_datatype = h.datatype;
+  for (int i = 0; i < 12; ++i) out_affine[i] = h.srow[i];
+  for (int i = 0; i < 3; ++i) out_zooms[i] = h.pixdim[i + 1] < 0 ? -h.pixdim[i + 1] : h.pixdim[i + 1];
+  return OK;
+}
+
+int nifti_read_f32(const char* path, float* out, int64_t capacity) {
+  std::vector<unsigned char> raw;
+  int rc = read_all(path, raw);
+  if (rc != OK) return rc;
+  return decode_f32(raw, out, capacity);
+}
+
+// Batch read: one worker thread per file (inflate dominates; scales ~linearly
+// until the host runs out of cores or disk bandwidth).
+int nifti_read_batch_f32(const char** paths, int n, float** outs,
+                         const int64_t* capacities) {
+  std::vector<int> results(n, OK);
+  std::vector<std::thread> threads;
+  threads.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    threads.emplace_back([&, i] {
+      results[i] = nifti_read_f32(paths[i], outs[i], capacities[i]);
+    });
+  }
+  for (auto& t : threads) t.join();
+  for (int rc : results)
+    if (rc != OK) return rc;
+  return OK;
+}
+
+}  // extern "C"
