@@ -77,11 +77,15 @@ class UNetConfig:
     conv_kernel: Tuple[int, int, int] = (3, 3, 3)
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    #: "decomp2d": lower each 3×3×3 conv to three batched 3×3 conv2ds with
-    #: depth-shifted accumulation — ~1.7× faster and ~30× faster to compile
-    #: than XLA's native Conv3D lowering on TPU (measured on v5e).
-    #: "xla3d": native lax 3D convolution.
-    conv_impl: str = "decomp2d"
+    #: "auto": per-layer dispatch between the lowerings below (measured on
+    #: v5e; see :func:`_choose_impl`).  "decomp2d": each 3×3×3 conv as three
+    #: batched 3×3 conv2ds with depth-shifted accumulation (~1.7× faster and
+    #: ~30× faster to compile than XLA's native Conv3D on TPU).  "merged2d":
+    #: one conv2d with depth taps merged into output channels + shift-add
+    #: (restores MXU lane occupancy at low channel counts).  "pallas": the
+    #: fused rolling-accumulator kernel in ops/conv3d_pallas.  "xla3d":
+    #: native lax 3D convolution.
+    conv_impl: str = "auto"
     #: encoder stages that use dropout during training (KAIST: deepest stage).
     dropout_levels: Tuple[int, ...] = (4,)
     dropout_rate: float = 0.0
@@ -296,7 +300,83 @@ def _conv3d_decomp2d(x, w, b, stride, compute_dtype):
     return out + b.astype(acc_dt)
 
 
+def _conv3d_merged2d(x, w, b, stride, compute_dtype):
+    """3x3x3 conv as ONE conv2d with depth taps merged into output channels.
+
+    The MXU's lane dimension is the conv's output-channel count; at co=32 a
+    direct conv runs at ~27 TF/s on v5e while the same arithmetic at 96
+    lanes reaches 61 TF/s.  Merging the 3 depth taps into N (kd*co wide)
+    recovers the lanes; a shift-add epilogue along D combines the taps:
+    ``out[m] = G[m-1, 0:co] + G[m, co:2co] + G[m+1, 2co:3co]``.
+    Costs one extra pass over the 3x-wide partials tensor — a net win for
+    high-resolution low-channel layers (measured: 30 vs 35 ms for the
+    128^3 32->32 layer, 41 vs 64 ms for the 128^3 64->32 decoder conv).
+    """
+    kd, kh, kw, ci, co = w.shape
+    assert stride == (1, 1, 1)
+    N, D, H, W, _ = x.shape
+    x = x.astype(compute_dtype)
+    acc_dt = _acc_dtype(compute_dtype)
+    # (kh, kw, ci, kd*co): depth tap joins the lane dimension.
+    wm = jnp.moveaxis(w, 0, 3).reshape(kh, kw, ci, kd * co).astype(compute_dtype)
+    dn = DimNums((N * D, H, W, ci), (kh, kw, ci, kd * co), ("NHWC", "HWIO", "NHWC"))
+    g = jax.lax.conv_general_dilated(
+        x.reshape(N * D, H, W, ci),
+        wm,
+        (1, 1),
+        (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2),
+        dimension_numbers=dn,
+        preferred_element_type=acc_dt,
+    ).reshape(N, D, H, W, kd, co)
+    pad = (kd - 1) // 2
+    gp = jnp.pad(g, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+    out = sum(
+        jax.lax.slice_in_dim(gp, pad - 1 + dz, pad - 1 + dz + D, axis=1)[..., dz, :]
+        for dz in range(kd)
+    )
+    return out + b.astype(acc_dt)
+
+
+def _conv3d_pallas(x, w, b, stride, compute_dtype, negative_slope=None):
+    from ..ops.conv3d_pallas import conv3d_tap_merged
+
+    return conv3d_tap_merged(x, w, b, negative_slope=negative_slope)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _choose_impl(shape, kernel, stride, co) -> str:
+    """Per-layer conv lowering, from v5e measurements (see ops/conv3d_pallas).
+
+    128^3-scale low-channel layers: merged2d (tap-merged XLA conv2d).
+    64^3-scale co>=64 layers: the fused Pallas kernel.
+    Everything else (first layer, deep low-res stages, CPU): decomp2d.
+    """
+    N, D, H, W, ci = shape
+    if kernel != (3, 3, 3) or stride != (1, 1, 1) or not _on_tpu():
+        return "decomp2d"
+    if D >= 96:
+        return "merged2d" if (co <= 64 and ci >= 16) else "decomp2d"
+    if 48 <= D < 96 and co >= 64:
+        from ..ops.conv3d_pallas import pallas_conv_supported, plan_tiles
+
+        if pallas_conv_supported(shape, kernel, stride) and plan_tiles(H, W, ci, co):
+            return "pallas"
+    return "decomp2d"
+
+
 def _conv3d(x, w, b, stride, compute_dtype, conv_impl="decomp2d"):
+    if conv_impl == "auto":
+        conv_impl = _choose_impl(x.shape, w.shape[:3], stride, w.shape[4])
+    if conv_impl == "pallas":
+        return _conv3d_pallas(x, w, b, stride, compute_dtype)
+    if conv_impl == "merged2d":
+        return _conv3d_merged2d(x, w, b, stride, compute_dtype)
     if conv_impl == "decomp2d":
         return _conv3d_decomp2d(x, w, b, stride, compute_dtype)
     return _conv3d_xla(x, w, b, stride, compute_dtype)

@@ -1,0 +1,93 @@
+"""Conv lowering parity tests: pallas kernel (interpret mode) and merged2d.
+
+The three TPU lowerings of the stride-1 3x3x3 conv must agree with the
+native XLA Conv3D reference to accumulation precision
+(ref semantics: generic_UNet.py:56-72 conv blocks; SURVEY.md §2.3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from braintpu.models.unet3d import (
+    _choose_impl,
+    _conv3d_decomp2d,
+    _conv3d_merged2d,
+    _conv3d_xla,
+)
+from braintpu.ops.conv3d_pallas import (
+    conv3d_tap_merged,
+    pallas_conv_supported,
+    plan_tiles,
+)
+
+
+def _rand(key, shape, scale=1.0):
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+@pytest.mark.parametrize(
+    "N,D,H,W,ci,co",
+    [(1, 5, 8, 128, 8, 8), (2, 6, 16, 128, 8, 16), (1, 3, 8, 128, 16, 8)],
+)
+def test_pallas_kernel_matches_xla(N, D, H, W, ci, co):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = _rand(k1, (N, D, H, W, ci))
+    w = _rand(k2, (3, 3, 3, ci, co), 0.1)
+    b = _rand(k3, (co,), 0.1)
+    ref = _conv3d_xla(x, w, b, (1, 1, 1), jnp.float32)
+    got = conv3d_tap_merged(x, w, b, interpret=True).astype(jnp.float32)
+    # kernel computes in bf16 -> tolerance is bf16 resolution of the output
+    tol = 0.02 * float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=tol)
+
+
+def test_pallas_kernel_fused_leaky_relu():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = _rand(k1, (1, 4, 8, 128, 8))
+    w = _rand(k2, (3, 3, 3, 8, 8), 0.1)
+    b = jnp.zeros((8,), jnp.float32)
+    plain = conv3d_tap_merged(x, w, b, interpret=True).astype(jnp.float32)
+    fused = conv3d_tap_merged(x, w, b, negative_slope=0.01, interpret=True).astype(
+        jnp.float32
+    )
+    expect = jnp.where(plain >= 0, plain, plain * 0.01)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(expect), atol=1e-2)
+
+
+@pytest.mark.parametrize("ci,co", [(8, 8), (16, 8), (8, 16)])
+def test_merged2d_matches_xla(ci, co):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = _rand(k1, (2, 6, 8, 8, ci))
+    w = _rand(k2, (3, 3, 3, ci, co), 0.1)
+    b = _rand(k3, (co,), 0.1)
+    ref = _conv3d_xla(x, w, b, (1, 1, 1), jnp.float32)
+    got = _conv3d_merged2d(x, w, b, (1, 1, 1), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_decomp2d_matches_xla_strided():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = _rand(k1, (1, 8, 8, 8, 4))
+    w = _rand(k2, (3, 3, 3, 4, 8), 0.1)
+    b = jnp.zeros((8,), jnp.float32)
+    for stride in [(1, 1, 1), (2, 2, 2)]:
+        ref = _conv3d_xla(x, w, b, stride, jnp.float32)
+        got = _conv3d_decomp2d(x, w, b, stride, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_eligibility_and_planning():
+    assert pallas_conv_supported((1, 8, 64, 128, 32), (3, 3, 3), (1, 1, 1))
+    assert not pallas_conv_supported((1, 8, 64, 128, 32), (3, 3, 3), (2, 2, 2))
+    assert not pallas_conv_supported((1, 2, 64, 128, 32), (3, 3, 3), (1, 1, 1))
+    assert not pallas_conv_supported((1, 8, 64, 100, 32), (3, 3, 3), (1, 1, 1))
+    assert plan_tiles(64, 64, 64, 64) is not None
+    # full-res co=64 accumulators exceed VMEM -> planner refuses
+    assert plan_tiles(128, 128, 64, 64) is None
+
+
+def test_choose_impl_on_cpu_is_decomp():
+    # dispatch never selects TPU-only paths on the CPU backend
+    assert _choose_impl((8, 128, 128, 128, 32), (3, 3, 3), (1, 1, 1), 32) == "decomp2d"
