@@ -2,6 +2,11 @@
 
 from .plans import PreprocessPlan, config_from_plans, load_nnunet_plans
 from .axial import apply_axial_attention, axial_stage_shapes, init_axial_params
+from .modular_unet import (
+    ModularUNetConfig,
+    apply_modular_unet,
+    init_modular_unet,
+)
 from .unet3d import (
     AXIAL_UNET,
     MODEL1_BN,
@@ -19,6 +24,9 @@ from .unet3d import (
 
 __all__ = [
     "AXIAL_UNET",
+    "ModularUNetConfig",
+    "apply_modular_unet",
+    "init_modular_unet",
     "apply_axial_attention",
     "axial_stage_shapes",
     "init_axial_params",
