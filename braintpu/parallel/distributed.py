@@ -29,7 +29,70 @@ __all__ = [
     "shard_train_state",
     "make_sharded_train_step",
     "DataParallelPatchRunner",
+    "make_fold_parallel_forward",
 ]
+
+
+def make_fold_parallel_forward(
+    cfg: UNetConfig,
+    mesh: Mesh,
+    num_folds: int,
+    axis: str = "data",
+    folded: bool = False,
+) -> Callable:
+    """Ensemble parallelism: shard the fold axis over ``axis``, psum the maps.
+
+    The reference runs its 5 folds back-to-back on one core
+    (run_brats2021_inference_singlethread.py:109-127); on a TPU slice the
+    fold ensemble is embarrassingly parallel — each chip forwards its local
+    folds and one ``psum`` over ICI merges the sigmoid maps (SURVEY.md §2.2
+    "Ensemble parallelism").  Folds that don't divide the axis evenly are
+    padded with zero-weight replicas so the weighted mean stays exact.
+
+    Returns ``fwd(params_padded, weights, patches) -> (B, pd, ph, pw, K)``
+    where ``params_padded`` has leading axis ``ceil(F/n)*n`` (see
+    :func:`pad_folds_for_axis`) and ``weights`` is the matching per-fold
+    weight vector summing to 1.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    def fwd(local_params, local_w, patches):
+        def fold_step(acc, fold):
+            fp, w = fold
+            logits = apply_unet(fp, patches, cfg, folded=folded)
+            acc = acc + w.astype(jnp.float32) * jax.nn.sigmoid(logits).astype(jnp.float32)
+            return acc.astype(jnp.float32), None
+
+        acc0 = jnp.zeros(patches.shape[:-1] + (cfg.num_classes,), jnp.float32)
+        # the carry varies per-shard (each device owns different folds)
+        acc0 = jax.lax.pvary(acc0, (axis,))
+        local, _ = jax.lax.scan(fold_step, acc0, (local_params, local_w))
+        return jax.lax.psum(local, axis)
+
+    return jax.jit(fwd)
+
+
+def pad_folds_for_axis(
+    params_stacked: Any, num_folds: int, axis_size: int
+) -> Tuple[Any, jnp.ndarray]:
+    """Pad the fold axis to a multiple of ``axis_size``; zero-weight the pads."""
+    pad = (-num_folds) % axis_size
+    if pad:
+        params_stacked = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, x[:pad]], axis=0), params_stacked
+        )
+    w = jnp.concatenate(
+        [jnp.full((num_folds,), 1.0 / num_folds), jnp.zeros((pad,))]
+    )
+    return params_stacked, w
 
 
 def shard_train_state(

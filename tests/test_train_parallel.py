@@ -159,3 +159,41 @@ def test_data_parallel_patch_runner_matches_single():
 
     ref = np.asarray(predict_probs(stacked, jnp.asarray(vols[0]), cfg, tta=False))
     np.testing.assert_allclose(probs[0], ref, atol=2e-4)
+
+
+def test_fold_parallel_forward_matches_serial():
+    """Fold-sharded psum ensemble == serial fold mean (8-device CPU mesh)."""
+    import jax
+    import jax.numpy as jnp
+    from braintpu.models.unet3d import UNetConfig, init_params, apply_unet
+    from braintpu.parallel.distributed import (
+        make_fold_parallel_forward,
+        pad_folds_for_axis,
+    )
+    from braintpu.infer.sliding_window import stack_folds
+
+    cfg = UNetConfig(
+        in_channels=2,
+        num_classes=3,
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        patch_size=(8, 8, 8),
+        norm="instance",
+        compute_dtype=jnp.float32,
+    )
+    folds = [init_params(cfg, jax.random.PRNGKey(i)) for i in range(5)]
+    stacked = stack_folds(folds)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 8, 2))
+
+    # serial reference: plain mean of per-fold sigmoid maps
+    serial = sum(
+        jax.nn.sigmoid(apply_unet(p, x, cfg)) for p in folds
+    ) / len(folds)
+
+    mesh = make_mesh(data=4, model=1)
+    padded, w = pad_folds_for_axis(stacked, 5, mesh.shape["data"])
+    assert jax.tree_util.tree_leaves(padded)[0].shape[0] == 8  # 5 -> 8
+    fwd = make_fold_parallel_forward(cfg, mesh, num_folds=5)
+    got = fwd(padded, w, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(serial), atol=2e-5)
