@@ -362,7 +362,7 @@ def _choose_impl(shape, kernel, stride, co) -> str:
         return "decomp2d"
     if D >= 96:
         return "merged2d" if (co <= 64 and ci >= 16) else "decomp2d"
-    if 48 <= D < 96 and co >= 64:
+    if 24 <= D < 96 and co >= 64:
         from ..ops.conv3d_pallas import pallas_conv_supported, plan_tiles
 
         if pallas_conv_supported(shape, kernel, stride) and plan_tiles(H, W, ci, co):

@@ -65,7 +65,7 @@ def pallas_conv_supported(
     if kernel != (3, 3, 3) or stride != (1, 1, 1):
         return False
     N, D, H, W, ci = shape[:4] + (shape[4],)
-    if D < 3 or H < 8 or W % 128 or ci % 8:
+    if D < 3 or H < 8 or W < 8 or ci % 8:
         return False
     return True
 

@@ -82,7 +82,8 @@ def test_eligibility_and_planning():
     assert pallas_conv_supported((1, 8, 64, 128, 32), (3, 3, 3), (1, 1, 1))
     assert not pallas_conv_supported((1, 8, 64, 128, 32), (3, 3, 3), (2, 2, 2))
     assert not pallas_conv_supported((1, 2, 64, 128, 32), (3, 3, 3), (1, 1, 1))
-    assert not pallas_conv_supported((1, 8, 64, 100, 32), (3, 3, 3), (1, 1, 1))
+    assert pallas_conv_supported((1, 8, 64, 100, 32), (3, 3, 3), (1, 1, 1))
+    assert not pallas_conv_supported((1, 8, 64, 4, 32), (3, 3, 3), (1, 1, 1))
     assert plan_tiles(64, 64, 64, 64) is not None
     # full-res co=64 accumulators exceed VMEM -> planner refuses
     assert plan_tiles(128, 128, 64, 64) is None
