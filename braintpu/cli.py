@@ -92,12 +92,28 @@ def _add_engine_args(p):
 def cmd_pipeline(args):
     from .pipeline import Pipeline, PipelineConfig
 
-    engine = load_engine(args)
-    cfg = PipelineConfig(
-        output_root=Path(args.output),
-        use_llm_refinement=args.use_llm,
-        generate_pdf=not args.no_pdf,
-    )
+    if getattr(args, "config", None):
+        from .utils.config import load_config
+
+        fc = load_config(args.config)
+        s = fc.segmentation
+        args.models = ",".join(s.models)
+        args.folds = s.folds
+        args.no_tta = not s.tta
+        args.ensemble = s.ensemble
+        args.no_et_postprocess = s.et_min_voxels == 0
+        args.checkpoints = args.checkpoints or s.checkpoints
+        engine = load_engine(args)
+        engine.step_size = s.step_size
+        engine.et_min_voxels = s.et_min_voxels
+        cfg = fc.pipeline_config()
+    else:
+        engine = load_engine(args)
+        cfg = PipelineConfig(
+            output_root=Path(args.output),
+            use_llm_refinement=args.use_llm,
+            generate_pdf=not args.no_pdf,
+        )
     pipeline = Pipeline(
         engine,
         cfg,
@@ -282,6 +298,55 @@ def cmd_compare(args):
     return 0
 
 
+def cmd_init_config(args):
+    from .utils.config import FrameworkConfig, save_config
+
+    save_config(FrameworkConfig(), args.output)
+    print(f"wrote default config → {args.output}")
+    return 0
+
+
+def cmd_data(args):
+    """BraTS data access guide + optional local-folder audit.
+
+    Parity with the reference's downloader helper
+    (download_more_brats_data.py:13-30 — mostly a Synapse-registration
+    instructions printer; BraTS data is gated and cannot be fetched
+    anonymously).
+    """
+    if args.root:
+        from .io.brats import find_cases
+
+        cases = find_cases(args.root)
+        complete = [c for c in cases if c.is_complete]
+        with_gt = [c for c in complete if c.seg_path]
+        print(f"{args.root}: {len(complete)} complete cases, {len(with_gt)} with ground truth")
+        for c in complete[:20]:
+            print(f"  {c.case_id}  (gt={'yes' if c.seg_path else 'no'})")
+        if len(complete) > 20:
+            print(f"  ... and {len(complete) - 20} more")
+        return 0
+    print(
+        """BraTS data is gated behind Synapse registration (no anonymous download):
+
+1. Create an account at https://www.synapse.org
+2. Request access to the BraTS challenge project:
+     BraTS 2021: syn25829067      BraTS 2023+ (GLI): syn51156910
+3. Accept the data-use agreement, then download the training archive
+   via the web UI or the synapse CLI:
+     pip install synapseclient
+     synapse get -r <syn-id>
+4. Point the framework at the extracted folder:
+     braintpu data --root /path/to/BraTS   # audit what you have
+     braintpu pipeline /path/to/BraTS/<case_folder>
+
+Each case folder must contain the four modalities
+(<case>_t1 / _t1ce / _t2 / _flair, or 2025 naming t1n/t1c/t2w/t2f —
+run `braintpu rename` to convert) as .nii/.nii.gz, plus optional _seg."""
+    )
+    return 0
+
+
 def cmd_convert_checkpoint(args):
     from .ckpt import convert_torch_checkpoint, save_pytree_npz
     from .models import MODEL1_BN, MODEL2_GN_LARGE
@@ -307,8 +372,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="results")
     p.add_argument("--use-llm", action="store_true")
     p.add_argument("--no-pdf", action="store_true")
+    p.add_argument("--config", help="FrameworkConfig JSON (overrides flag defaults)")
     _add_engine_args(p)
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("init-config", help="write the default FrameworkConfig JSON")
+    p.add_argument("output", nargs="?", default="braintpu.config.json")
+    p.set_defaults(fn=cmd_init_config)
+
+    p = sub.add_parser("data", help="BraTS dataset access instructions / local audit")
+    p.add_argument("--root", help="audit an existing local dataset folder")
+    p.set_defaults(fn=cmd_data)
 
     p = sub.add_parser("segment", help="ensemble segmentation only")
     p.add_argument("--input", required=True)

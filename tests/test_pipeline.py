@@ -86,3 +86,37 @@ def test_pipeline_error_path(tmp_path, tiny_engine):
     assert not result.succeeded
     assert result.summary["status"] == "error"
     assert "no complete BraTS case" in result.summary["error"]
+
+
+def test_framework_config_roundtrip(tmp_path):
+    from braintpu.utils.config import FrameworkConfig, load_config, save_config
+
+    cfg = FrameworkConfig()
+    cfg.segmentation.folds = 3
+    cfg.report.generate_pdf = False
+    p = tmp_path / "cfg.json"
+    save_config(cfg, p)
+    back = load_config(p)
+    assert back.segmentation.folds == 3
+    assert back.report.generate_pdf is False
+    pc = back.pipeline_config()
+    assert pc.generate_pdf is False
+
+
+def test_framework_config_validation(tmp_path):
+    import json
+    import pytest
+    from braintpu.utils.config import FrameworkConfig, load_config
+
+    bad = FrameworkConfig().to_dict()
+    bad["segmentation"]["ensemble"] = "mean"
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="ensemble"):
+        load_config(p)
+    bad2 = FrameworkConfig().to_dict()
+    bad2["segmentation"]["typo_key"] = 1
+    p2 = tmp_path / "bad2.json"
+    p2.write_text(json.dumps(bad2))
+    with pytest.raises(ValueError, match="unknown"):
+        load_config(p2)
