@@ -362,7 +362,10 @@ def _choose_impl(shape, kernel, stride, co) -> str:
         return "decomp2d"
     if D >= 96:
         return "merged2d" if (co <= 64 and ci >= 16) else "decomp2d"
-    if 24 <= D < 96 and co >= 64:
+    # NOTE: 32-cube stages measured faster with pallas in isolation but
+    # slower inside the full sliding-window program (scheduling around the
+    # custom-call breaks XLA overlap) — keep pallas to the 64-cube band.
+    if 48 <= D < 96 and co >= 64:
         from ..ops.conv3d_pallas import pallas_conv_supported, plan_tiles
 
         if pallas_conv_supported(shape, kernel, stride) and plan_tiles(H, W, ci, co):
