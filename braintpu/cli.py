@@ -35,9 +35,9 @@ def load_engine(args):
 
     from .ckpt import convert_torch_checkpoint, load_pytree_npz
     from .infer import InferenceEngine, ModelBundle
-    from .models import MODEL1_BN, MODEL2_GN_LARGE, init_params
+    from .models import AXIAL_UNET, MODEL1_BN, MODEL2_GN_LARGE, init_params
 
-    configs = {"model1": MODEL1_BN, "model2": MODEL2_GN_LARGE}
+    configs = {"model1": MODEL1_BN, "model2": MODEL2_GN_LARGE, "axial": AXIAL_UNET}
     selected = args.models.split(",") if args.models else ["model1", "model2"]
     folds = list(range(args.folds))
 

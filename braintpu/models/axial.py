@@ -70,24 +70,47 @@ def init_axial_params(
     }
 
 
+#: HBM budget for one chunk's f32 attention logits.  Folding two spatial axes
+#: into the batch makes the folded batch huge at fine decoder stages (e.g.
+#: 8·128·128 = 131072 rows at the 128³ stage → 16 GB of logits if
+#: materialized at once, past the 15.75 GB v5e HBM).  Chunking the folded
+#: batch through lax.map bounds the temp while keeping each chunk's
+#: contractions MXU-sized; per-row math is unchanged, so results are
+#: identical to the unchunked path.
+_MAX_LOGIT_BYTES = 512 * 1024 * 1024
+
+
 def _axis_attention(x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int) -> jnp.ndarray:
     """Self-attention along the second-to-last axis of (B, L, C)."""
     B, L, C = x.shape
     inner = heads * dim_head
-    qkv = jnp.einsum("blc,ck->blk", x, wqkv.astype(x.dtype))
-    q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def split_heads(t):
-        return t.reshape(B, L, heads, dim_head).transpose(0, 2, 1, 3)
+    def attend(xc: jnp.ndarray) -> jnp.ndarray:
+        n = xc.shape[0]
+        qkv = jnp.einsum("blc,ck->blk", xc, wqkv.astype(xc.dtype))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    logits = jnp.einsum(
-        "bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32
-    ) * (dim_head**-0.5)
-    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhlm,bhmd->bhld", weights, v)
-    out = out.transpose(0, 2, 1, 3).reshape(B, L, inner)
-    return jnp.einsum("blk,kc->blc", out, wout.astype(x.dtype))
+        def split_heads(t):
+            return t.reshape(n, L, heads, dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        logits = jnp.einsum(
+            "bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32
+        ) * (dim_head**-0.5)
+        weights = jax.nn.softmax(logits, axis=-1).astype(xc.dtype)
+        out = jnp.einsum("bhlm,bhmd->bhld", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, L, inner)
+        return jnp.einsum("blk,kc->blc", out, wout.astype(xc.dtype))
+
+    row_bytes = heads * L * L * 4
+    if B * row_bytes <= _MAX_LOGIT_BYTES:
+        return attend(x)
+    # Largest power-of-two chunk dividing B that fits the logit budget.
+    chunk = 1
+    while B % (chunk * 2) == 0 and (chunk * 2) * row_bytes <= _MAX_LOGIT_BYTES:
+        chunk *= 2
+    y = jax.lax.map(attend, x.reshape(B // chunk, chunk, L, C))
+    return y.reshape(B, L, C)
 
 
 def apply_axial_attention(

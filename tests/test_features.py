@@ -253,7 +253,33 @@ def test_run_all_outputs(tmp_path, synth_case):
         "caveats",
     ):
         assert key in llm, key
+    # nested schema parity with generate_llm_summary (ref run_all.py:163-311)
+    assert set(llm["patient_info"]) == {
+        "age",
+        "sex",
+        "clinical_history",
+        "presenting_symptoms",
+        "relevant_prior_imaging",
+        "note",
+    }
+    assert set(llm["technique"]) == {
+        "sequences_performed",
+        "sequences_not_available",
+        "contrast_administered",
+        "contrast_note",
+        "acquisition_parameters",
+        "note",
+    }
+    assert set(llm["tumor_characteristics"]) == {
+        "volume_cm3",
+        "enhancing_volume_cm3",
+        "necrotic_volume_cm3",
+        "edema_volume_cm3",
+        "max_diameter_mm",
+    }
+    # anti-fabrication guards must survive verbatim
     assert llm["patient_info"]["age"] == "<not provided>"
+    assert "DO NOT fabricate" in llm["patient_info"]["note"]
     report = (out / "radiology_report.txt").read_text()
     assert "BRAIN MRI TUMOR ANALYSIS REPORT" in report
     assert "EXECUTIVE SUMMARY" in report

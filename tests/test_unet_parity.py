@@ -251,3 +251,20 @@ def test_axial_attention_variant():
     a = np.asarray(au(zeroed, x, cfg))
     b = np.asarray(au(plain_params, x, plain_cfg))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_axial_attention_chunked_matches_unchunked(monkeypatch):
+    """Batch-chunked lax.map path (HBM-bounded) is bit-identical per row."""
+    import jax
+    import jax.numpy as jnp
+    from braintpu.models import axial
+
+    key = jax.random.PRNGKey(3)
+    params = axial.init_axial_params(key, channels=8, shape_dhw=(8, 8, 8), heads=2, dim_head=4)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 8, 8), jnp.float32)
+    full = axial.apply_axial_attention(params, x, dim_head=4)
+    # Budget small enough to force chunking on every axis pass (folded batch
+    # 2*8*8=128 rows; row_bytes=2*8*8*4=512 → chunk 16 rows at 8KiB budget).
+    monkeypatch.setattr(axial, "_MAX_LOGIT_BYTES", 8 * 1024)
+    chunked = axial.apply_axial_attention(params, x, dim_head=4)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=0, atol=1e-6)
