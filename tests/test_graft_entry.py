@@ -1,0 +1,26 @@
+"""Driver-facing entry points (__graft_entry__.py) must stay importable and
+runnable: the round driver compile-checks ``entry()`` single-chip and executes
+``dryrun_multichip(N)`` on a virtual N-device CPU mesh.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+import __graft_entry__ as graft
+
+
+def test_entry_traces():
+    fn, args = graft.entry()
+    # Full CPU compile of the 128^3 flagship forward is slow; lowering alone
+    # catches shape/tracing regressions (the driver does the real compile).
+    lowered = jax.jit(fn).lower(*args)
+    assert "func" in lowered.as_text()[:2000] or lowered is not None
+
+
+def test_dryrun_multichip_executes():
+    # conftest pins the cpu platform with 8 virtual devices before jax init,
+    # which satisfies dryrun_multichip's own guard.
+    graft.dryrun_multichip(8)
