@@ -305,6 +305,9 @@ def calculate_shape_descriptors(ctx: FeatureContext) -> Dict:
             "compactness": 0,
             "elongation": 1.0,
             "principal_axes_mm": [0, 0, 0],
+            # keys the text summary renders unconditionally
+            "shape_classification": "No tumor",
+            "elongation_classification": "No tumor",
         }
     volume_mm3 = float(wt.sum() * ctx.voxel_volume_mm3)
     surface = calculate_surface_area(wt, ctx.zooms)

@@ -72,15 +72,21 @@ def uncrop_labels(seg_cropped: np.ndarray, crop) -> np.ndarray:
 
 
 def calculate_volumes(
-    seg: np.ndarray, voxel_volume_cm3: float, et_label: int = 3
+    seg: np.ndarray,
+    voxel_volume_cm3: float,
+    et_label: int = 3,
+    convention: str = "brats",
 ) -> Dict[str, float]:
-    """NCR/ED/ET/TC/WT volumes in cm³ from a BraTS-space label map.
+    """NCR/ED/ET/TC/WT volumes in cm³ from a label map.
 
     (ref semantics: run_brats2021_inference_singlethread.py:217-243, which
     hard-codes ET=4; here the ET label follows the active convention.)
+    ``convention="internal"`` handles nnU-Net internal space, where 1=ED and
+    2=NCR are swapped relative to BraTS (labels/convert.py).
     """
-    ncr = float((seg == 1).sum())
-    ed = float((seg == 2).sum())
+    ncr_label, ed_label = (2, 1) if convention == "internal" else (1, 2)
+    ncr = float((seg == ncr_label).sum())
+    ed = float((seg == ed_label).sum())
     et = float((seg == et_label).sum())
     return {
         "NCR": ncr * voxel_volume_cm3,
@@ -107,17 +113,22 @@ class InferenceEngine:
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
         """(C, X, Y, Z) float stack → (labels in output convention, info)."""
         t0 = time.perf_counter()
-        patch = self.models[0].cfg.patch_size
+        # pad to the largest patch across models so every model can tile it
+        patch = tuple(
+            max(m.cfg.patch_size[i] for m in self.models) for i in range(3)
+        )
+        if len({m.cfg.num_classes for m in self.models}) != 1:
+            raise ValueError("ensemble models must share num_classes")
         pre = preprocess_case(data_cxyz, patch_size=patch)
         info: Dict[str, Any] = {"preprocess_s": time.perf_counter() - t0}
 
         t1 = time.perf_counter()
-        vol = jnp.moveaxis(pre.data, 0, -1)
+        vol = jnp.asarray(pre.data)  # one H2D transfer, shared across models
         per_model_probs = []
         for m in self.models:
             probs = predict_probs(
                 m.params_stacked,
-                jnp.moveaxis(vol, -1, 0),
+                vol,
                 m.cfg,
                 step_size=self.step_size,
                 tta=self.tta,
@@ -144,7 +155,6 @@ class InferenceEngine:
                     replace_with=2,
                     min_voxels=self.et_min_voxels,
                 )
-        jax.block_until_ready(seg_internal if isinstance(seg_internal, jnp.ndarray) else per_model_probs[-1])
         info["predict_s"] = time.perf_counter() - t1
 
         full = uncrop_labels(np.asarray(seg_internal), pre.crop)
@@ -167,7 +177,8 @@ class InferenceEngine:
         seg, info = self.predict_case_array(data)
         voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
         et_label = 4 if self.output_convention == "brats2021" else 3
-        info["volumes_cm3"] = calculate_volumes(seg, voxel_cm3, et_label)
+        conv = "internal" if self.output_convention == "internal" else "brats"
+        info["volumes_cm3"] = calculate_volumes(seg, voxel_cm3, et_label, conv)
         info["case_id"] = case.case_id
         if output_path is not None:
             nifti.save(seg.astype(np.uint8), output_path, affine=affine)

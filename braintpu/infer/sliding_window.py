@@ -60,19 +60,6 @@ def stack_folds(fold_params: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fold_params)
 
 
-def _mirror_batch(patch: jnp.ndarray, combos) -> jnp.ndarray:
-    """(pd, ph, pw, C) → (len(combos), pd, ph, pw, C) of flipped copies."""
-    return jnp.stack([jnp.flip(patch, axis=c) if c else patch for c in combos])
-
-
-def _unmirror_mean(probs: jnp.ndarray, combos) -> jnp.ndarray:
-    """Invert each flip and average over the TTA batch → (pd, ph, pw, K)."""
-    parts = [
-        jnp.flip(probs[i], axis=c) if c else probs[i] for i, c in enumerate(combos)
-    ]
-    return sum(parts) / len(parts)
-
-
 def mirror_flag_groups(combos, group_size: int) -> np.ndarray:
     """(G, B, 3) boolean flip flags covering ``combos`` in groups of B.
 

@@ -65,6 +65,16 @@ def config_from_plans(
     convs = tuple(tuple(int(k) for k in ks) for ks in sp["conv_kernel_sizes"])
     patch = _as_int_tuple(sp["patch_size"])
 
+    # UNetConfig models one uniform pool/conv kernel per network (true for
+    # the BraTS 1mm-isotropic plans); silently applying stage 0's kernel to
+    # an anisotropic plan would build the wrong topology.
+    if len(set(pool)) != 1 or len(set(convs)) != 1:
+        raise ValueError(
+            f"anisotropic plans (pool={pool}, convs={convs}) need per-stage "
+            "kernels — build a ModularUNetConfig (models/modular_unet.py) "
+            "from PreprocessPlan.pool_kernel_sizes/conv_kernel_sizes instead"
+        )
+
     cfg = UNetConfig(
         in_channels=int(plans["num_modalities"]),
         num_classes=int(plans["num_classes"]),

@@ -313,7 +313,7 @@ def _conv3d_merged2d(x, w, b, stride, compute_dtype):
     128^3 32->32 layer, 41 vs 64 ms for the 128^3 64->32 decoder conv).
     """
     kd, kh, kw, ci, co = w.shape
-    assert stride == (1, 1, 1)
+    assert stride == (1, 1, 1) and kd % 2 == 1
     N, D, H, W, _ = x.shape
     x = x.astype(compute_dtype)
     acc_dt = _acc_dtype(compute_dtype)
@@ -330,16 +330,39 @@ def _conv3d_merged2d(x, w, b, stride, compute_dtype):
     ).reshape(N, D, H, W, kd, co)
     pad = (kd - 1) // 2
     gp = jnp.pad(g, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+    # out[m] = sum_dz g[m + dz - pad, dz]; with gp padded by `pad`, the tap-dz
+    # slice starts at index dz (holds for any odd kd).
     out = sum(
-        jax.lax.slice_in_dim(gp, pad - 1 + dz, pad - 1 + dz + D, axis=1)[..., dz, :]
-        for dz in range(kd)
+        jax.lax.slice_in_dim(gp, dz, dz + D, axis=1)[..., dz, :] for dz in range(kd)
     )
     return out + b.astype(acc_dt)
 
 
 def _conv3d_pallas(x, w, b, stride, compute_dtype, negative_slope=None):
-    from ..ops.conv3d_pallas import conv3d_tap_merged
+    # The Pallas kernel is stride-1 / 3x3x3 / bf16 only; an explicit
+    # conv_impl="pallas" on any other layer falls back to decomp2d instead of
+    # silently computing the wrong convolution (stride was previously
+    # discarded) or degrading an f32 config to bf16.
+    if (
+        stride != (1, 1, 1)
+        or tuple(w.shape[:3]) != (3, 3, 3)
+        or jnp.dtype(compute_dtype) != jnp.dtype(jnp.bfloat16)
+    ):
+        y = _conv3d_decomp2d(x, w, b, stride, compute_dtype)
+        if negative_slope is not None:
+            y = jnp.where(y >= 0, y, y * negative_slope)
+        return y
+    from ..ops.conv3d_pallas import conv3d_tap_merged, pallas_conv_supported, plan_tiles
 
+    kernel = tuple(w.shape[:3])
+    if not (
+        pallas_conv_supported(x.shape, kernel, stride)
+        and plan_tiles(x.shape[2], x.shape[3], x.shape[4], w.shape[4])
+    ):
+        y = _conv3d_decomp2d(x, w, b, stride, compute_dtype)
+        if negative_slope is not None:
+            y = jnp.where(y >= 0, y, y * negative_slope)
+        return y
     return conv3d_tap_merged(x, w, b, negative_slope=negative_slope)
 
 

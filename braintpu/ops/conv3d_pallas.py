@@ -169,6 +169,11 @@ def conv3d_tap_merged(
 ) -> jnp.ndarray:
     """Stride-1 SAME 3x3x3 conv + bias (+ optional LeakyReLU), NDHWC.
 
+    Differentiable: the forward pass runs the Pallas kernel; the backward
+    pass is the VJP of an equivalent XLA convolution (``pallas_call`` itself
+    has no autodiff rule), so auto-dispatched layers work under
+    ``jax.value_and_grad`` in training.
+
     Args:
       x: (N, D, H, W, ci) input (any float dtype; computed in bf16).
       w: (3, 3, 3, ci, co) weights (DHWIO).
@@ -178,6 +183,53 @@ def conv3d_tap_merged(
     Returns:
       (N, D, H, W, co) bf16.
     """
+    return _tap_merged_vjp(x, w, b, negative_slope, interpret)
+
+
+def _xla_reference(x, w, b, negative_slope):
+    """Semantics-equivalent XLA conv, used for the backward pass.
+
+    Computed in f32 throughout: mixing bf16 operands with an f32
+    ``preferred_element_type`` breaks the conv transpose rule (dtype
+    mismatch), and full precision is welcome in gradients anyway.
+    """
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b.astype(jnp.float32)
+    if negative_slope is not None:
+        y = jnp.where(y >= 0, y, y * negative_slope)
+    return y.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _tap_merged_vjp(x, w, b, negative_slope, interpret):
+    return _tap_merged_impl(x, w, b, negative_slope, interpret)
+
+
+def _tap_merged_fwd(x, w, b, negative_slope, interpret):
+    return _tap_merged_impl(x, w, b, negative_slope, interpret), (x, w, b)
+
+
+def _tap_merged_bwd(negative_slope, interpret, res, dy):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x_, w_, b_: _xla_reference(x_, w_, b_, negative_slope), x, w, b)
+    return vjp(dy)
+
+
+_tap_merged_vjp.defvjp(_tap_merged_fwd, _tap_merged_bwd)
+
+
+def _tap_merged_impl(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    negative_slope: Optional[float],
+    interpret: bool,
+) -> jnp.ndarray:
     N, D, H, W, ci = x.shape
     kd, kh, kw, _, co = w.shape
     assert (kd, kh, kw) == (3, 3, 3), "kernel specialized for 3x3x3"

@@ -82,13 +82,13 @@ def _merge_bn_stats(params: Any, new_stats: Dict[str, Any]) -> Any:
             for b, s in zip(params["bottleneck"], new_stats["bottleneck"])
         ],
         "decoder": [
+            # dict(stage) preserves non-BN keys (e.g. "attn" on axial models)
             {
-                "up": stage["up"],
+                **stage,
                 "blocks": [
                     merge_block(b, s)
                     for b, s in zip(stage["blocks"], stage_stats)
                 ],
-                "seg": stage["seg"],
             }
             for stage, stage_stats in zip(params["decoder"], new_stats["decoder"])
         ],

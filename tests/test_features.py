@@ -295,3 +295,20 @@ def test_llm_summary_laterality_validation():
     assert not bad["consistent"] and "mismatch" in bad["warning"].lower()
     bil = _validate_laterality({"hemisphere": "bilateral"}, {"tumor_hemisphere": "left"})
     assert bil["consistent"]
+
+
+def test_run_all_zero_tumor_segmentation(tmp_path, synth_case):
+    """Every step and the report chain must survive a no-tumor prediction
+    (regression: step 4's empty shape descriptors crashed the text summary)."""
+    from braintpu.io import nifti
+
+    seg_path = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
+    img = nifti.load(str(seg_path))
+    empty = tmp_path / "empty_seg.nii.gz"
+    nifti.save(np.zeros_like(np.asarray(img.dataobj)), str(empty), affine=img.affine)
+    out = tmp_path / "fe0"
+    results = run_all_steps(synth_case, empty, out)
+    assert (out / "llm_ready_summary.json").exists()
+    assert (out / "radiology_report.txt").exists()
+    s4 = results["step4_morphology"]["shape_descriptors"]
+    assert s4["shape_classification"] == "No tumor"

@@ -180,3 +180,17 @@ def test_engine_label_vs_softmax_ensemble(synth_case):
         models=[b1, b2], tta=False, ensemble="label"
     ).predict_case_array(data)
     assert seg_soft.shape == seg_label.shape
+
+
+def test_calculate_volumes_internal_convention():
+    """Internal space swaps 1=ED / 2=NCR relative to BraTS (labels/convert.py);
+    volumes must follow the convention or NCR/ED (and TC) come out swapped."""
+    seg = np.zeros((10, 10, 10), np.uint8)
+    seg[:2] = 1  # internal 1 = ED (200 voxels)
+    seg[2:4] = 2  # internal 2 = NCR (200)
+    seg[4:5] = 3  # ET (100)
+    v = calculate_volumes(seg, voxel_volume_cm3=0.001, et_label=3, convention="internal")
+    assert v["ED"] == pytest.approx(0.2)
+    assert v["NCR"] == pytest.approx(0.2)
+    assert v["TC"] == pytest.approx(0.3)  # NCR + ET, not ED + ET
+    assert v["WT"] == pytest.approx(0.5)

@@ -92,3 +92,57 @@ def test_eligibility_and_planning():
 def test_choose_impl_on_cpu_is_decomp():
     # dispatch never selects TPU-only paths on the CPU backend
     assert _choose_impl((8, 128, 128, 128, 32), (3, 3, 3), (1, 1, 1), 32) == "decomp2d"
+
+
+def test_merged2d_kd5_matches_xla():
+    """Depth-shift algebra must hold for any odd kd, not just 3."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = _rand(k1, (1, 8, 8, 8, 8))
+    w = _rand(k2, (5, 3, 3, 8, 8), 0.1)
+    b = _rand(k3, (8,), 0.1)
+    ref = _conv3d_xla(x, w, b, (1, 1, 1), jnp.float32)
+    got = _conv3d_merged2d(x, w, b, (1, 1, 1), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_conv_grad_matches_xla():
+    """custom_vjp backward (XLA reference) vs direct XLA grads."""
+    from braintpu.ops.conv3d_pallas import _xla_reference
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(8), 3)
+    x = _rand(k1, (1, 4, 8, 128, 8))
+    w = _rand(k2, (3, 3, 3, 8, 8), 0.1)
+    b = _rand(k3, (8,), 0.1)
+
+    # Linear loss + no fused activation: the cotangent is independent of the
+    # (bf16) forward values, so the custom backward must match the reference
+    # VJP exactly up to f32 rounding.
+    cot = _rand(jax.random.PRNGKey(10), (1, 4, 8, 128, 8))
+
+    def loss_pallas(x, w, b):
+        return jnp.sum(conv3d_tap_merged(x, w, b, None, True).astype(jnp.float32) * cot)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_xla_reference(x, w, b, None).astype(jnp.float32) * cot)
+
+    gx, gw, gb = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+    rx, rw, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-3, rtol=1e-3)
+
+
+def test_explicit_pallas_impl_falls_back_safely():
+    """conv_impl='pallas' with stride-2 / f32 / non-3^3 kernels must compute
+    the CORRECT conv via fallback (stride was previously discarded)."""
+    from braintpu.models.unet3d import _conv3d_pallas
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    x = _rand(k1, (1, 8, 8, 8, 4))
+    w = _rand(k2, (3, 3, 3, 4, 8), 0.1)
+    b = jnp.zeros((8,), jnp.float32)
+    for stride in [(2, 2, 2), (1, 1, 1)]:
+        ref = _conv3d_xla(x, w, b, stride, jnp.float32)
+        got = _conv3d_pallas(x, w, b, stride, jnp.float32)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

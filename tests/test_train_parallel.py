@@ -197,3 +197,27 @@ def test_fold_parallel_forward_matches_serial():
     fwd = make_fold_parallel_forward(cfg, mesh, num_folds=5)
     got = fwd(padded, w, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(serial), atol=2e-5)
+
+
+def test_train_step_axial_preserves_attn():
+    """BN-stat merge must keep non-BN decoder keys (attn) and stay
+    optimizer-compatible across steps (regression: attn params were dropped
+    after step 1, silently disabling attention and breaking optax)."""
+    cfg = tiny_cfg(
+        axial_attention=True, attn_heads=2, attn_dim_head=4,
+        no_attention_levels=(0,),
+    )
+    tc = TrainConfig(base_lr=1e-3, max_steps=10)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    assert "attn" in params["decoder"][1]
+    # snapshot before train_step donates (and deletes) the param buffers
+    w0 = np.asarray(params["decoder"][1]["attn"]["axes"][0]["qkv"]).copy()
+    state = create_train_state(params, tc)
+    batch = make_batch()
+    state, m1 = train_step(state, batch, cfg, tc)
+    assert "attn" in state.params["decoder"][1]
+    state, m2 = train_step(state, batch, cfg, tc)  # step 2 exercised optax merge
+    assert np.isfinite(float(m2["loss"]))
+    # attention params actually receive gradients
+    w2 = np.asarray(state.params["decoder"][1]["attn"]["axes"][0]["qkv"])
+    assert not np.allclose(w0, w2)

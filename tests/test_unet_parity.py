@@ -268,3 +268,32 @@ def test_axial_attention_chunked_matches_unchunked(monkeypatch):
     monkeypatch.setattr(axial, "_MAX_LOGIT_BYTES", 8 * 1024)
     chunked = axial.apply_axial_attention(params, x, dim_head=4)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=0, atol=1e-6)
+
+
+def test_config_from_plans_rejects_anisotropic_kernels():
+    """Uniform-kernel UNetConfig must not silently adopt stage-0 kernels from
+    an anisotropic plan; per-stage topologies belong to the modular U-Net."""
+    import pytest
+    from braintpu.models.plans import config_from_plans
+
+    plans = {
+        "plans_per_stage": {
+            0: {
+                "patch_size": (128, 128, 128),
+                "pool_op_kernel_sizes": [[1, 2, 2], [2, 2, 2]],
+                "conv_kernel_sizes": [[1, 3, 3], [3, 3, 3], [3, 3, 3]],
+                "current_spacing": (1.0, 1.0, 1.0),
+                "batch_size": 2,
+            }
+        },
+        "num_modalities": 4,
+        "num_classes": 3,
+        "base_num_features": 32,
+        "all_classes": [1, 2, 3],
+        "normalization_schemes": {},
+        "use_mask_for_norm": {},
+        "transpose_forward": [0, 1, 2],
+        "transpose_backward": [0, 1, 2],
+    }
+    with pytest.raises(ValueError, match="anisotropic"):
+        config_from_plans(plans)
