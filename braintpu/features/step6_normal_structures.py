@@ -134,6 +134,16 @@ def analyze_parenchyma(ctx: FeatureContext) -> Dict:
         return {
             "assessment": "Unable to assess",
             "note": "Insufficient normal brain tissue for analysis",
+            # keys the text summary renders unconditionally
+            "periventricular_assessment": {
+                "white_matter_disease": False,
+                "description": "Could not assess",
+            },
+            "gray_white_differentiation": {
+                "assessment": "Could not assess",
+                "note": "Insufficient normal brain tissue for analysis",
+            },
+            "overall_assessment": "Could not assess",
         }
     v = ctx.voxel_volume_cm3
 

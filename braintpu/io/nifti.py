@@ -267,7 +267,13 @@ def load(path: Union[str, os.PathLike]) -> NiftiImage:
     )
 
 
-def _build_header(data: np.ndarray, affine: np.ndarray, descrip: str) -> bytes:
+def _build_header(
+    data: np.ndarray,
+    affine: np.ndarray,
+    descrip: str,
+    scl_slope: float = 1.0,
+    scl_inter: float = 0.0,
+) -> bytes:
     dtype = np.dtype(data.dtype).newbyteorder("=")
     if dtype not in _CODE_FROM_DTYPE:
         raise NiftiError(f"unsupported dtype for NIfTI write: {dtype}")
@@ -302,7 +308,7 @@ def _build_header(data: np.ndarray, affine: np.ndarray, descrip: str) -> bytes:
     struct.pack_into("<2h", hdr, 70, code, bitpix)
     struct.pack_into("<8f", hdr, 76, *pixdim)
     struct.pack_into("<f", hdr, 108, float(_VOX_OFFSET))
-    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl_slope, scl_inter
+    struct.pack_into("<2f", hdr, 112, float(scl_slope), float(scl_inter))
     # xyzt_units: mm (2) | sec (8)
     hdr[123] = 2 | 8
     desc = descrip.encode("latin-1", "replace")[:79]
@@ -326,17 +332,21 @@ def save(
 
     ``save(img, path)`` or ``save(array, path, affine=...)``.
     """
+    scl_slope, scl_inter = 1.0, 0.0
     if isinstance(img_or_data, NiftiImage):
         data = np.asarray(img_or_data.dataobj)
         affine = img_or_data.affine
         descrip = img_or_data.descrip or descrip
+        # dataobj holds UNSCALED on-disk values; dropping the scaling here
+        # would silently change effective intensities on a load/save round-trip
+        scl_slope, scl_inter = img_or_data.scl_slope, img_or_data.scl_inter
     else:
         data = np.asarray(img_or_data)
         if affine is None:
             affine = np.eye(4)
 
     data = np.ascontiguousarray(data.T).T  # ensure Fortran-contiguous view semantics
-    hdr = _build_header(data, affine, descrip)
+    hdr = _build_header(data, affine, descrip, scl_slope, scl_inter)
     body = data.astype(data.dtype.newbyteorder("="), copy=False).tobytes(order="F")
     payload = hdr + b"\x00\x00\x00\x00" + body
 

@@ -37,7 +37,12 @@ from ..features.context import NumpyJSONEncoder
 from ..infer.engine import InferenceEngine
 from ..io import nifti
 from ..io.brats import find_cases, rename_brats2025_folder
-from ..labels.convert import internal_to_brats2025
+from ..labels.convert import (
+    brats2021_to_brats2025,
+    brats2025_to_brats2021,
+    internal_to_brats2021,
+    internal_to_brats2025,
+)
 from ..metrics import evaluate_segmentation
 from ..report import generate_pdf_report, generate_report_from_summary, refine_report
 from ..report.llm import GeminiClient
@@ -90,6 +95,9 @@ class PipelineResult:
     report_text: Optional[str] = None
     summary: Dict[str, Any] = field(default_factory=dict)
     events: List[StageEvent] = field(default_factory=list)
+    # per-run journal handle — lives on the result (not the Pipeline) so one
+    # Pipeline instance can run concurrent jobs from multiple threads
+    journal_fh: Optional[Any] = field(default=None, repr=False, compare=False)
 
     @property
     def succeeded(self) -> bool:
@@ -108,7 +116,6 @@ class Pipeline:
         self.engine = engine
         self.config = config or PipelineConfig()
         self.on_event = on_event
-        self._journal_fh = None
 
     # -- events -------------------------------------------------------------
 
@@ -117,9 +124,9 @@ class Pipeline:
         result.events.append(event)
         if self.on_event:
             self.on_event(event)
-        if self._journal_fh:
-            self._journal_fh.write(json.dumps(event.as_dict(), cls=NumpyJSONEncoder) + "\n")
-            self._journal_fh.flush()
+        if result.journal_fh:
+            result.journal_fh.write(json.dumps(event.as_dict(), cls=NumpyJSONEncoder) + "\n")
+            result.journal_fh.flush()
 
     # -- main ---------------------------------------------------------------
 
@@ -140,7 +147,7 @@ class Pipeline:
             out = Path(self.config.output_root) / case.case_id
             result.output_folder = out
             out.mkdir(parents=True, exist_ok=True)
-            self._journal_fh = open(out / "events.jsonl", "a")
+            result.journal_fh = open(out / "events.jsonl", "a")
             self._emit(result, "renaming", "ok", renamed=len(renamed), case_id=case.case_id)
 
             # stage 2: segmentation (ensemble sliding-window on device)
@@ -157,24 +164,41 @@ class Pipeline:
             )
 
             # stage 3: label conversion → BraTS-convention artifact
+            # (honors config.save_brats_convention: "brats2025" ET=3 or
+            # "brats2021" ET=4; ref convert_labels_to_brats.py:34-55)
             self._emit(result, "converting", "start")
-            img = nifti.load(seg_path)
-            if self.engine.output_convention == "internal":
-                seg_brats = np.asarray(internal_to_brats2025(seg)).astype(np.uint8)
+            _, affine, _ = nifti.load_header(seg_path)
+            want = self.config.save_brats_convention
+            have = self.engine.output_convention
+            if have == "internal":
+                conv = (
+                    internal_to_brats2021 if want == "brats2021" else internal_to_brats2025
+                )
+                seg_brats = np.asarray(conv(seg)).astype(np.uint8)
+            elif have != want:
+                conv = (
+                    brats2025_to_brats2021 if want == "brats2021" else brats2021_to_brats2025
+                )
+                seg_brats = np.asarray(conv(seg)).astype(np.uint8)
             else:
                 seg_brats = seg.astype(np.uint8)
             brats_path = out / f"{case.case_id}_brats.nii.gz"
-            nifti.save(seg_brats, brats_path, affine=img.affine)
-            self._emit(result, "converting", "ok", path=str(brats_path))
+            nifti.save(seg_brats, brats_path, affine=affine)
+            self._emit(result, "converting", "ok", path=str(brats_path), convention=want)
 
             # stage 4: evaluation against ground truth (when shipped;
-            # ground truth ships in BraTS label space)
+            # ground truth ships in BraTS label space — 2021 datasets use
+            # ET=4, 2025 use ET=3).  Normalize BOTH sides to 2025 space so
+            # the WT/TC/ET compounds see the same labels regardless of the
+            # dataset vintage or the configured save convention.
             if self.config.evaluate_if_gt and case.seg_path is not None:
                 self._emit(result, "evaluating", "start")
                 gt = np.round(
                     nifti.load(case.seg_path).get_fdata(dtype=np.float32)
                 ).astype(np.int32)
-                metrics = evaluate_segmentation(seg_brats, gt)
+                gt_eval = np.asarray(brats2021_to_brats2025(gt)).astype(np.int32)
+                pred_eval = np.asarray(brats2021_to_brats2025(seg_brats)).astype(np.int32)
+                metrics = evaluate_segmentation(pred_eval, gt_eval)
                 result.metrics = metrics
                 with open(out / "evaluation.json", "w") as f:
                     json.dump(metrics, f, indent=2, cls=NumpyJSONEncoder)
@@ -266,6 +290,6 @@ class Pipeline:
                 raise
             return result
         finally:
-            if self._journal_fh:
-                self._journal_fh.close()
-                self._journal_fh = None
+            if result.journal_fh:
+                result.journal_fh.close()
+                result.journal_fh = None

@@ -173,7 +173,9 @@ class VectorStore:
     # -- persistence --------------------------------------------------------
 
     def save(self, path) -> None:
-        path = os.fspath(path)
+        # np.savez appends ".npz" to extensionless paths; normalize here so
+        # save(p) / load_vector_store(p) round-trip with the same string
+        path = _npz_path(path)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         docs_json = json.dumps([asdict(d) for d in self.docs])
         extra = {}
@@ -208,8 +210,13 @@ def build_vector_store(
     return VectorStore(docs, matrix, embedder)
 
 
+def _npz_path(path) -> str:
+    path = os.fspath(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def load_vector_store(path, embedder=None) -> VectorStore:
-    with np.load(os.fspath(path)) as z:
+    with np.load(_npz_path(path)) as z:
         docs_json = bytes(z["docs"]).decode()
         matrix = z["matrix"]
         saved_embedder = bytes(z["embedder"]).decode()

@@ -11,14 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-__all__ = ["extract_facts", "MIDLINE_SHIFT_THRESHOLD_MM", "NECROSIS_THRESHOLDS", "EDEMA_THRESHOLDS"]
-
-EDEMA_THRESHOLDS = {
-    "minimal": (0, 0.15),
-    "moderate": (0.15, 0.40),
-    "significant": (0.40, 0.65),
-    "extensive": (0.65, 1.0),
-}
+__all__ = ["extract_facts", "MIDLINE_SHIFT_THRESHOLD_MM", "NECROSIS_THRESHOLDS"]
 
 MIDLINE_SHIFT_THRESHOLD_MM = 2.0
 

@@ -108,10 +108,24 @@ def _edema(facts: Dict) -> str:
     )
 
 
+#: step2 emits "Left to right"/"Right to left"; the report sentence (and the
+#: slot's allowed_values) want the DESTINATION side only.  Plain
+#: "left"/"right" pass through; anything else ("Unknown", "Not applicable")
+#: drops the direction clause rather than garbling the sentence.
+_SHIFT_DIRECTION_WORD = {
+    "left to right": "right",
+    "right to left": "left",
+    "left": "left",
+    "right": "right",
+}
+
+
 def _mass_effect(facts: Dict) -> str:
     if facts["shift_significant"]:
         shift = round(facts["midline_shift_mm"], 1)
-        direction = facts.get("shift_direction", "")
+        direction = _SHIFT_DIRECTION_WORD.get(
+            facts.get("shift_direction", "").strip().lower(), ""
+        )
         if direction:
             return (
                 f"There is approximately {shift} mm of midline shift to the "

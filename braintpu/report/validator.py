@@ -155,6 +155,7 @@ class SlotValidator:
 
         if sanitized not in _SENTINELS:
             violations.extend(self._concept_violations(slot_name, content))
+            violations.extend(self.check_sentence_integrity(sanitized))
 
         if sanitized in _SENTINELS:
             fallback = self.get_fallback(slot_name)

@@ -22,6 +22,8 @@ pipeline runs in a background thread per job via :class:`JobStore`
 from __future__ import annotations
 
 import base64
+import dataclasses
+import gzip
 import json
 import re
 import threading
@@ -68,9 +70,9 @@ class AnalysisServer:
     ):
         root = Path(root)
         self.jobs = JobStore(root / "sessions", root / "results")
-        cfg = pipeline_config or PipelineConfig(output_root=root / "results")
-        cfg.output_root = root / "results"
-        self.pipeline = Pipeline(engine, cfg)
+        self.engine = engine
+        self.pipeline_config = pipeline_config or PipelineConfig()
+        self.results_root = root / "results"
         self.assistant = assistant or RagAssistant()
         self._rag_lock = threading.Lock()
 
@@ -80,11 +82,19 @@ class AnalysisServer:
         record = self.jobs.create_job(case_id)
         input_dir = Path(record["input_dir"])
         for mod, data in files.items():
+            if data[:2] != b"\x1f\x8b":  # bare .nii upload → gzip it
+                data = gzip.compress(data)
             suffix = f"_{mod}.nii.gz" if not mod.endswith(".nii.gz") else mod
             (input_dir / f"{case_id}{suffix}").write_bytes(data)
+        # one Pipeline per job: run_case state stays private to the thread,
+        # and outputs land under the job-scoped results dir
+        cfg = dataclasses.replace(
+            self.pipeline_config, output_root=self.results_root / record["job_id"]
+        )
+        pipeline = Pipeline(self.engine, cfg)
         self.jobs.launch(
             record["job_id"],
-            lambda rec: self.pipeline.run_case(Path(rec["input_dir"])),
+            lambda rec: pipeline.run_case(Path(rec["input_dir"])),
         )
         return record["job_id"]
 
@@ -238,7 +248,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(
                 400, {"detail": f"Missing required modality files: {', '.join(missing)}"}
             )
-        job_id = app.start_job(case_id, files)
+        try:
+            job_id = app.start_job(case_id, files)
+        except ValueError as exc:  # unsafe case_id
+            return self._send(400, {"detail": str(exc)})
         return self._send(200, {"job_id": job_id})
 
 

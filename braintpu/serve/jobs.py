@@ -15,13 +15,28 @@ reference's ``STAGE_MAP`` (ref api.py:74-146).
 from __future__ import annotations
 
 import json
+import re
 import threading
 import time
 import uuid
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
 
-__all__ = ["STAGE_PROGRESS", "JobStore"]
+__all__ = ["STAGE_PROGRESS", "JobStore", "validate_case_id"]
+
+#: case_id is interpolated into filesystem paths; restrict it to a safe
+#: charset (no separators, no leading dot) to block path traversal from the
+#: upload endpoint.
+_CASE_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def validate_case_id(case_id: str) -> str:
+    if not _CASE_ID_RE.fullmatch(case_id or "") or ".." in case_id:
+        raise ValueError(
+            "invalid case_id: use letters, digits, '.', '_' or '-' "
+            "(max 128 chars, no leading '.')"
+        )
+    return case_id
 
 #: stage → (status, progress_pct), matching the reference's STAGE_MAP.
 STAGE_PROGRESS = {
@@ -51,6 +66,7 @@ class JobStore:
     # -- creation -----------------------------------------------------------
 
     def create_job(self, case_id: str) -> Dict[str, Any]:
+        case_id = validate_case_id(case_id)
         job_id = uuid.uuid4().hex[:12]
         input_dir = self.sessions_dir / job_id / "input" / case_id
         input_dir.mkdir(parents=True, exist_ok=True)
@@ -104,7 +120,10 @@ class JobStore:
         record = self.get(job_id)
         if record is None:
             return None
-        return self.results_dir / record["case_id"]
+        # results are scoped PER JOB (results/<job>/<case>): keying off the
+        # bare case_id would let a re-submitted case read the previous job's
+        # status/artifacts and append to its event journal.
+        return self.results_dir / record["job_id"] / record["case_id"]
 
     def status(self, job_id: str) -> Optional[Dict[str, Any]]:
         """{status, stage, progress_pct, error_message} from the event journal."""

@@ -120,3 +120,25 @@ def test_framework_config_validation(tmp_path):
     p2.write_text(json.dumps(bad2))
     with pytest.raises(ValueError, match="unknown"):
         load_config(p2)
+
+
+def test_pipeline_evaluates_brats2021_ground_truth(tmp_path, synth_case, tiny_engine):
+    """BraTS-2021 GT uses ET=4; evaluation must remap it (regression: ET=4
+    fell outside every compound region, so dice collapsed silently)."""
+    import numpy as np
+
+    from braintpu.io import nifti
+    from braintpu.pipeline import Pipeline, PipelineConfig
+
+    # rewrite the shipped GT into 2021 convention (ET 3 -> 4)
+    gt_path = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
+    img = nifti.load(gt_path)
+    gt = np.asarray(img.dataobj).copy()
+    gt[gt == 3] = 4
+    nifti.save(gt.astype(np.int16), gt_path, affine=img.affine)
+
+    pipe = Pipeline(tiny_engine, PipelineConfig(output_root=tmp_path / "res", generate_pdf=False))
+    result = pipe.run_case(synth_case)
+    assert result.succeeded, result.summary.get("traceback")
+    assert result.metrics is not None
+    assert result.metrics["mean_dice"] is not None

@@ -218,3 +218,20 @@ def test_pdf_multi_page(tmp_path):
     generate_pdf_report(long_report, out)
     data = out.read_bytes()
     assert data.count(b"/Type /Page ") >= 2 or b"/Count 2" in data or b"/Count 3" in data
+
+
+def test_mass_effect_slot_maps_step2_direction_phrases():
+    """step2 emits 'Left to right'; the sentence must render the destination
+    side, never the raw phrase ('shift to the Left to right')."""
+    from braintpu.report.slots import _mass_effect
+
+    base = {"shift_significant": True, "midline_shift_mm": 6.0}
+    s = _mass_effect({**base, "shift_direction": "Left to right"})
+    assert "shift to the right." in s and "Left to" not in s
+    s = _mass_effect({**base, "shift_direction": "Right to left"})
+    assert "shift to the left." in s
+    s = _mass_effect({**base, "shift_direction": "right"})
+    assert "shift to the right." in s
+    # unknown phrasing: drop the direction clause rather than garble it
+    s = _mass_effect({**base, "shift_direction": "Unknown"})
+    assert "to the" not in s and "midline shift" in s

@@ -158,3 +158,78 @@ def test_full_job_cycle(server, synth_case):
     code, resp, _ = _req(server + "/api/jobs")
     assert code == 200
     assert any(j["job_id"] == job_id for j in json.loads(resp)["jobs"])
+
+
+def test_analyze_rejects_traversal_case_id(server, synth_case):
+    """case_id feeds filesystem paths; traversal attempts must 400."""
+    files = _case_files(synth_case)
+    for evil in ("../../tmp/evil", "a/b", "..", ".hidden"):
+        body, ctype = _multipart({"case_id": evil}, files)
+        code, resp, _ = _req(
+            server + "/api/analyze", data=body, headers={"Content-Type": ctype}, method="POST"
+        )
+        assert code == 400, (evil, resp)
+        assert b"invalid case_id" in resp
+
+
+def test_resubmitted_case_id_gets_fresh_job_state(server, synth_case):
+    """Two jobs with the SAME case_id must not share status/artifacts
+    (regression: results were keyed on case_id, so job 2 reported job 1's
+    completed state instantly)."""
+    files = _case_files(synth_case)
+    body, ctype = _multipart({"case_id": "BraTS-GLI-99999-000"}, files)
+
+    def submit():
+        code, resp, _ = _req(
+            server + "/api/analyze", data=body, headers={"Content-Type": ctype}, method="POST"
+        )
+        assert code == 200, resp
+        return json.loads(resp)["job_id"]
+
+    job1 = submit()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        code, resp, _ = _req(server + f"/api/status/{job1}")
+        if json.loads(resp)["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert json.loads(resp)["status"] == "done"
+
+    job2 = submit()
+    assert job2 != job1
+    code, resp, _ = _req(server + f"/api/status/{job2}")
+    first_status = json.loads(resp)
+    # job 2 must start from its own (running) state, not inherit job 1's
+    # finished results; eventually it completes on its own.
+    while time.time() < deadline:
+        code, resp, _ = _req(server + f"/api/status/{job2}")
+        if json.loads(resp)["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert json.loads(resp)["status"] == "done"
+    assert first_status["status"] in ("running", "queued", "done")
+
+
+def test_bare_nii_upload_is_gzipped(server, synth_case):
+    """Uncompressed .nii uploads must be stored readable (gzipped server-side)."""
+    import gzip as _gzip
+
+    files = {
+        mod: _gzip.decompress(data) if data[:2] == b"\x1f\x8b" else data
+        for mod, data in _case_files(synth_case).items()
+    }
+    body, ctype = _multipart({"case_id": "BARE-NII-0001"}, files)
+    code, resp, _ = _req(
+        server + "/api/analyze", data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    assert code == 200, resp
+    job_id = json.loads(resp)["job_id"]
+    deadline = time.time() + 120
+    status = None
+    while time.time() < deadline:
+        code, resp, _ = _req(server + f"/api/status/{job_id}")
+        status = json.loads(resp)
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(1)
+    assert status and status["status"] == "done", status
