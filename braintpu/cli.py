@@ -61,7 +61,9 @@ def load_engine(args):
                         f"checkpoint for {name}/fold_{f} not found under "
                         f"{args.checkpoints!r}; pass --random-weights for a dry run"
                     )
-                loaded = init_params(cfg, jax.random.PRNGKey(hash((name, f)) % 2**31))
+                # stable seed (hash() is salted per process → irreproducible)
+                seed = selected.index(name) * 1000 + f
+                loaded = init_params(cfg, jax.random.PRNGKey(seed))
             fold_params.append(loaded)
         bundles.append(ModelBundle.from_folds(cfg, fold_params, name=name))
 
@@ -70,14 +72,21 @@ def load_engine(args):
         tta=not args.no_tta,
         ensemble=args.ensemble,
         et_min_voxels=0 if args.no_et_postprocess else 200,
-        output_convention="internal",
+        output_convention=getattr(args, "convention", None) or "internal",
     )
 
 
-def _add_engine_args(p):
+def _add_engine_args(p, convention_default=None):
     p.add_argument("--checkpoints", help="checkpoint root (model{1,2}/fold_N.npz or torch layout)")
     p.add_argument("--models", default="model1,model2", help="comma list: model1,model2")
     p.add_argument("--folds", type=int, default=5)
+    if convention_default:
+        p.add_argument(
+            "--convention",
+            choices=["internal", "brats2025", "brats2021"],
+            default=convention_default,
+            help="label convention of saved segmentations",
+        )
     p.add_argument("--no-tta", action="store_true")
     p.add_argument("--ensemble", choices=["softmax", "label"], default="softmax")
     p.add_argument("--no-et-postprocess", action="store_true")
@@ -187,8 +196,10 @@ def cmd_report(args):
 
     if args.summary:
         summary_path = Path(args.summary)
-    else:
+    elif args.results_folder:
         summary_path = Path(args.results_folder) / "feature_extraction" / "llm_ready_summary.json"
+    else:
+        raise SystemExit("report: pass --summary or --results-folder")
     with open(summary_path) as f:
         summary = json.load(f)
     report, vlog, _ = generate_report_from_summary(summary)
@@ -387,7 +398,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("segment", help="ensemble segmentation only")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    _add_engine_args(p)
+    # standalone segment saves BraTS-2025 labels by default so the output is
+    # directly usable by `evaluate` and external BraTS tools (the pipeline
+    # keeps "internal" and converts in its own stage)
+    _add_engine_args(p, convention_default="brats2025")
     p.set_defaults(fn=cmd_segment)
 
     p = sub.add_parser("convert-labels", help="internal labels → BraTS convention")

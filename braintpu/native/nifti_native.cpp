@@ -139,9 +139,22 @@ int decode_f32(const std::vector<unsigned char>& raw, float* out, int64_t capaci
   int rc = parse_header(raw.data(), raw.size(), &h);
   if (rc != OK) return rc;
   int64_t n = num_voxels(h);
-  if (n > capacity) return ERR_CAPACITY;
+  if (n <= 0 || n > capacity) return ERR_CAPACITY;
   size_t offset = static_cast<size_t>(h.vox_offset > 0 ? h.vox_offset : 352);
-  if (raw.size() < offset + n * (h.bitpix / 8)) return ERR_HEADER;
+  // Bounds-check with the DECODED type's size, not the header's bitpix —
+  // a crafted file with datatype=64 / bitpix=8 would otherwise pass the
+  // check but convert_loop<double> reads 8 bytes per voxel (heap overread;
+  // reachable from untrusted uploads via /api/analyze).
+  size_t elem_size;
+  switch (h.datatype) {
+    case 2: case 256:            elem_size = 1; break;
+    case 4: case 512:            elem_size = 2; break;
+    case 8: case 768: case 16:   elem_size = 4; break;
+    case 64:                     elem_size = 8; break;
+    default:                     return ERR_DTYPE;
+  }
+  if (raw.size() < offset || raw.size() - offset < static_cast<size_t>(n) * elem_size)
+    return ERR_HEADER;
   const unsigned char* src = raw.data() + offset;
   float slope = (h.scl_slope == 0.0f || h.scl_slope != h.scl_slope) ? 1.0f : h.scl_slope;
   float inter = (h.scl_inter != h.scl_inter) ? 0.0f : h.scl_inter;
@@ -165,11 +178,17 @@ extern "C" {
 
 int nifti_read_header(const char* path, int64_t* out_dims, int32_t* out_datatype,
                       float* out_affine, float* out_zooms) {
-  std::vector<unsigned char> raw;
-  int rc = read_all(path, raw);
-  if (rc != OK) return rc;
+  // Header-only: inflate just the first 352 bytes instead of the whole file
+  // (read_all would decompress the full multi-MB payload twice per batch
+  // read — once here and once in nifti_read_batch_f32).
+  unsigned char buf[352];
+  gzFile f = gzopen(path, "rb");
+  if (!f) return ERR_OPEN;
+  int n = gzread(f, buf, sizeof(buf));
+  gzclose(f);
+  if (n < 0) return ERR_GZIP;
   Header h;
-  rc = parse_header(raw.data(), raw.size(), &h);
+  int rc = parse_header(buf, static_cast<size_t>(n), &h);
   if (rc != OK) return rc;
   for (int i = 0; i < 8; ++i) out_dims[i] = h.dim[i];
   *out_datatype = h.datatype;

@@ -77,7 +77,19 @@ def make_fold_parallel_forward(
         local, _ = jax.lax.scan(fold_step, acc0, (local_params, local_w))
         return jax.lax.psum(local, axis)
 
-    return jax.jit(fwd)
+    jfwd = jax.jit(fwd)
+
+    def call(params_padded, weights, patches):
+        lead = jax.tree_util.tree_leaves(params_padded)[0].shape[0]
+        if lead % n != 0 or weights.shape[0] != lead or lead < num_folds:
+            raise ValueError(
+                f"fold axis {lead} must be a multiple of mesh axis {n}, match "
+                f"weights ({weights.shape[0]}) and cover num_folds={num_folds} "
+                "— pad with pad_folds_for_axis first"
+            )
+        return jfwd(params_padded, weights, patches)
+
+    return call
 
 
 def pad_folds_for_axis(
@@ -86,8 +98,12 @@ def pad_folds_for_axis(
     """Pad the fold axis to a multiple of ``axis_size``; zero-weight the pads."""
     pad = (-num_folds) % axis_size
     if pad:
+        # tile existing folds as padding (pad may exceed num_folds, e.g.
+        # 5 folds on a 16-device axis → 11 pad entries)
+        reps = -(-pad // num_folds)
         params_stacked = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate([x, x[:pad]], axis=0), params_stacked
+            lambda x: jnp.concatenate([x] + [x] * reps, axis=0)[: num_folds + pad],
+            params_stacked,
         )
     w = jnp.concatenate(
         [jnp.full((num_folds,), 1.0 / num_folds), jnp.zeros((pad,))]
@@ -105,11 +121,20 @@ def shard_train_state(
     Returns (sharded_state, state_shardings_pytree).
     """
     p_sh = param_shardings(state.params, cfg, mesh)
+    param_struct = jax.tree_util.tree_structure(state.params)
+
+    def _is_params_like(sub) -> bool:
+        return jax.tree_util.tree_structure(sub) == param_struct
 
     def opt_item_shardings(item):
-        if hasattr(item, "trace"):  # SGD momentum mirrors params
-            return item._replace(trace=p_sh)
-        return jax.tree_util.tree_map(lambda _: replicated(mesh), item)
+        # Optax chain states nest (e.g. (EmptyState, (TraceState, ...)));
+        # any params-structured sub-tree is a momentum-like buffer and
+        # mirrors the parameter layout; everything else is replicated.
+        return jax.tree_util.tree_map(
+            lambda sub: p_sh if _is_params_like(sub) else replicated(mesh),
+            item,
+            is_leaf=_is_params_like,
+        )
 
     opt_sh = tuple(opt_item_shardings(item) for item in state.opt_state)
     shardings = TrainState(params=p_sh, opt_state=opt_sh, step=replicated(mesh))

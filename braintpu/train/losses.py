@@ -65,8 +65,14 @@ def dice_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def deep_supervision_weights(num_heads: int) -> jnp.ndarray:
-    """nnU-Net scheme: weight 1/2^i per scale, normalized to sum 1."""
-    w = jnp.asarray([1.0 / (2**i) for i in range(num_heads)], jnp.float32)
+    """nnU-Net scheme: weight 1/2^i per scale, with the coarsest head ZEROED
+    before normalizing (nnU-Net mutes the lowest-resolution output rather
+    than training it), then normalized to sum 1.
+    """
+    w = [1.0 / (2**i) for i in range(num_heads)]
+    if num_heads > 1:
+        w[-1] = 0.0
+    w = jnp.asarray(w, jnp.float32)
     return w / w.sum()
 
 

@@ -79,7 +79,10 @@ def visualize_case(
     rows = int(np.ceil(len(indices) / cols))
 
     written = []
-    for mi, mod in enumerate(modalities):
+    for mod in modalities:
+        # data is ALWAYS in canonical channel order; index by name so a
+        # subset/reordered `modalities` arg doesn't mislabel the panels
+        mi = MODALITIES.index(mod)
         fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 4 * rows))
         axes = np.atleast_1d(axes).ravel()
         for ax in axes:

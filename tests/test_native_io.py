@@ -104,3 +104,36 @@ def test_load_header_streams(tmp_path):
     assert shape == data.shape
     np.testing.assert_allclose(aff, affine, atol=1e-5)
     np.testing.assert_allclose(zooms, (1.0, 1.0, 1.5), atol=1e-5)
+
+
+def test_native_rejects_bitpix_dtype_mismatch(tmp_path):
+    """A header declaring datatype=64 (8 B/voxel) with bitpix=8 and a short
+    payload must be rejected, not overread (bounds were checked with bitpix)."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    from braintpu.io import nifti as pynifti
+    from braintpu.native import native_available, read_batch_f32
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    # build a valid 4x4x4 int16 file, then corrupt datatype to double
+    p = tmp_path / "evil.nii.gz"
+    data = np.arange(64, dtype=np.int16).reshape(4, 4, 4)
+    pynifti.save(data, p, affine=np.eye(4))
+    raw = bytearray(gzip.decompress(p.read_bytes()))
+    struct.pack_into("<h", raw, 70, 64)  # datatype=float64, bitpix stays 16
+    p.write_bytes(gzip.compress(bytes(raw)))
+
+    try:
+        out = read_batch_f32([str(p)])
+        # if the native path returned, it must have refused (fallback) or
+        # produced a correctly-sized array without crashing
+        assert out[0].shape == (4, 4, 4)
+    except (ValueError, RuntimeError, OSError):
+        pass  # explicit rejection is the expected outcome

@@ -67,6 +67,8 @@ def test_ds_weights_normalized():
     w = np.asarray(deep_supervision_weights(3))
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
     assert w[0] > w[1] > w[2]
+    assert w[2] == 0.0  # nnU-Net mutes the coarsest head
+    np.testing.assert_allclose(w[:2], [2 / 3, 1 / 3], rtol=1e-6)
 
 
 def test_train_step_reduces_loss():
@@ -221,3 +223,34 @@ def test_train_step_axial_preserves_attn():
     # attention params actually receive gradients
     w2 = np.asarray(state.params["decoder"][1]["attn"]["axes"][0]["qkv"])
     assert not np.allclose(w0, w2)
+
+
+def test_momentum_buffers_mirror_param_shardings():
+    """Optax momentum (TraceState.trace, nested inside the chain tuple) must
+    get the SAME TP shardings as params, not fall back to replication."""
+    import jax.tree_util as tu
+
+    from braintpu.parallel import make_mesh, shard_train_state
+
+    cfg = tiny_cfg(base_features=64, max_features=256)
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    state = create_train_state(init_params(cfg, jax.random.PRNGKey(0)), TrainConfig())
+    _, sh = shard_train_state(state, cfg, mesh)
+    n_p = sum(1 for s in tu.tree_leaves(sh.params) if "model" in str(s.spec))
+    n_m = sum(1 for s in tu.tree_leaves(sh.opt_state) if "model" in str(s.spec))
+    assert n_p > 0 and n_m == n_p
+
+
+def test_pad_folds_handles_axis_larger_than_twice_folds():
+    """pad > num_folds (5 folds on 16 devices) must still produce a full,
+    zero-weighted pad (regression: x[:pad] under-padded)."""
+    import numpy as np
+
+    from braintpu.parallel.distributed import pad_folds_for_axis
+
+    stacked = {"w": jnp.arange(5 * 3, dtype=jnp.float32).reshape(5, 3)}
+    padded, w = pad_folds_for_axis(stacked, 5, 16)
+    assert padded["w"].shape[0] == 16
+    assert w.shape[0] == 16
+    assert float(w.sum()) == pytest.approx(1.0)
+    assert np.all(np.asarray(w[5:]) == 0)
