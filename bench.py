@@ -63,6 +63,9 @@ def main() -> int:
 
     from braintpu.infer import InferenceEngine, ModelBundle
     from braintpu.models import MODEL1_BN, MODEL2_GN_LARGE, init_params
+    from braintpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm-up reflects cached compiles on reruns
 
     configs = [MODEL1_BN, MODEL2_GN_LARGE][: args.models]
     key = jax.random.PRNGKey(0)

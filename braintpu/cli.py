@@ -491,6 +491,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from .utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm restarts skip the ~60s XLA compile
     return args.fn(args)
 
 

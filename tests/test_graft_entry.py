@@ -24,3 +24,13 @@ def test_dryrun_multichip_executes():
     # conftest pins the cpu platform with 8 virtual devices before jax init,
     # which satisfies dryrun_multichip's own guard.
     graft.dryrun_multichip(8)
+
+
+def test_compilation_cache_helper(tmp_path):
+    from braintpu.utils.compcache import enable_compilation_cache
+
+    d = enable_compilation_cache(tmp_path / "xla")
+    assert d.endswith("xla")
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == d
