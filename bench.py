@@ -54,6 +54,13 @@ def main() -> int:
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--no-tta", action="store_true")
     ap.add_argument("--cases", type=int, default=2)
+    ap.add_argument(
+        "--mode",
+        choices=["sliding", "fullconv"],
+        default="sliding",
+        help="sliding: canonical nnU-Net recipe; fullconv: whole-volume "
+        "fully-convolutional accelerated mode (infer/fullconv.py)",
+    )
     args = ap.parse_args()
     if args.quick:
         args.models, args.folds = 1, 1
@@ -75,7 +82,7 @@ def main() -> int:
             init_params(cfg, jax.random.PRNGKey(i * 10 + f)) for f in range(args.folds)
         ]
         bundles.append(ModelBundle.from_folds(cfg, folds))
-    engine = InferenceEngine(models=bundles, tta=not args.no_tta)
+    engine = InferenceEngine(models=bundles, tta=not args.no_tta, mode=args.mode)
 
     data = synthetic_case()
 
@@ -108,6 +115,7 @@ def main() -> int:
             "models": args.models,
             "folds": args.folds,
             "tta": not args.no_tta,
+            "mode": args.mode,
             "cases_per_min_per_chip": round(60.0 / per_case, 2),
             "warmup_s": round(warm, 1),
             "device": str(jax.devices()[0]),

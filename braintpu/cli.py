@@ -73,6 +73,7 @@ def load_engine(args):
         ensemble=args.ensemble,
         et_min_voxels=0 if args.no_et_postprocess else 200,
         output_convention=getattr(args, "convention", None) or "internal",
+        mode=getattr(args, "mode", None) or "sliding",
     )
 
 
@@ -89,6 +90,13 @@ def _add_engine_args(p, convention_default=None):
         )
     p.add_argument("--no-tta", action="store_true")
     p.add_argument("--ensemble", choices=["softmax", "label"], default="softmax")
+    p.add_argument(
+        "--mode",
+        choices=["sliding", "fullconv"],
+        default="sliding",
+        help="sliding: canonical nnU-Net sliding window; fullconv: "
+        "whole-volume accelerated mode (see braintpu/infer/fullconv.py)",
+    )
     p.add_argument("--no-et-postprocess", action="store_true")
     p.add_argument("--random-weights", action="store_true", help="random init (demo/bench)")
 
@@ -115,6 +123,7 @@ def cmd_pipeline(args):
         engine = load_engine(args)
         engine.step_size = s.step_size
         engine.et_min_voxels = s.et_min_voxels
+        engine.mode = s.mode
         cfg = fc.pipeline_config()
     else:
         engine = load_engine(args)

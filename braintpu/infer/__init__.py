@@ -1,6 +1,7 @@
 """Inference engine: sliding-window + TTA + fold/model ensembling."""
 
 from .engine import InferenceEngine, ModelBundle, calculate_volumes, uncrop_labels
+from .fullconv import fullconv_predict, pad_multiple_target, predict_probs_fullconv
 from .gaussian import gaussian_importance_map, patch_grid, sliding_window_starts
 from .sliding_window import (
     default_mirror_chunk,
@@ -16,6 +17,9 @@ __all__ = [
     "ModelBundle",
     "calculate_volumes",
     "uncrop_labels",
+    "fullconv_predict",
+    "pad_multiple_target",
+    "predict_probs_fullconv",
     "gaussian_importance_map",
     "patch_grid",
     "sliding_window_starts",

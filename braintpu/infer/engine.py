@@ -34,6 +34,7 @@ from ..labels.postprocess import et_min_size_postprocess
 from ..models.unet3d import UNetConfig, fold_batchnorm
 from ..pre.preprocess import PreprocessResult, preprocess_case
 from ..pre.resample import resize_trilinear
+from .fullconv import pad_multiple_target, predict_probs_fullconv
 from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
 
 __all__ = ["ModelBundle", "InferenceEngine", "calculate_volumes", "uncrop_labels"]
@@ -107,33 +108,48 @@ class InferenceEngine:
     ensemble: str = "softmax"  # "softmax" (canonical) | "label" (repo parity)
     et_min_voxels: int = 200  # 0 disables; applied only in softmax mode
     output_convention: str = "brats2025"  # "brats2025" | "brats2021" | "internal"
+    #: "sliding" — canonical nnU-Net 128³/50 %-overlap Gaussian-blended
+    #: sliding window (bit-parity with the reference recipe).
+    #: "fullconv" — whole-volume fully-convolutional forward (~3× fewer
+    #: FLOPs; see infer/fullconv.py for the documented semantics deltas).
+    mode: str = "sliding"
 
     def predict_case_array(
         self, data_cxyz: np.ndarray
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
         """(C, X, Y, Z) float stack → (labels in output convention, info)."""
         t0 = time.perf_counter()
-        # pad to the largest patch across models so every model can tile it
-        patch = tuple(
-            max(m.cfg.patch_size[i] for m in self.models) for i in range(3)
-        )
         if len({m.cfg.num_classes for m in self.models}) != 1:
             raise ValueError("ensemble models must share num_classes")
-        pre = preprocess_case(data_cxyz, patch_size=patch)
+        if self.mode == "fullconv":
+            # every axis must divide through all pool stages of every model
+            div = max(2**m.cfg.num_pool for m in self.models)
+            pre = preprocess_case(data_cxyz, patch_size=(div,) * 3, pad_multiple=div)
+        else:
+            # pad to the largest patch across models so every model can tile it
+            patch = tuple(
+                max(m.cfg.patch_size[i] for m in self.models) for i in range(3)
+            )
+            pre = preprocess_case(data_cxyz, patch_size=patch)
         info: Dict[str, Any] = {"preprocess_s": time.perf_counter() - t0}
 
         t1 = time.perf_counter()
         vol = jnp.asarray(pre.data)  # one H2D transfer, shared across models
         per_model_probs = []
         for m in self.models:
-            probs = predict_probs(
-                m.params_stacked,
-                vol,
-                m.cfg,
-                step_size=self.step_size,
-                tta=self.tta,
-                folded=m.folded,
-            )
+            if self.mode == "fullconv":
+                probs = predict_probs_fullconv(
+                    m.params_stacked, vol, m.cfg, tta=self.tta, folded=m.folded
+                )
+            else:
+                probs = predict_probs(
+                    m.params_stacked,
+                    vol,
+                    m.cfg,
+                    step_size=self.step_size,
+                    tta=self.tta,
+                    folded=m.folded,
+                )
             per_model_probs.append(probs)
         info["predict_s"] = None  # set after sync below
 

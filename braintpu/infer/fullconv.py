@@ -1,0 +1,127 @@
+"""Whole-volume fully-convolutional inference (accelerated mode).
+
+The canonical nnU-Net recipe (``infer.sliding_window``) tiles the volume
+into 128³ patches at 50 % overlap, so every voxel is convolved up to 8
+times and Gaussian-blended (ref:
+/root/reference/run_brats2021_inference_singlethread.py:98-105).  That
+redundancy is a *memory* workaround from GPU-VRAM-era nnU-Net, not part of
+the model: the U-Net is fully convolutional, so with 16 GB of HBM the whole
+cropped brain fits through one forward pass.
+
+This module runs exactly that: pad the cropped volume to a multiple of
+``2**num_pool`` (so all pool/up-conv stages divide evenly), then one
+forward per mirror flip per fold over the entire volume — ~3× fewer
+patch-FLOPs than the 50 %-overlap grid on a typical BraTS crop, and no
+Gaussian accumulate passes.
+
+Semantics deltas vs the sliding-window path (deliberate, documented):
+
+* **Border context.** A sliding-window patch zero-pads at its own borders
+  and relies on Gaussian down-weighting + overlap to wash that out; the
+  whole-volume forward only zero-pads at the (background) volume border.
+  For the BatchNorm model (folded at inference) the network is purely
+  convolutional, so interior voxels see *more* true context here, not less.
+* **GroupNorm statistics** are computed over the whole volume rather than
+  per 128³ patch.  This is the fully-convolutional reading of the same
+  model; outputs differ slightly from patch-wise statistics.
+* No Gaussian importance weighting (nothing to blend).
+
+The axial-attention variant has patch-shape-bound positional embeddings
+(models/axial.py) and is rejected here — use the sliding-window path.
+
+Volume shapes are bucketed to multiples of 32 per axis, so XLA recompiles
+at most once per bucket rather than once per exact crop shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet3d import UNetConfig, apply_unet
+from .sliding_window import MIRROR_COMBOS, _apply_flips, mirror_flag_groups
+
+__all__ = ["fullconv_predict", "predict_probs_fullconv", "pad_multiple_target"]
+
+
+def pad_multiple_target(
+    spatial: Tuple[int, int, int], multiple: int
+) -> Tuple[int, int, int]:
+    """Per-axis target extents rounded up to ``multiple`` (shape bucketing)."""
+    return tuple(int(-(-s // multiple) * multiple) for s in spatial)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_mirror", "folded"))
+def fullconv_predict(
+    params_stacked: Dict[str, Any],
+    volume: jnp.ndarray,
+    cfg: UNetConfig,
+    num_mirror: int = 8,
+    folded: bool = False,
+) -> jnp.ndarray:
+    """Mirror-TTA, fold-averaged region probabilities over the whole volume.
+
+    Args:
+      params_stacked: pytree with leading fold axis F on every leaf.
+      volume: (X, Y, Z, C) preprocessed volume, every axis a multiple of
+        ``2**cfg.num_pool``.
+      cfg: architecture config (static).
+      num_mirror: 1 (no TTA) or 8 (full mirror TTA).
+      folded: params have BatchNorm pre-folded into convs.
+
+    Returns:
+      (X, Y, Z, K) float32 probabilities (sigmoid regions, averaged over
+      folds × mirrors).
+    """
+    if cfg.axial_attention:
+        raise ValueError(
+            "fullconv mode is incompatible with the axial-attention variant "
+            "(patch-shape-bound positional embeddings); use sliding-window"
+        )
+    div = 2**cfg.num_pool
+    X, Y, Z, _ = volume.shape
+    if any(s % div for s in (X, Y, Z)):
+        raise ValueError(
+            f"volume shape {(X, Y, Z)} must be a multiple of {div}; "
+            "pad with pad_multiple_target first"
+        )
+    combos = MIRROR_COMBOS[:1] if num_mirror == 1 else MIRROR_COMBOS
+    flag_groups = jnp.asarray(mirror_flag_groups(combos, 1))  # (G, 1, 3)
+    num_folds = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
+    K = cfg.num_classes
+    x = volume[None]  # (1, X, Y, Z, C)
+
+    def mirror_step(prob_sum, flags):
+        batch = _apply_flips(x, flags)
+
+        def fold_step(group_sum, fold_params):
+            logits = apply_unet(fold_params, batch, cfg, folded=folded)
+            return group_sum + jax.nn.sigmoid(logits), None
+
+        group_sum, _ = jax.lax.scan(
+            fold_step, jnp.zeros((1, X, Y, Z, K), jnp.float32), params_stacked
+        )
+        return prob_sum + _apply_flips(group_sum, flags)[0], None
+
+    probs, _ = jax.lax.scan(
+        mirror_step, jnp.zeros((X, Y, Z, K), jnp.float32), flag_groups
+    )
+    return probs / (num_folds * len(combos))
+
+
+def predict_probs_fullconv(
+    params_stacked: Dict[str, Any],
+    volume_cxyz: jnp.ndarray,
+    cfg: UNetConfig,
+    tta: bool = True,
+    folded: bool = False,
+) -> jnp.ndarray:
+    """(C, X, Y, Z) volume (already multiple-of-2^pool) → (X, Y, Z, K) probs."""
+    vol = jnp.moveaxis(jnp.asarray(volume_cxyz), 0, -1)
+    return fullconv_predict(
+        params_stacked, vol, cfg, num_mirror=8 if tta else 1, folded=folded
+    )

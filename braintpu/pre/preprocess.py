@@ -107,16 +107,21 @@ def pad_to_patch(
     data: np.ndarray | jnp.ndarray,
     patch_size: Sequence[int],
     mode: str = "constant",
+    multiple: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Tuple[slice, ...]]:
     """Center-pad spatial axes of a (C, X, Y, Z) stack up to >= patch_size.
 
     Returns ``(padded, undo_slices)`` where ``undo_slices`` indexes the
     original extent inside the padded array (spatial axes only).  Mirrors
     nnU-Net's ``pad_nd_image(..., 'constant', 0)`` centering: lower pad =
-    diff // 2.
+    diff // 2.  ``multiple`` additionally rounds each target axis up to a
+    multiple (whole-volume mode: axes must divide through all pool stages,
+    and bucketing shapes to multiples bounds XLA recompilation).
     """
     spatial = np.array(data.shape[1:])
     target = np.maximum(spatial, np.array(patch_size))
+    if multiple:
+        target = -(-target // multiple) * multiple
     diff = target - spatial
     lo = diff // 2
     hi = diff - lo
@@ -142,12 +147,15 @@ def preprocess_case(
     patch_size: Sequence[int] = (128, 128, 128),
     affine: Optional[np.ndarray] = None,
     zooms: Optional[Tuple[float, ...]] = None,
+    pad_multiple: Optional[int] = None,
 ) -> PreprocessResult:
     """Full inference preprocessing: crop → masked z-score → pad.
 
     ``data``: float (C, X, Y, Z) in canonical modality order.
+    ``pad_multiple``: round padded axes up to this multiple (whole-volume
+    inference mode).
     """
     cropped, mask, info = crop_to_nonzero(np.asarray(data, dtype=np.float32))
     norm = zscore_masked(jnp.asarray(cropped), jnp.asarray(mask))
-    padded, undo = pad_to_patch(norm, patch_size)
+    padded, undo = pad_to_patch(norm, patch_size, multiple=pad_multiple)
     return PreprocessResult(padded, undo, info, affine, zooms)

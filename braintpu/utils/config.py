@@ -35,6 +35,7 @@ class SegmentationSettings:
     tta: bool = True
     step_size: float = 0.5
     ensemble: str = "softmax"  # "softmax" (canonical KAIST) | "label" (repo parity)
+    mode: str = "sliding"  # "sliding" (canonical) | "fullconv" (whole-volume)
     et_min_voxels: int = 200
     output_convention: str = "brats2025"
     checkpoints: Optional[str] = None  # checkpoint root; None -> random init
@@ -94,6 +95,8 @@ class FrameworkConfig:
         s = self.segmentation
         if s.ensemble not in ("softmax", "label"):
             raise ValueError(f"ensemble must be softmax|label, got {s.ensemble!r}")
+        if s.mode not in ("sliding", "fullconv"):
+            raise ValueError(f"mode must be sliding|fullconv, got {s.mode!r}")
         if s.output_convention not in ("brats2025", "brats2021", "internal"):
             raise ValueError(f"bad output_convention {s.output_convention!r}")
         if not 0 < s.step_size <= 1:

