@@ -300,6 +300,53 @@ def _conv3d_decomp2d(x, w, b, stride, compute_dtype):
     return out + b.astype(acc_dt)
 
 
+def _conv3d_merged2d_s2(x, w, b, stride, compute_dtype):
+    """Strided kd×3×3 conv as ONE strided conv2d + depth-parity shift-add.
+
+    The decomp2d lowering of the 2×2×2-strided "pooling" convs needs three
+    stride-2 slices along the depth axis of the *full-resolution* padded
+    input; XLA lowers those as strided-gather copies that run ~16× below
+    HBM bandwidth (measured 11 ms each for the 32-ch 192³-scale layer —
+    a third of the whole BN forward).  Here the depth taps are merged into
+    the conv2d output channels first (lane dimension kd·co), so the in-plane
+    stride-2 conv shrinks H×W by 4× *before* any depth selection; the
+    depth-stride then acts on the 4×-smaller partials tensor via an
+    even/odd reshape and unit-stride shifts.
+    """
+    kd, kh, kw, ci, co = w.shape
+    sd, sh, sw = stride
+    assert kd == 3 and sd == 2 and x.shape[1] % 2 == 0
+    N, D, H, W, _ = x.shape
+    x = x.astype(compute_dtype)
+    acc_dt = _acc_dtype(compute_dtype)
+    wm = jnp.moveaxis(w, 0, 3).reshape(kh, kw, ci, kd * co).astype(compute_dtype)
+    dn = DimNums((N * D, H, W, ci), (kh, kw, ci, kd * co), ("NHWC", "HWIO", "NHWC"))
+    pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
+    h_out = (H + 2 * pad_h - kh) // sh + 1
+    w_out = (W + 2 * pad_w - kw) // sw + 1
+    g = jax.lax.conv_general_dilated(
+        x.reshape(N * D, H, W, ci),
+        wm,
+        (sh, sw),
+        ((pad_h, pad_h), (pad_w, pad_w)),
+        dimension_numbers=dn,
+        preferred_element_type=acc_dt,
+    ).reshape(N, D // 2, 2, h_out, w_out, kd * co)
+    # out[m] = Σ_dz g[2m + dz - 1, tap dz]  (kd=3): even planes carry the
+    # center tap, odd planes the two outer taps (one shifted by a full
+    # output step).  All slices are unit-stride along D/2; taps are
+    # contiguous channel ranges on the lane dimension, so XLA fuses the
+    # combine without materializing higher-rank layout copies.
+    even, odd = g[:, :, 0], g[:, :, 1]
+    zero = jnp.zeros_like(odd[:, :1, ..., :co])
+    out = (
+        jnp.concatenate([zero, odd[:, :-1, ..., 0:co]], axis=1)
+        + even[..., co : 2 * co]
+        + odd[..., 2 * co : 3 * co]
+    )
+    return out + b.astype(acc_dt)
+
+
 def _conv3d_merged2d(x, w, b, stride, compute_dtype):
     """3x3x3 conv as ONE conv2d with depth taps merged into output channels.
 
@@ -313,7 +360,11 @@ def _conv3d_merged2d(x, w, b, stride, compute_dtype):
     128^3 32->32 layer, 41 vs 64 ms for the 128^3 64->32 decoder conv).
     """
     kd, kh, kw, ci, co = w.shape
-    assert stride == (1, 1, 1) and kd % 2 == 1
+    if stride != (1, 1, 1):
+        if kd == 3 and stride[0] == 2 and x.shape[1] % 2 == 0:
+            return _conv3d_merged2d_s2(x, w, b, stride, compute_dtype)
+        return _conv3d_decomp2d(x, w, b, stride, compute_dtype)
+    assert kd % 2 == 1
     N, D, H, W, _ = x.shape
     x = x.astype(compute_dtype)
     acc_dt = _acc_dtype(compute_dtype)
@@ -327,13 +378,18 @@ def _conv3d_merged2d(x, w, b, stride, compute_dtype):
         (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2),
         dimension_numbers=dn,
         preferred_element_type=acc_dt,
-    ).reshape(N, D, H, W, kd, co)
+    ).reshape(N, D, H, W, kd * co)
     pad = (kd - 1) // 2
-    gp = jnp.pad(g, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
-    # out[m] = sum_dz g[m + dz - pad, dz]; with gp padded by `pad`, the tap-dz
-    # slice starts at index dz (holds for any odd kd).
+    gp = jnp.pad(g, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    # out[m] = sum_dz g[m + dz - pad, tap dz]; with gp padded by `pad`, the
+    # tap-dz slice starts at depth dz (holds for any odd kd).  The tap is a
+    # contiguous channel range on the lane dimension and the depth slice is
+    # unit-stride, so the combine fuses without layout copies (the previous
+    # rank-6 reshape + middle-axis indexing forced ~70 ms of copies per
+    # 5-fold forward at 192³ scale).
     out = sum(
-        jax.lax.slice_in_dim(gp, dz, dz + D, axis=1)[..., dz, :] for dz in range(kd)
+        jax.lax.slice_in_dim(gp, dz, dz + D, axis=1)[..., dz * co : (dz + 1) * co]
+        for dz in range(kd)
     )
     return out + b.astype(acc_dt)
 
@@ -381,7 +437,14 @@ def _choose_impl(shape, kernel, stride, co) -> str:
     Everything else (first layer, deep low-res stages, CPU): decomp2d.
     """
     N, D, H, W, ci = shape
-    if kernel != (3, 3, 3) or stride != (1, 1, 1) or not _on_tpu():
+    if kernel != (3, 3, 3) or not _on_tpu():
+        return "decomp2d"
+    if stride != (1, 1, 1):
+        # Strided pooling convs: the tap-merged stride-2 conv2d avoids the
+        # full-resolution depth-strided slices (measured ~16× below HBM
+        # bandwidth) whenever the depth axis is big enough to matter.
+        if stride == (2, 2, 2) and D % 2 == 0 and D >= 48:
+            return "merged2d"
         return "decomp2d"
     if D >= 96:
         return "merged2d" if (co <= 64 and ci >= 16) else "decomp2d"
@@ -408,12 +471,40 @@ def _conv3d(x, w, b, stride, compute_dtype, conv_impl="decomp2d"):
     return _conv3d_xla(x, w, b, stride, compute_dtype)
 
 
+def _spatial_group_stats(x, g: int):
+    """Per-(batch, group) spatial mean/variance as MXU dot-reductions.
+
+    VPU reduce passes over big activation tensors measure ~30× below HBM
+    bandwidth on v5e (the reduction axis lands on the tiled minor dims);
+    contracting the flattened spatial axis with a ones vector and with the
+    tensor itself rides the MXU at streaming bandwidth instead.  Sums
+    accumulate in f32; variance via E[x²]−E[x]² is safe here because
+    conv activations are near zero-mean at unit scale.
+
+    Returns ``(mean, var)`` with shape (N, g), f32.
+    """
+    N, D, H, W, C = x.shape
+    v = D * H * W
+    xm = x.reshape(N, v, C).astype(jnp.float32)
+    s1 = xm.sum(axis=1)
+    s2 = (xm * xm).sum(axis=1)
+    n = v * (C // g)
+    s1g = s1.reshape(N, g, C // g).sum(axis=2)
+    s2g = s2.reshape(N, g, C // g).sum(axis=2)
+    mean = s1g / n
+    var = jnp.maximum(s2g / n - mean * mean, 0.0)
+    return mean, var
+
+
 def _norm(x, block, cfg: UNetConfig, train: bool, batch_stats: Optional[dict] = None):
     """Normalize with f32 statistics/arithmetic.  Returns (y, new_stats|None).
 
     ``x`` may be bf16; the upcast is elementwise and fuses into the
     normalize+activation chain, so no f32 tensor is materialized in HBM.
+    Spatial statistics (group/instance norm) are computed from the
+    pre-upcast tensor via :func:`_spatial_group_stats`.
     """
+    x_raw = x
     x = x.astype(jnp.float32)
     scale = block["scale"].astype(jnp.float32)
     shift = block["shift"].astype(jnp.float32)
@@ -437,13 +528,15 @@ def _norm(x, block, cfg: UNetConfig, train: bool, batch_stats: Optional[dict] = 
     elif cfg.norm == "group":
         g = cfg.group_norm_groups
         N, D, H, W, C = x.shape
-        xg = x.reshape(N, D, H, W, g, C // g)
-        mean = xg.mean(axis=(1, 2, 3, 5), keepdims=True)
-        var = xg.var(axis=(1, 2, 3, 5), keepdims=True)
-        y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape) * scale + shift
+        mean, var = _spatial_group_stats(x_raw, g)  # (N, g) f32 each
+        mean = jnp.repeat(mean, C // g, axis=1).reshape(N, 1, 1, 1, C)
+        var = jnp.repeat(var, C // g, axis=1).reshape(N, 1, 1, 1, C)
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + shift
     elif cfg.norm == "instance":
-        mean = x.mean(axis=(1, 2, 3), keepdims=True)
-        var = x.var(axis=(1, 2, 3), keepdims=True)
+        N, _, _, _, C = x.shape
+        mean, var = _spatial_group_stats(x_raw, C)  # per-channel
+        mean = mean.reshape(N, 1, 1, 1, C)
+        var = var.reshape(N, 1, 1, 1, C)
         y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + shift
     else:
         raise ValueError(f"unknown norm {cfg.norm!r}")
