@@ -561,13 +561,28 @@ def _upconv(x, w, compute_dtype):
     """
     ci, kd, kh, kw, co = w.shape
     N, D, H, W, _ = x.shape
+    # NOTE: lhs-dilated Conv3D expresses this in one op but hits a
+    # pathological XLA:TPU compile (>25 min, can wedge the compile service);
+    # the einsum + per-axis phase peel below is the fast-compiling path.
     wm = w.reshape(ci, kd * kh * kw * co).astype(compute_dtype)
     y = jnp.einsum(
         "ndhwc,ck->ndhwk", x.astype(compute_dtype), wm, preferred_element_type=jnp.float32
-    )
-    y = y.reshape(N, D, H, W, kd, kh, kw, co)
-    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-    return y.reshape(N, D * kd, H * kh, W * kw, co).astype(compute_dtype)
+    ).astype(compute_dtype)
+    # Peel one kernel phase at a time (outermost channel factor -> spatial
+    # axis).  Three rank-6 interleaves lower to much cheaper copies than the
+    # single rank-8 pixel-shuffle transpose.
+    k = kd * kh * kw * co
+    for axis, kk in ((1, kd), (2, kh), (3, kw)):
+        if kk == 1:
+            continue
+        k //= kk
+        sh = y.shape
+        y = y.reshape(*sh[:4], kk, k)
+        y = jnp.moveaxis(y, 4, axis + 1)
+        ns = list(sh[:4]) + [k]
+        ns[axis] *= kk
+        y = y.reshape(*ns)
+    return y.astype(compute_dtype)
 
 
 def _seg_head(x, seg_w, compute_dtype):

@@ -146,3 +146,63 @@ def test_explicit_pallas_impl_falls_back_safely():
         got = _conv3d_pallas(x, w, b, stride, jnp.float32)
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "N,D,H,W,ci,co",
+    [(1, 8, 12, 10, 8, 16), (2, 16, 16, 16, 4, 8), (1, 6, 10, 8, 16, 8)],
+)
+def test_merged2d_stride2_matches_xla(N, D, H, W, ci, co):
+    """Strided pooling-conv lowering (tap-merged stride-2 conv2d +
+    depth-parity shift-add) is exact vs native XLA Conv3D."""
+    from braintpu.models.unet3d import _conv3d_merged2d_s2
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = _rand(k1, (N, D, H, W, ci))
+    w = _rand(k2, (3, 3, 3, ci, co), 0.1)
+    b = _rand(k3, (co,), 0.1)
+    ref = _conv3d_xla(x, w, b, (2, 2, 2), jnp.float32)
+    got = _conv3d_merged2d_s2(x, w, b, (2, 2, 2), jnp.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_merged2d_dispatch_handles_stride2():
+    """conv_impl='merged2d' with a stride the s2 path can't take (odd depth)
+    falls back to decomp2d rather than asserting."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    x = _rand(k1, (1, 7, 8, 8, 8))  # odd D
+    w = _rand(k2, (3, 3, 3, 8, 8), 0.1)
+    b = jnp.zeros((8,), jnp.float32)
+    ref = _conv3d_xla(x, w, b, (2, 2, 2), jnp.float32)
+    got = _conv3d_merged2d(x, w, b, (2, 2, 2), jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_spatial_group_stats_matches_direct():
+    """Flat-reduce group/instance statistics equal the direct grouped
+    mean/var to f32 precision (E[x^2]-E[x]^2 is safe at activation scale)."""
+    from braintpu.models.unet3d import _spatial_group_stats
+
+    x = _rand(jax.random.PRNGKey(9), (2, 6, 8, 10, 16), 1.5) + 0.3
+    for g in (4, 16):
+        mean, var = _spatial_group_stats(x, g)
+        xg = np.asarray(x).reshape(2, 6 * 8 * 10, g, 16 // g)
+        ref_mean = xg.transpose(0, 2, 1, 3).reshape(2, g, -1).mean(axis=2)
+        ref_var = xg.transpose(0, 2, 1, 3).reshape(2, g, -1).var(axis=2)
+        np.testing.assert_allclose(np.asarray(mean), ref_mean, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var), ref_var, atol=1e-4)
+
+
+def test_upconv_phase_peel_matches_pixel_shuffle():
+    """The per-axis phase-peel upconv equals einsum + rank-8 shuffle."""
+    from braintpu.models.unet3d import _upconv
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(10))
+    x = _rand(k1, (2, 4, 6, 5, 8))
+    w = _rand(k2, (8, 2, 2, 2, 16), 0.1)
+    got = _upconv(x, w, jnp.float32)
+    wm = np.asarray(w).reshape(8, 16 * 8)
+    y = np.einsum("ndhwc,ck->ndhwk", np.asarray(x), wm).reshape(2, 4, 6, 5, 2, 2, 2, 16)
+    ref = y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(2, 8, 12, 10, 16)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
