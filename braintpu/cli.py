@@ -367,6 +367,14 @@ run `braintpu rename` to convert) as .nii/.nii.gz, plus optional _seg."""
     return 0
 
 
+def cmd_profile_report(args):
+    from .utils.xprof import aggregate_trace, format_table
+
+    ops = aggregate_trace(args.trace, line=args.line)
+    print(format_table(ops, top=args.top))
+    return 0
+
+
 def cmd_convert_checkpoint(args):
     from .ckpt import convert_torch_checkpoint, save_pytree_npz
     from .models import MODEL1_BN, MODEL2_GN_LARGE
@@ -488,6 +496,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--background", help="optional MRI for the underlay")
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser(
+        "profile-report", help="per-op time table from a jax.profiler trace"
+    )
+    p.add_argument("trace", help="trace log dir (or .xplane.pb file)")
+    p.add_argument("--line", default="XLA Ops", help='"XLA Ops" or "XLA Modules"')
+    p.add_argument("--top", type=int, default=30)
+    p.set_defaults(fn=cmd_profile_report)
 
     p = sub.add_parser("convert-checkpoint", help="torch nnU-Net .model → braintpu .npz")
     p.add_argument("--input", required=True)

@@ -594,6 +594,148 @@ def _seg_head(x, seg_w, compute_dtype):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused-stage inference path (Pallas conv_stage kernel, deferred norms)
+# ---------------------------------------------------------------------------
+#
+# Inference-only dataflow in which tensors travel *pre-normalization*
+# together with a folded per-channel affine ``aff = (a, c, slope)`` meaning
+# ``final = leaky_slope(raw · a + c)``.  Consumers (the conv_stage kernel,
+# or an explicit materialization) apply the transform as they read, so the
+# normalize pass, the GroupNorm statistics pass, and the decoder concat
+# never round-trip HBM.  See ops/stage_pallas.py.
+
+
+def _materialize(h, aff, compute_dtype):
+    if aff is None:
+        return h
+    a, c, slope = aff
+    t = h.astype(jnp.float32) * a + c
+    t = jnp.where(t >= 0, t, t * slope)
+    return t.astype(compute_dtype)
+
+
+def _affine_from_moments(mean_g, var_g, block, cfg, co):
+    """Fold group/instance stats + learned scale/shift into (a, c, slope)."""
+    g = mean_g.shape[-1]
+    rep = co // g
+    mean_c = jnp.repeat(mean_g.reshape(-1), rep)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g.reshape(-1) + cfg.norm_eps), rep)
+    scale = block["scale"].astype(jnp.float32)
+    shift = block["shift"].astype(jnp.float32)
+    a = rstd_c * scale
+    c = shift - mean_c * a
+    return a, c, cfg.negative_slope
+
+
+def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool):
+    """One Conv→Norm→LeakyReLU block in deferred-norm form.
+
+    ``state``/``skip_state`` are (raw, aff) pairs; the skip (decoder concat)
+    is consumed by the kernel on lanes.  Returns the new (raw, aff) pair.
+    """
+    from ..ops.stage_pallas import conv_stage, conv_stage_supported
+
+    h, aff = state
+    w = block["w"]
+    b = block["b"]
+    co = int(w.shape[4])
+    ci = int(w.shape[3])
+    N, D, H, W, _ = h.shape
+    g = cfg.group_norm_groups if cfg.norm == "group" else co
+    kernel_ok = (
+        stride == (1, 1, 1)
+        and tuple(w.shape[:3]) == (3, 3, 3)
+        and conv_stage_supported((N, D, H, W, ci), co)
+        and (folded or N == 1)
+    )
+    if kernel_ok:
+        k1 = dict(in1_affine=False, in1_slope=None)
+        if aff is not None:
+            k1 = dict(in1_affine=True, in1_slope=aff[2])
+        k2 = dict(in2_affine=False, in2_slope=None)
+        h2 = a2 = c2 = None
+        if skip_state is not None:
+            h2, aff2 = skip_state
+            if aff2 is not None:
+                k2 = dict(in2_affine=True, in2_slope=aff2[2])
+                a2, c2 = aff2[0], aff2[1]
+            h2 = h2.astype(cfg.compute_dtype)
+        out = conv_stage(
+            h.astype(cfg.compute_dtype), w, b,
+            x2=h2,
+            a1=aff[0] if aff is not None else None,
+            c1=aff[1] if aff is not None else None,
+            a2=a2, c2=c2,
+            out_slope=cfg.negative_slope if folded else None,
+            stats=not folded,
+            interpret=jax.default_backend() == "cpu",
+            **k1, **k2,
+        )
+        if folded:
+            return out, None
+        y, s1, s2 = out
+        nvox = D * H * W * (co // g)
+        s1g = s1.reshape(g, -1).sum(axis=1)
+        s2g = s2.reshape(g, -1).sum(axis=1)
+        mean_g = s1g / nvox
+        var_g = jnp.maximum(s2g / nvox - mean_g * mean_g, 0.0)
+        return y, _affine_from_moments(mean_g, var_g, block, cfg, co)
+
+    # Fallback: materialize inputs, XLA conv, explicit (flat-reduce) stats.
+    hm = _materialize(h, aff, cfg.compute_dtype)
+    if skip_state is not None:
+        hm = jnp.concatenate(
+            [hm, _materialize(*skip_state, cfg.compute_dtype)], axis=-1
+        )
+    y = _conv3d(hm, w, b, stride, cfg.compute_dtype, cfg.conv_impl)
+    if folded:
+        y = jnp.where(y >= 0, y, y * cfg.negative_slope)
+        return y.astype(cfg.compute_dtype), None
+    y = y.astype(cfg.compute_dtype)
+    mean_g, var_g = _spatial_group_stats(y, g)  # (N, g); N == 1 here
+    return y, _affine_from_moments(mean_g[0], var_g[0], block, cfg, co)
+
+
+def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> bool:
+    if train or deep_supervision or cfg.axial_attention or not _on_tpu():
+        return False
+    if cfg.conv_impl != "auto" or cfg.compute_dtype != jnp.bfloat16:
+        return False
+    if folded:
+        return True
+    # deferred norms need per-sample stats → single-volume batches only
+    return cfg.norm in ("group", "instance") and x.shape[0] == 1
+
+
+def _apply_unet_fused(params, x, cfg: UNetConfig, folded: bool):
+    """Eval-mode forward with fused stage kernels (see _fused_block)."""
+    stride1 = (1, 1, 1)
+    pool = cfg.pool_kernel
+    state = (x.astype(cfg.compute_dtype), None)
+    skips = []
+    for d, stage in enumerate(params["encoder"]):
+        for c, block in enumerate(stage):
+            s = pool if (d > 0 and c == 0) else stride1
+            state = _fused_block(state, None, block, s, cfg, folded)
+        skips.append(state)
+    for c, block in enumerate(params["bottleneck"]):
+        s = pool if c == 0 else stride1
+        state = _fused_block(state, None, block, s, cfg, folded)
+    for u, stage in enumerate(params["decoder"]):
+        h_up = _upconv(
+            _materialize(*state, cfg.compute_dtype), stage["up"]["w"], cfg.compute_dtype
+        )
+        state = (h_up, None)
+        skip = skips[-(u + 1)]
+        for i, block in enumerate(stage["blocks"]):
+            state = _fused_block(
+                state, skip if i == 0 else None, block, stride1, cfg, folded
+            )
+    h_final = _materialize(*state, cfg.compute_dtype)
+    return _seg_head(h_final, params["decoder"][-1]["seg"], cfg.compute_dtype)
+
+
 @partial(jax.jit, static_argnames=("cfg", "train", "deep_supervision", "folded"))
 def apply_unet(
     params: Dict[str, Any],
@@ -621,6 +763,9 @@ def apply_unet(
       ``new_batch_stats`` mirrors the param tree with updated BN running
       stats (empty for non-BN norms).
     """
+    if _fused_supported(cfg, x, train, deep_supervision, folded):
+        return _apply_unet_fused(params, x, cfg, folded)
+
     stride1 = (1, 1, 1)
     pool = cfg.pool_kernel
     new_stats: Dict[str, Any] = {"encoder": [], "bottleneck": [], "decoder": []}

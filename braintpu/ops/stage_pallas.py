@@ -1,0 +1,408 @@
+"""Pallas TPU kernel: fused U-Net stage convolution (full-resolution capable).
+
+The hot layers of the BraTS U-Nets (SURVEY.md §3.2; block semantics from
+/root/reference/model_architecture/generic_UNet.py:56-72) are stride-1
+3×3×3 convolutions at 192³-scale with 32–128 channels.  The XLA lowering
+(tap-merged conv2d, models/unet3d.py) leaves three whole-tensor passes per
+block on the table — the tap-combine epilogue, the GroupNorm statistics
+reduction (measured ~26 GB/s effective), and the normalize-apply — plus
+layout copies XLA inserts between them.
+
+This kernel runs the entire stage chain in VMEM:
+
+* **Input transform** ``t = leaky(x·a + c)`` per channel — the *previous*
+  layer's GroupNorm (statistics folded into an affine) is applied to the
+  resident chunk as it streams in, so normalized tensors never hit HBM.
+* **Two-input concat** — the decoder's ``[upsampled, skip]`` concatenation
+  happens on lanes in VMEM, each input with its own transform.
+* **Tap-merged conv** — the three depth taps are merged into the GEMM lane
+  dimension (one im2col dot per chunk), combined by a rolling pair of f32
+  accumulators as the grid walks the depth axis (each input slice is read
+  from HBM exactly once, each output slice written once).
+* **Output epilogue** — bias, optional LeakyReLU (folded-BatchNorm path),
+  and optional per-channel Σy / Σy² **statistics outputs** accumulated in
+  VMEM so GroupNorm stats for *this* layer's output are free.
+
+Memory: the volume is processed in H-bands (grid ``(N, H/CH, D+2)``) so a
+full-resolution slice never has to be VMEM-resident; each band's input
+rows (+1-row halo) are fetched with explicit double-buffered DMA from HBM.
+
+Constraints: stride 1, 3×3×3, SAME padding, ``ci % 8 == 0``, bf16 compute,
+f32 accumulation.  Stats require N == 1 per batch entry semantics
+(per-(n) stats are accumulated separately).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv_stage", "conv_stage_supported", "plan_stage_tiles"]
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pad_lanes(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def plan_stage_tiles(H: int, W: int, ci: int, co: int) -> Optional[Tuple[int, int]]:
+    """(CH, RS): H-band height and row sub-chunk, or None if nothing fits."""
+    for ch in (64, 32, 16, 8):
+        if ch > H or H % ch:
+            continue
+        inb = 2 * min(ch + 2, H) * W * _pad_lanes(ci) * 2  # double-buffered halo band
+        outb = 2 * ch * W * _pad_lanes(co) * 2
+        acc = 2 * ch * W * _pad_lanes(co) * 4
+        wm = 9 * ci * _pad_lanes(3 * co) * 2
+        fixed = inb + outb + acc + wm
+        if fixed > _VMEM_BUDGET:
+            continue
+        for rs in (16, 8, 4):
+            if rs > ch or ch % rs:
+                continue
+            a9 = rs * W * _pad_lanes(9 * ci) * 2
+            g = rs * W * _pad_lanes(3 * co) * 4
+            if fixed + a9 + g <= _VMEM_BUDGET:
+                return ch, rs
+    return None
+
+
+def conv_stage_supported(shape: Tuple[int, ...], co: int) -> bool:
+    N, D, H, W, ci = shape
+    if ci % 8 or co % 8 or D < 3 or H < 8 or W < 8:
+        return False
+    return plan_stage_tiles(H, W, ci, co) is not None
+
+
+def _shift_w(a: jnp.ndarray, kx: int) -> jnp.ndarray:
+    """Zero-padded shift along W for in-plane tap ``kx`` (rank 3: R, W, ci)."""
+    R, W, ci = a.shape
+    z = jnp.zeros((R, 1, ci), a.dtype)
+    if kx == 0:
+        return jnp.concatenate([z, a[:, : W - 1]], axis=1)
+    if kx == 2:
+        return jnp.concatenate([a[:, 1:], z], axis=1)
+    return a
+
+
+def _kernel(
+    # scalar-prefetch free kernel: refs in order
+    x_ref,      # ANY (HBM): (N, D, H, W, ci1)
+    x2_ref,     # ANY (HBM): (N, D, H, W, ci2) or (1,1,1,1,8) dummy
+    wm_ref,     # VMEM (9*ci, 3co) bf16
+    b_ref,      # VMEM (1, co) f32
+    a1_ref,     # VMEM (1, ci1) f32
+    c1_ref,     # VMEM (1, ci1) f32
+    a2_ref,     # VMEM (1, ci2) f32
+    c2_ref,     # VMEM (1, ci2) f32
+    out_ref,    # VMEM block (1, 1, CH, W, co) bf16
+    s1_ref,     # VMEM (1, co) f32  (stats outputs; dummies when unused)
+    s2_ref,     # VMEM (1, co) f32
+    buf1,       # VMEM scratch (2, CHP, W, ci1) bf16
+    buf2,       # VMEM scratch (2, CHP, W, ci2) bf16 (or tiny dummy)
+    acc,        # VMEM scratch (2, CH*W, co) f32
+    st,         # VMEM scratch (2, co) f32 — running Σy, Σy²
+    sems,       # DMA semaphores (2, 2)
+    *,
+    D: int,
+    H: int,
+    CH: int,
+    RS: int,
+    in1_slope: Optional[float],
+    in2_slope: Optional[float],
+    in1_affine: bool,
+    in2_affine: bool,
+    out_slope: Optional[float],
+    stats: bool,
+    two_inputs: bool,
+):
+    n = pl.program_id(0)
+    hc = pl.program_id(1)
+    d = pl.program_id(2)
+    HC = pl.num_programs(1)
+    ND = pl.num_programs(2)  # D + 2
+    CHP = min(CH + 2, H)
+    W = out_ref.shape[3]
+    co = out_ref.shape[4]
+    ci1 = buf1.shape[3]
+
+    step = (n * HC + hc) * ND + d
+    total = pl.num_programs(0) * HC * ND
+    slot = jax.lax.rem(step, 2)
+
+    def band_start(hcc):
+        # DMA start row for band hcc: c0-1 clamped into [0, H-CHP]
+        return jnp.clip(hcc * CH - 1, 0, H - CHP)
+
+    def dmas(nn, hcc, dd, sl):
+        dd_src = jnp.clip(dd - 1, 0, D - 1)
+        r0 = band_start(hcc)
+        out = [
+            pltpu.make_async_copy(
+                x_ref.at[nn, dd_src, pl.ds(r0, CHP)], buf1.at[sl], sems.at[sl, 0]
+            )
+        ]
+        if two_inputs:
+            out.append(
+                pltpu.make_async_copy(
+                    x2_ref.at[nn, dd_src, pl.ds(r0, CHP)], buf2.at[sl], sems.at[sl, 1]
+                )
+            )
+        return out
+
+    @pl.when(step == 0)
+    def _():
+        for dma in dmas(n, hc, d, slot):
+            dma.start()
+
+    # Prefetch the next step's band while this one computes.
+    @pl.when(step + 1 < total)
+    def _():
+        nd = d + 1
+        wrap = nd >= ND
+        nd = jnp.where(wrap, 0, nd)
+        nhc = jnp.where(wrap, hc + 1, hc)
+        wrap2 = nhc >= HC
+        nhc = jnp.where(wrap2, 0, nhc)
+        nn = jnp.where(wrap2, n + 1, n)
+        for dma in dmas(nn, nhc, nd, 1 - slot):
+            dma.start()
+
+    for dma in dmas(n, hc, d, slot):
+        dma.wait()
+
+    valid = jnp.logical_and(d >= 1, d <= D)  # source slice d-1 exists
+    c0 = hc * CH
+    cs = c0 - band_start(hc)  # buffer index of global row c0-1: 0 top, 1 mid, 2 bottom
+
+    @pl.when(jnp.logical_and(stats, step == 0))
+    def _():
+        st[:] = jnp.zeros_like(st)
+
+    s_cur = jax.lax.rem(d, 2)
+    s_mid = jax.lax.rem(d + 1, 2)
+
+    def load_chunk(buf, r0, ky, a_ref_, c_ref_, affine, slope, ci):
+        """Rows [c0+r0+ky-1, +RS) of the current depth slice, transformed."""
+        g0 = c0 + r0 + ky - 1  # first global row wanted
+        b0 = r0 + ky - 1 + cs  # buffer row of g0 (may be -1 / CHP-RS+1 at edges)
+        bc = jnp.clip(b0, 0, CHP - RS)
+        a = buf[slot, pl.ds(bc, RS)]
+        if affine or slope is not None:
+            t = a.astype(jnp.float32)
+            if affine:
+                t = t * a_ref_[0] + c_ref_[0]
+            if slope is not None:
+                t = jnp.where(t >= 0, t, t * slope)
+            a = t.astype(jnp.bfloat16)
+        # Boundary fix AFTER the transform: the out-of-volume row is SAME
+        # conv zero-padding, which is never normalized/activated.
+        zrow = jnp.zeros((1, a.shape[1], a.shape[2]), a.dtype)
+        if ky == 0:
+            a = jnp.where(g0 < 0, jnp.concatenate([zrow, a[: RS - 1]], axis=0), a)
+        if ky == 2:
+            a = jnp.where(
+                g0 + RS > H, jnp.concatenate([a[1:], zrow], axis=0), a
+            )
+        return a
+
+    nchunks = CH // RS
+
+    def chunk(ic, _):
+        r0 = ic * RS
+        taps = []
+        for ky in range(3):
+            a = load_chunk(buf1, r0, ky, a1_ref, c1_ref, in1_affine, in1_slope, ci1)
+            if two_inputs:
+                a2 = load_chunk(buf2, r0, ky, a2_ref, c2_ref, in2_affine, in2_slope, 0)
+                a = jnp.concatenate([a, a2], axis=-1)
+            for kx in range(3):
+                taps.append(_shift_w(a, kx).reshape(RS * W, -1))
+        a9 = jnp.concatenate(taps, axis=-1)  # (RS*W, 9*ci)
+        g = jnp.dot(a9, wm_ref[:], preferred_element_type=jnp.float32)
+        g = jnp.where(valid, g, 0.0)
+        rows = pl.ds(pl.multiple_of(r0 * W, RS * W), RS * W)
+
+        @pl.when(valid)
+        def _():
+            acc[s_mid, rows, :] = acc[s_mid, rows, :] + g[:, co : 2 * co]
+
+        y = acc[s_cur, rows, :] + g[:, 2 * co : 3 * co] + b_ref[0]
+        out_valid = d >= 2
+        if stats:
+            ym = jnp.where(out_valid, y, 0.0)
+
+            @pl.when(out_valid)
+            def _():
+                st[0] = st[0] + jnp.sum(ym, axis=0)
+                st[1] = st[1] + jnp.sum(ym * ym, axis=0)
+        if out_slope is not None:
+            y = jnp.where(y >= 0, y, y * out_slope)
+        out_ref[0, 0, pl.ds(r0, RS), :, :] = y.reshape(RS, W, co).astype(
+            out_ref.dtype
+        )
+        acc[s_cur, rows, :] = g[:, :co]
+        return None
+
+    jax.lax.fori_loop(0, nchunks, chunk, None, unroll=True)
+
+    if stats:
+        @pl.when(step == total - 1)
+        def _():
+            s1_ref[0] = st[0]
+            s2_ref[0] = st[1]
+
+
+def _xla_reference(x, x2, w, b, a1, c1, a2, c2, cfgd):
+    """Semantics-equivalent XLA computation (testing + backward)."""
+
+    def tr(t, a, c, affine, slope):
+        if affine:
+            t = t.astype(jnp.float32) * a + c
+        if slope is not None:
+            t = jnp.where(t >= 0, t, t * slope)
+        return t.astype(jnp.bfloat16)
+
+    t1 = tr(x, a1, c1, cfgd["in1_affine"], cfgd["in1_slope"])
+    if x2 is not None:
+        t2 = tr(x2, a2, c2, cfgd["in2_affine"], cfgd["in2_slope"])
+        t1 = jnp.concatenate([t1, t2], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        t1.astype(jnp.float32),
+        w.astype(jnp.float32),
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b.astype(jnp.float32)
+    s1 = jnp.sum(y, axis=(0, 1, 2, 3))
+    s2 = jnp.sum(y * y, axis=(0, 1, 2, 3))
+    if cfgd["out_slope"] is not None:
+        y = jnp.where(y >= 0, y, y * cfgd["out_slope"])
+    return y.astype(jnp.bfloat16), s1, s2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "in1_slope", "in2_slope", "in1_affine", "in2_affine",
+        "out_slope", "stats", "interpret",
+    ),
+)
+def conv_stage(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    x2: Optional[jnp.ndarray] = None,
+    a1: Optional[jnp.ndarray] = None,
+    c1: Optional[jnp.ndarray] = None,
+    a2: Optional[jnp.ndarray] = None,
+    c2: Optional[jnp.ndarray] = None,
+    in1_slope: Optional[float] = None,
+    in2_slope: Optional[float] = None,
+    in1_affine: bool = False,
+    in2_affine: bool = False,
+    out_slope: Optional[float] = None,
+    stats: bool = False,
+    interpret: bool = False,
+):
+    """Fused stride-1 3×3×3 conv stage (see module docstring).
+
+    Args:
+      x: (N, D, H, W, ci1) first input.
+      w: (3, 3, 3, ci, co) weights, ci = ci1 (+ ci2 with ``x2``).
+      b: (co,) bias.
+      x2: optional second input, concatenated on channels after transforms.
+      a1/c1, a2/c2: per-channel input affines (used when ``in*_affine``).
+      in*_slope: LeakyReLU slope fused after each input affine.
+      out_slope: LeakyReLU slope fused on the output (folded-norm path).
+      stats: also return (Σy, Σy²) per channel of the pre-activation
+        output — GroupNorm statistics for this layer come for free.
+
+    Returns:
+      y (N, D, H, W, co) bf16, or (y, s1, s2) with ``stats``.
+    """
+    N, D, H, W, ci1 = x.shape
+    co = w.shape[4]
+    ci = w.shape[3]
+    ci2 = ci - ci1
+    two = x2 is not None
+    assert (ci2 > 0) == two
+    assert not (stats and N > 1), "stats accumulate globally; use N == 1"
+    plan = plan_stage_tiles(H, W, ci, co)
+    assert plan is not None, "use conv_stage_supported before calling"
+    CH, RS = plan
+
+    wm = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(9, ci, 3 * co)
+    # im2col tap order must match the kernel: (ky, kx) major, channel minor.
+    wm = wm.reshape(9 * ci, 3 * co)
+
+    def vec(v, n):
+        return (jnp.ones((1, n), jnp.float32) if v is None else v.reshape(1, n)).astype(jnp.float32)
+
+    x2_in = x2 if two else jnp.zeros((1, 1, 1, 1, 8), jnp.bfloat16)
+    ci2b = ci2 if two else 8
+    CHP = min(CH + 2, H)
+
+    kern = functools.partial(
+        _kernel,
+        D=D, H=H, CH=CH, RS=RS,
+        in1_slope=in1_slope, in2_slope=in2_slope,
+        in1_affine=in1_affine, in2_affine=in2_affine,
+        out_slope=out_slope, stats=stats, two_inputs=two,
+    )
+    out, s1, s2 = pl.pallas_call(
+        kern,
+        grid=(N, H // CH, D + 2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9 * ci, 3 * co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci1), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci1), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci2b), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci2b), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, CH, W, co),
+                lambda n, hc, d: (n, jnp.maximum(d - 2, 0), hc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, D, H, W, co), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHP, W, ci1), jnp.bfloat16),
+            pltpu.VMEM((2, CHP, W, ci2b), jnp.bfloat16),
+            pltpu.VMEM((2, CH * W, co), jnp.float32),
+            pltpu.VMEM((2, co), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.bfloat16),
+        x2_in.astype(jnp.bfloat16),
+        wm.astype(jnp.bfloat16),
+        b.reshape(1, co).astype(jnp.float32),
+        vec(a1, ci1), vec(c1, ci1), vec(a2, ci2b), vec(c2, ci2b),
+    )
+    if stats:
+        return out, s1[0], s2[0]
+    return out

@@ -181,3 +181,33 @@ def test_cli_convert_checkpoint(tmp_path):
 
     params = load_pytree_npz(out)
     assert params["encoder"][0][0]["w"].shape == (3, 3, 3, 4, 32)
+
+
+def test_xprof_aggregate_and_format(tmp_path):
+    """Trace analysis: aggregate a synthetic xplane and format the table."""
+    xplane_pb2 = pytest.importorskip(
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2"
+    )
+    from braintpu.utils.xprof import aggregate_trace, format_table
+
+    xs = xplane_pb2.XSpace()
+    plane = xs.planes.add(name="/device:TPU:0")
+    md = plane.event_metadata
+    md[1].id = 1
+    md[1].name = "%fusion.1"
+    md[2].id = 2
+    md[2].name = "%convolution.2"
+    line = plane.lines.add(name="XLA Ops")
+    for mid, dur in ((1, 5_000_000), (2, 3_000_000), (1, 2_000_000)):
+        ev = line.events.add()
+        ev.metadata_id = mid
+        ev.duration_ps = dur
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    (d / "host.xplane.pb").write_bytes(xs.SerializeToString())
+
+    ops = aggregate_trace(str(tmp_path))
+    assert ops[0].name == "%fusion.1" and ops[0].count == 2
+    assert abs(ops[0].total_ms - 7e-3) < 1e-9
+    table = format_table(ops, top=5)
+    assert "%fusion.1" in table and "convolution" in table
