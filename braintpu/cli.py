@@ -35,9 +35,14 @@ def load_engine(args):
 
     from .ckpt import convert_torch_checkpoint, load_pytree_npz
     from .infer import InferenceEngine, ModelBundle
-    from .models import AXIAL_UNET, MODEL1_BN, MODEL2_GN_LARGE, init_params
+    from .models import AXIAL_UNET, AXIAL_UNET_FULL, MODEL1_BN, MODEL2_GN_LARGE, init_params
 
-    configs = {"model1": MODEL1_BN, "model2": MODEL2_GN_LARGE, "axial": AXIAL_UNET}
+    configs = {
+        "model1": MODEL1_BN,
+        "model2": MODEL2_GN_LARGE,
+        "axial": AXIAL_UNET,
+        "axial-full": AXIAL_UNET_FULL,
+    }
     selected = args.models.split(",") if args.models else ["model1", "model2"]
     folds = list(range(args.folds))
 

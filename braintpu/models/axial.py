@@ -25,6 +25,8 @@ import numpy as np
 __all__ = [
     "init_axial_params",
     "apply_axial_attention",
+    "init_axial_block",
+    "apply_axial_block",
     "axial_stage_shapes",
 ]
 
@@ -113,17 +115,38 @@ def _axis_attention(x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int) -> jn
     return y.reshape(B, L, C)
 
 
-def apply_axial_attention(
-    params: Dict[str, Any], x: jnp.ndarray, dim_head: int = 32
-) -> jnp.ndarray:
-    """(N, D, H, W, C) → (N, D, H, W, C): pos-embed + sequential axis passes.
+def _one_axis(params_axis, x, axis, heads, dim_head):
+    """Attention along spatial ``axis`` (0=D, 1=H, 2=W) of (N, D, H, W, C)."""
+    N, D, H, W, C = x.shape
+    if axis == 0:
+        y = x.transpose(0, 2, 3, 1, 4).reshape(N * H * W, D, C)
+        y = _axis_attention(y, params_axis["qkv"], params_axis["out"], heads, dim_head)
+        return y.reshape(N, H, W, D, C).transpose(0, 3, 1, 2, 4)
+    if axis == 1:
+        y = x.transpose(0, 1, 3, 2, 4).reshape(N * D * W, H, C)
+        y = _axis_attention(y, params_axis["qkv"], params_axis["out"], heads, dim_head)
+        return y.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4)
+    y = x.reshape(N * D * H, W, C)
+    y = _axis_attention(y, params_axis["qkv"], params_axis["out"], heads, dim_head)
+    return y.reshape(N, D, H, W, C)
 
-    Sequential composition (``sum_axial_out=False`` in the reference,
-    generic_UNet.py:387): each axis attends on the output of the previous.
+
+def apply_axial_attention(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    dim_head: int = 32,
+    sum_axial_out: bool = False,
+) -> jnp.ndarray:
+    """(N, D, H, W, C) → (N, D, H, W, C): pos-embed + per-axis attention.
+
+    ``sum_axial_out=False``: sequential composition — each axis attends on
+    the previous axis's output (the decoder variant, generic_UNet.py:387).
+    ``sum_axial_out=True``: all three axes attend on the same input and the
+    outputs are summed (the Axial_UNet/AxialAttention3D default,
+    generic_UNet.py:490-498).
     """
     inner = params["axes"][0]["qkv"].shape[1] // 3
     heads = max(1, inner // dim_head)
-    N, D, H, W, C = x.shape
     pos = params["pos"]
     x = (
         x
@@ -131,24 +154,60 @@ def apply_axial_attention(
         + pos["h"].astype(x.dtype)[None, None, :, None, :]
         + pos["w"].astype(x.dtype)[None, None, None, :, :]
     )
+    if sum_axial_out:
+        return sum(
+            _one_axis(params["axes"][i], x, i, heads, dim_head) for i in range(3)
+        )
+    for i in range(3):
+        x = _one_axis(params["axes"][i], x, i, heads, dim_head)
+    return x
 
-    # axis 0: attend along D (fold H, W into batch)
-    a = params["axes"][0]
-    y = x.transpose(0, 2, 3, 1, 4).reshape(N * H * W, D, C)
-    y = _axis_attention(y, a["qkv"], a["out"], heads, dim_head)
-    x = y.reshape(N, H, W, D, C).transpose(0, 3, 1, 2, 4)
 
-    # axis 1: attend along H
-    a = params["axes"][1]
-    y = x.transpose(0, 1, 3, 2, 4).reshape(N * D * W, H, C)
-    y = _axis_attention(y, a["qkv"], a["out"], heads, dim_head)
-    x = y.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4)
+def init_axial_block(
+    key: jax.Array,
+    channels: int,
+    shape_dhw: Tuple[int, int, int],
+    heads: int,
+    dim_head: int,
+    bn: bool = True,
+    param_dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """AxialAttention3D block (ref generic_UNet.py:489-511): positional
+    embedding + summed axial attention + optional BatchNorm + LeakyReLU."""
+    out = {"attn": init_axial_params(key, channels, shape_dhw, heads, dim_head, param_dtype)}
+    if bn:
+        out["bn"] = {
+            "scale": jnp.ones((channels,), param_dtype),
+            "shift": jnp.zeros((channels,), param_dtype),
+            "mean": jnp.zeros((channels,), param_dtype),
+            "var": jnp.ones((channels,), param_dtype),
+        }
+    return out
 
-    # axis 2: attend along W
-    a = params["axes"][2]
-    y = x.reshape(N * D * H, W, C)
-    y = _axis_attention(y, a["qkv"], a["out"], heads, dim_head)
-    return y.reshape(N, D, H, W, C)
+
+def apply_axial_block(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    dim_head: int,
+    negative_slope: float = 0.01,
+    sum_axial_out: bool = True,
+    residual: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inference-mode AxialAttention3D: attn → BN(running stats) → LeakyReLU,
+    optionally residual (ref generic_UNet.py:505-511)."""
+    y = apply_axial_attention(params["attn"], x, dim_head, sum_axial_out)
+    if "bn" in params:
+        bn = params["bn"]
+        yf = y.astype(jnp.float32)
+        yf = (yf - bn["mean"].astype(jnp.float32)) * jax.lax.rsqrt(
+            bn["var"].astype(jnp.float32) + eps
+        ) * bn["scale"].astype(jnp.float32) + bn["shift"].astype(jnp.float32)
+        yf = jnp.where(yf >= 0, yf, yf * negative_slope)
+        y = yf.astype(y.dtype)
+    if residual:
+        y = (x + y).astype(y.dtype)
+    return y
 
 
 def axial_stage_shapes(

@@ -98,6 +98,19 @@ class UNetConfig:
     attn_heads: int = 8
     attn_dim_head: int = 32
     no_attention_levels: Tuple[int, ...] = (0,)
+    #: "decoder": the Generic_UNet axial option — sequential per-axis
+    #: attention residually after each up-conv, `no_attention_levels`
+    #: indexed by decoder stage u (0 = deepest), heads scaled by depth
+    #: (ref generic_UNet.py:377-387, 437).
+    #: "full": the Axial_UNet family — AxialAttention3D blocks (pos-emb →
+    #: summed per-axis attention → BatchNorm → LeakyReLU) after every
+    #: encoder stage and after every decoder up-conv,
+    #: `no_attention_levels` indexed by resolution level d (0 = finest),
+    #: heads AND dim_heads scaled by 2^d (ref generic_UNet.py:513-799).
+    axial_mode: str = "decoder"
+    axial_bn: bool = True
+    axial_sum_out: bool = True
+    axial_residual: bool = False
 
     @property
     def name(self) -> str:
@@ -111,8 +124,14 @@ class UNetConfig:
 MODEL1_BN = UNetConfig(norm="batch", encoder_scale=1)
 #: KAIST model 2: ..._largeUnet_Groupnorm (GroupNorm, double-width encoder).
 MODEL2_GN_LARGE = UNetConfig(norm="group", encoder_scale=2)
-#: Axial-attention variant (the reference's Axial_UNet family).
+#: Axial-attention decoder variant (Generic_UNet ``axial_attention=True``).
 AXIAL_UNET = UNetConfig(norm="batch", encoder_scale=1, axial_attention=True)
+#: Full Axial_UNet family: encoder+decoder AxialAttention3D blocks
+#: (reference defaults heads=2, dim_heads=8, generic_UNet.py:540).
+AXIAL_UNET_FULL = UNetConfig(
+    norm="batch", encoder_scale=1, axial_attention=True, axial_mode="full",
+    attn_heads=2, attn_dim_head=8,
+)
 
 
 def encoder_features(cfg: UNetConfig) -> List[int]:
@@ -179,12 +198,26 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
     keys = iter(jax.random.split(key, n_keys * 4))
 
     encoder = []
+    encoder_attn = {}
     cin = cfg.in_channels
     for d in range(cfg.num_pool):
         stage = []
         for c in range(cfg.conv_per_stage):
             stage.append(_init_block(next(keys), cin if c == 0 else enc_feats[d], enc_feats[d], cfg))
         encoder.append(stage)
+        if (
+            cfg.axial_attention
+            and cfg.axial_mode == "full"
+            and d not in cfg.no_attention_levels
+        ):
+            from .axial import init_axial_block
+
+            shape_dhw = tuple(int(sz // (2**d)) for sz in cfg.patch_size)
+            encoder_attn[str(d)] = init_axial_block(
+                next(keys), enc_feats[d], shape_dhw,
+                cfg.attn_heads * (2**d), cfg.attn_dim_head * (2**d),
+                bn=cfg.axial_bn, param_dtype=cfg.param_dtype,
+            )
         cin = enc_feats[d]
 
     bottleneck = []
@@ -208,7 +241,18 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
             next(keys), (1, 1, 1, ch["out"], cfg.num_classes), cfg.negative_slope, cfg.param_dtype
         )
         stage = {"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}}
-        if cfg.axial_attention and u not in cfg.no_attention_levels:
+        if cfg.axial_attention and cfg.axial_mode == "full":
+            d = cfg.num_pool - u - 1
+            if d not in cfg.no_attention_levels:
+                from .axial import init_axial_block
+
+                shape_dhw = tuple(int(sz // (2**d)) for sz in cfg.patch_size)
+                stage["attn_block"] = init_axial_block(
+                    next(keys), ch["skip"], shape_dhw,
+                    cfg.attn_heads * (2**d), cfg.attn_dim_head * (2**d),
+                    bn=cfg.axial_bn, param_dtype=cfg.param_dtype,
+                )
+        elif cfg.axial_attention and u not in cfg.no_attention_levels:
             from .axial import init_axial_params
 
             d = cfg.num_pool - u - 1
@@ -225,7 +269,10 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
             )
         decoder.append(stage)
 
-    return {"encoder": encoder, "bottleneck": bottleneck, "decoder": decoder}
+    out = {"encoder": encoder, "bottleneck": bottleneck, "decoder": decoder}
+    if encoder_attn:
+        out["encoder_attn"] = encoder_attn
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -785,6 +832,14 @@ def apply_unet(
             keep = 1.0 - cfg.dropout_rate
             mask = jax.random.bernoulli(next(drop_keys), keep, h.shape)
             h = jnp.where(mask, h / keep, 0).astype(h.dtype)
+        if "encoder_attn" in params and str(d) in params["encoder_attn"]:
+            from .axial import apply_axial_block
+
+            h = apply_axial_block(
+                params["encoder_attn"][str(d)], h,
+                cfg.attn_dim_head * (2**d), cfg.negative_slope,
+                cfg.axial_sum_out, cfg.axial_residual,
+            ).astype(cfg.compute_dtype)
         new_stats["encoder"].append(stage_stats)
         skips.append(h)
 
@@ -796,7 +851,16 @@ def apply_unet(
     seg_logits = []
     for u, stage in enumerate(params["decoder"]):
         h = _upconv(h, stage["up"]["w"], cfg.compute_dtype)
-        if "attn" in stage:
+        if "attn_block" in stage:
+            from .axial import apply_axial_block
+
+            dlev = cfg.num_pool - u - 1
+            h = apply_axial_block(
+                stage["attn_block"], h,
+                cfg.attn_dim_head * (2**dlev), cfg.negative_slope,
+                cfg.axial_sum_out, cfg.axial_residual,
+            ).astype(cfg.compute_dtype)
+        elif "attn" in stage:
             from .axial import apply_axial_attention
 
             h = (

@@ -297,3 +297,44 @@ def test_config_from_plans_rejects_anisotropic_kernels():
     }
     with pytest.raises(ValueError, match="anisotropic"):
         config_from_plans(plans)
+
+
+def test_axial_unet_full_variant():
+    """Axial_UNet family (ref generic_UNet.py:513-799): AxialAttention3D
+    blocks (pos-emb -> summed axial attention -> BN -> LeakyReLU) after
+    encoder stages and decoder up-convs, level-indexed skip list, heads and
+    dim_heads scaled by 2^level."""
+    import braintpu.models.unet3d as u3
+
+    cfg = u3.UNetConfig(
+        norm="batch", base_features=8, num_pool=2, patch_size=(16, 16, 16),
+        axial_attention=True, axial_mode="full", attn_heads=2, attn_dim_head=4,
+    )
+    params = u3.init_params(cfg, jax.random.PRNGKey(0))
+    # level 0 (finest) skipped by default: encoder stage 0 has no attention,
+    # decoder u=1 (level 0) has none; stage 1 / u=0 (level 1) do.
+    assert sorted(params["encoder_attn"].keys()) == ["1"]
+    assert "attn_block" in params["decoder"][0]
+    assert "attn_block" not in params["decoder"][1]
+    # BN inside the attention block
+    assert "bn" in params["encoder_attn"]["1"]
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 16, 16, 4)).astype(np.float32)
+    )
+    y = u3.apply_unet(params, x, cfg)
+    assert y.shape == (1, 16, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_axial_sum_vs_sequential_differ():
+    """sum_axial_out=True (Axial_UNet) vs False (decoder variant) are
+    different compositions of the same per-axis attentions."""
+    from braintpu.models import axial
+
+    key = jax.random.PRNGKey(3)
+    params = axial.init_axial_params(key, channels=8, shape_dhw=(4, 4, 4), heads=2, dim_head=4)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4, 4, 4, 8)).astype(np.float32))
+    seq = axial.apply_axial_attention(params, x, dim_head=4, sum_axial_out=False)
+    summed = axial.apply_axial_attention(params, x, dim_head=4, sum_axial_out=True)
+    assert seq.shape == summed.shape == x.shape
+    assert float(jnp.max(jnp.abs(seq - summed))) > 1e-4
