@@ -45,7 +45,12 @@ import numpy as np
 from ..models.unet3d import UNetConfig, apply_unet
 from .sliding_window import MIRROR_COMBOS, _apply_flips, mirror_flag_groups
 
-__all__ = ["fullconv_predict", "predict_probs_fullconv", "pad_multiple_target"]
+__all__ = [
+    "fullconv_predict",
+    "fullconv_predict_sharded",
+    "predict_probs_fullconv",
+    "pad_multiple_target",
+]
 
 
 def pad_multiple_target(
@@ -111,6 +116,71 @@ def fullconv_predict(
         mirror_step, jnp.zeros((X, Y, Z, K), jnp.float32), flag_groups
     )
     return probs / (num_folds * len(combos))
+
+
+def fullconv_predict_sharded(
+    params_stacked: Dict[str, Any],
+    volume: jnp.ndarray,
+    cfg: UNetConfig,
+    mesh,
+    axis: str = "data",
+    folded: bool = False,
+) -> jnp.ndarray:
+    """Mirror-TTA-parallel whole-volume ensemble over a device mesh.
+
+    The 8 mirror orientations are independent whole-volume forwards, so on
+    an 8-chip v5e slice each chip takes one orientation (folds scanned
+    locally) and a single ``psum`` over ICI merges the probability maps —
+    the spatial analog of the fold-sharded patch ensemble in
+    ``parallel.distributed.make_fold_parallel_forward`` (SURVEY.md §2.2,
+    "Ensemble parallelism").  Wall-clock approaches 1/n of the single-chip
+    fullconv ensemble with one small collective at the end.
+
+    ``mesh.shape[axis]`` must divide 8 (the mirror count).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if cfg.axial_attention:
+        raise ValueError("fullconv is incompatible with the axial variant")
+    n = mesh.shape[axis]
+    if 8 % n:
+        raise ValueError(f"mesh axis {axis}={n} must divide the 8 mirrors")
+    div = 2**cfg.num_pool
+    X, Y, Z, _ = volume.shape
+    if any(s % div for s in (X, Y, Z)):
+        raise ValueError(f"volume {(X, Y, Z)} must be a multiple of {div}")
+    flag_groups = jnp.asarray(mirror_flag_groups(MIRROR_COMBOS, 1))  # (8, 1, 3)
+    num_folds = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
+    K = cfg.num_classes
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(),
+    )
+    def fwd(params, vol, local_flags):
+        x = vol[None]
+
+        def mirror_step(prob_sum, flags):
+            batch = _apply_flips(x, flags)
+
+            def fold_step(group_sum, fold_params):
+                logits = apply_unet(fold_params, batch, cfg, folded=folded)
+                return group_sum + jax.nn.sigmoid(logits), None
+
+            # inner carry varies per device (the flips do), the init must too
+            g0 = jax.lax.pvary(jnp.zeros((1, X, Y, Z, K), jnp.float32), (axis,))
+            group_sum, _ = jax.lax.scan(fold_step, g0, params)
+            return prob_sum + _apply_flips(group_sum, flags)[0], None
+
+        acc0 = jax.lax.pvary(jnp.zeros((X, Y, Z, K), jnp.float32), (axis,))
+        local, _ = jax.lax.scan(mirror_step, acc0, local_flags)
+        return jax.lax.psum(local, axis)
+
+    probs = jax.jit(fwd)(params_stacked, volume, flag_groups)
+    return probs / (num_folds * 8)
 
 
 def predict_probs_fullconv(

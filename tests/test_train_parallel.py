@@ -254,3 +254,29 @@ def test_pad_folds_handles_axis_larger_than_twice_folds():
     assert w.shape[0] == 16
     assert float(w.sum()) == pytest.approx(1.0)
     assert np.all(np.asarray(w[5:]) == 0)
+
+
+def test_fullconv_mirror_sharded_matches_single_device():
+    """fullconv_predict_sharded (mirrors over the mesh, psum merge) equals
+    the single-device fullconv ensemble on a virtual 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from braintpu.infer.fullconv import fullconv_predict, fullconv_predict_sharded
+    from braintpu.models.unet3d import UNetConfig, init_params
+    from braintpu.parallel.mesh import make_mesh
+
+    cfg = UNetConfig(
+        norm="instance", base_features=8, num_pool=2, patch_size=(8, 8, 8),
+        compute_dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x, x * 1.1]), params)
+    vol = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 4)).astype(np.float32)
+    )
+    ref = fullconv_predict(stacked, vol, cfg, num_mirror=8)
+    mesh = make_mesh(data=jax.device_count())
+    got = fullconv_predict_sharded(stacked, vol, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
