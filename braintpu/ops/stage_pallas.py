@@ -39,7 +39,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -189,7 +188,7 @@ def _kernel(
     s_cur = jax.lax.rem(d, 2)
     s_mid = jax.lax.rem(d + 1, 2)
 
-    def load_chunk(buf, r0, ky, a_ref_, c_ref_, affine, slope, ci):
+    def load_chunk(buf, r0, ky, a_ref_, c_ref_, affine, slope):
         """Rows [c0+r0+ky-1, +RS) of the current depth slice, transformed."""
         g0 = c0 + r0 + ky - 1  # first global row wanted
         b0 = r0 + ky - 1 + cs  # buffer row of g0 (may be -1 / CHP-RS+1 at edges)
@@ -219,9 +218,9 @@ def _kernel(
         r0 = ic * RS
         taps = []
         for ky in range(3):
-            a = load_chunk(buf1, r0, ky, a1_ref, c1_ref, in1_affine, in1_slope, ci1)
+            a = load_chunk(buf1, r0, ky, a1_ref, c1_ref, in1_affine, in1_slope)
             if two_inputs:
-                a2 = load_chunk(buf2, r0, ky, a2_ref, c2_ref, in2_affine, in2_slope, 0)
+                a2 = load_chunk(buf2, r0, ky, a2_ref, c2_ref, in2_affine, in2_slope)
                 a = jnp.concatenate([a, a2], axis=-1)
             for kx in range(3):
                 taps.append(_shift_w(a, kx).reshape(RS * W, -1))
