@@ -9,7 +9,8 @@ from .losses import (
     labels_to_region_targets,
     soft_dice_loss,
 )
-from .trainer import TrainConfig, TrainState, create_train_state, make_optimizer, train_step
+from .checkpoint import latest_step, restore_train_state, save_train_state
+from .trainer import TrainConfig, TrainState, create_train_state, fit, make_optimizer, train_step
 
 __all__ = [
     "REGION_LABELS",
@@ -22,6 +23,10 @@ __all__ = [
     "TrainConfig",
     "TrainState",
     "create_train_state",
+    "fit",
+    "latest_step",
+    "restore_train_state",
+    "save_train_state",
     "make_optimizer",
     "train_step",
 ]

