@@ -372,6 +372,56 @@ run `braintpu rename` to convert) as .nii/.nii.gz, plus optional _seg."""
     return 0
 
 
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .io.brats import find_cases
+    from .models import MODEL1_BN, MODEL2_GN_LARGE, init_params
+    from .models.unet3d import AXIAL_UNET, UNetConfig
+    from .train import TrainConfig, create_train_state, fit
+    from .train.data import PatchSampler
+
+    configs = {"model1": MODEL1_BN, "model2": MODEL2_GN_LARGE, "axial": AXIAL_UNET}
+    cfg = configs[args.model]
+    if args.patch:
+        ps = tuple(int(v) for v in args.patch.split(","))
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, patch_size=ps)
+    cases = [c for c in find_cases(args.data) if c.seg_path is not None]
+    if not cases:
+        raise SystemExit(f"no cases with _seg ground truth under {args.data}")
+    print(f"training {args.model} on {len(cases)} cases, patch {cfg.patch_size}")
+    sampler = PatchSampler(
+        cases,
+        patch_size=cfg.patch_size,
+        batch_size=args.batch_size,
+        seed=args.seed,
+    )
+    tc = TrainConfig(base_lr=args.lr, max_steps=args.steps)
+    state = create_train_state(init_params(cfg, jax.random.PRNGKey(args.seed)), tc)
+
+    def log(m):
+        step = int(m["step"])
+        if step % args.log_every == 0 or step == 1:
+            print(f"step {step:>7}  loss {m['loss']:.4f}  |g| {m['grad_norm']:.3f}", flush=True)
+
+    state = fit(
+        state,
+        iter(sampler),
+        cfg,
+        tc,
+        num_steps=args.steps,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        rng=jax.random.PRNGKey(args.seed + 1),
+        on_metrics=log,
+    )
+    print(f"done at step {int(state.step)}; checkpoints in {args.checkpoint_dir}")
+    return 0
+
+
 def cmd_profile_report(args):
     from .utils.xprof import aggregate_trace, format_table
 
@@ -501,6 +551,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--background", help="optional MRI for the underlay")
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("train", help="train a U-Net on BraTS cases (checkpointed, resumable)")
+    p.add_argument("--data", required=True, help="folder of BraTS cases with _seg ground truth")
+    p.add_argument("--model", choices=["model1", "model2", "axial"], default="model1")
+    p.add_argument("--steps", type=int, default=250000)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--patch", help="override patch size, e.g. 128,128,128")
+    p.add_argument("--checkpoint-dir", default="train_ckpts")
+    p.add_argument("--checkpoint-every", type=int, default=250)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser(
         "profile-report", help="per-op time table from a jax.profiler trace"

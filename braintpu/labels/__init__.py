@@ -5,7 +5,9 @@ from .convert import (
     INTERNAL_ET,
     INTERNAL_NCR,
     brats2021_to_brats2025,
+    brats2021_to_internal,
     brats2025_to_brats2021,
+    brats2025_to_internal,
     internal_to_brats2021,
     internal_to_brats2025,
     remap_labels,
@@ -18,6 +20,8 @@ __all__ = [
     "INTERNAL_NCR",
     "remap_labels",
     "internal_to_brats2021",
+    "brats2021_to_internal",
+    "brats2025_to_internal",
     "internal_to_brats2025",
     "brats2021_to_brats2025",
     "brats2025_to_brats2021",

@@ -26,6 +26,8 @@ __all__ = [
     "remap_labels",
     "internal_to_brats2025",
     "internal_to_brats2021",
+    "brats2025_to_internal",
+    "brats2021_to_internal",
     "brats2021_to_brats2025",
     "brats2025_to_brats2021",
 ]
@@ -63,6 +65,17 @@ def internal_to_brats2025(seg) -> jnp.ndarray:
 def internal_to_brats2021(seg) -> jnp.ndarray:
     """nnU-Net internal [0,1,2,3] → BraTS-2021 [0,1,2,4] (ET becomes 4)."""
     return remap_labels(seg, _INTERNAL_TO_2021)
+
+
+def brats2025_to_internal(seg) -> jnp.ndarray:
+    """BraTS-2025 [0,1,2,3] → nnU-Net internal (the remap is an involution:
+    1 NCR ↔ 2 internal-NCR, 2 ED ↔ 1 internal-ED, ET stays 3)."""
+    return remap_labels(seg, _INTERNAL_TO_2025)
+
+
+def brats2021_to_internal(seg) -> jnp.ndarray:
+    """BraTS-2021 [0,1,2,4] → nnU-Net internal [0,1,2,3]."""
+    return brats2025_to_internal(brats2021_to_brats2025(seg))
 
 
 def brats2021_to_brats2025(seg) -> jnp.ndarray:

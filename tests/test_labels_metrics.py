@@ -101,3 +101,24 @@ def test_mean_dice_formula():
     tc = res["compound"]["TC"]["dice"]
     et = res["compound"]["ET"]["dice"]
     assert abs(res["mean_dice"] - np.mean([wt, tc, et])) < 1e-9
+
+
+def test_brats_to_internal_roundtrip():
+    """brats2025_to_internal is the involution inverse of internal_to_brats2025;
+    brats2021_to_internal maps ET 4 -> 3."""
+    import numpy as np
+
+    from braintpu.labels import (
+        brats2021_to_internal,
+        brats2025_to_internal,
+        internal_to_brats2021,
+        internal_to_brats2025,
+    )
+
+    seg = np.array([0, 1, 2, 3, 0, 3, 2, 1])
+    as2025 = np.asarray(internal_to_brats2025(seg))
+    back = np.asarray(brats2025_to_internal(as2025))
+    np.testing.assert_array_equal(back, seg)
+    as2021 = np.asarray(internal_to_brats2021(seg))
+    back21 = np.asarray(brats2021_to_internal(as2021))
+    np.testing.assert_array_equal(back21, seg)
