@@ -745,6 +745,11 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
 
 
 def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> bool:
+    import os
+
+    # kill switch: BRAINTPU_FUSED_STAGES=0 falls back to the XLA stage path
+    if os.environ.get("BRAINTPU_FUSED_STAGES", "1") == "0":
+        return False
     if train or deep_supervision or cfg.axial_attention or not _on_tpu():
         return False
     if cfg.conv_impl != "auto" or cfg.compute_dtype != jnp.bfloat16:
