@@ -393,11 +393,17 @@ def cmd_train(args):
     if not cases:
         raise SystemExit(f"no cases with _seg ground truth under {args.data}")
     print(f"training {args.model} on {len(cases)} cases, patch {cfg.patch_size}")
+    augment = None
+    if args.augment:
+        from .train.augment import AugmentConfig
+
+        augment = AugmentConfig()
     sampler = PatchSampler(
         cases,
         patch_size=cfg.patch_size,
         batch_size=args.batch_size,
         seed=args.seed,
+        augment=augment,
     )
     tc = TrainConfig(base_lr=args.lr, max_steps=args.steps)
     state = create_train_state(init_params(cfg, jax.random.PRNGKey(args.seed)), tc)
@@ -559,6 +565,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--patch", help="override patch size, e.g. 128,128,128")
+    p.add_argument("--augment", action="store_true", help="nnU-Net-style data augmentation")
     p.add_argument("--checkpoint-dir", default="train_ckpts")
     p.add_argument("--checkpoint-every", type=int, default=250)
     p.add_argument("--log-every", type=int, default=10)

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..io.brats import BratsCase, find_cases, load_case_volumes
 from ..io import nifti
+from .augment import AugmentConfig
 from ..labels import brats2021_to_internal, brats2025_to_internal
 from ..pre.preprocess import crop_to_nonzero, zscore_masked
 
@@ -66,6 +67,8 @@ class PatchSampler:
     oversample_fg: float = 1 / 3
     mirror: bool = True
     seed: int = 0
+    #: optional nnU-Net-style transform set (train/augment.py)
+    augment: Optional["AugmentConfig"] = None
 
     def __post_init__(self):
         if not self.cases:
@@ -124,6 +127,10 @@ class PatchSampler:
                 data, seg = self._get_case(idx)
                 force_fg = self._rng.random() < self.oversample_fg
                 dp, sp = self._sample_patch(data, seg, force_fg)
+                if self.augment is not None:
+                    from .augment import augment_patch
+
+                    dp, sp = augment_patch(self._rng, dp, sp, self.augment)
                 imgs.append(np.moveaxis(dp, 0, -1))  # (D, H, W, C)
                 labs.append(sp)
             yield {

@@ -327,3 +327,44 @@ def test_fit_checkpoint_resume(tmp_path):
     p4 = jax.tree_util.tree_leaves(state.params)[0]
     p6 = jax.tree_util.tree_leaves(state2.params)[0]
     assert p4.shape == p6.shape
+
+
+def test_augment_patch_properties():
+    """Augmentations preserve shapes/dtypes; intensity-only configs leave
+    labels untouched; seeded runs are deterministic."""
+    import numpy as np
+
+    from braintpu.train.augment import AugmentConfig, augment_patch
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(4, 12, 12, 12)).astype(np.float32)
+    seg = rng.integers(0, 4, (12, 12, 12)).astype(np.int32)
+
+    # force every transform on
+    cfg = AugmentConfig(
+        p_spatial=1, p_noise=1, p_blur=1, p_brightness=1, p_contrast=1,
+        p_lowres=1, p_gamma=1,
+    )
+    out1, s1 = augment_patch(np.random.default_rng(7), img, seg, cfg)
+    out2, s2 = augment_patch(np.random.default_rng(7), img, seg, cfg)
+    assert out1.shape == img.shape and s1.shape == seg.shape
+    assert out1.dtype == np.float32
+    np.testing.assert_array_equal(out1, out2)  # deterministic under seed
+    np.testing.assert_array_equal(s1, s2)
+    assert not np.allclose(out1, img)
+
+    # intensity-only: labels pass through unchanged
+    cfg2 = AugmentConfig(p_spatial=0, p_noise=1, p_blur=1, p_gamma=1)
+    _, s3 = augment_patch(np.random.default_rng(1), img, seg, cfg2)
+    np.testing.assert_array_equal(s3, seg)
+
+    # sampler integration
+    from braintpu.io.brats import find_cases
+    from braintpu.train.data import PatchSampler
+
+    cases = find_cases("/tmp/vfy") if find_cases("/tmp/vfy") else None
+    if cases:
+        s = PatchSampler(cases, patch_size=(16, 16, 16), batch_size=1,
+                         seed=0, augment=AugmentConfig())
+        b = next(iter(s))
+        assert b["image"].shape == (1, 16, 16, 16, 4)
