@@ -156,6 +156,18 @@ def cmd_segment(args):
         raise SystemExit(f"no complete BraTS case under {args.input}")
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
+    if getattr(args, "batch_cases", 0) and len(cases) > 1:
+        if engine.mode != "fullconv":
+            raise SystemExit("--batch-cases requires --mode fullconv")
+        results = engine.predict_cases_batched(
+            cases, output_dir=out, batch_size=args.batch_cases
+        )
+        for seg, info in results:
+            print(
+                f"{info['case_id']}: batch of {info['batch_size']} in "
+                f"{info['batch_seconds']:.1f}s  volumes={info['volumes_cm3']}"
+            )
+        return 0
     for case in cases:
         seg, info = engine.predict_case(case, out / f"{case.case_id}.nii.gz")
         print(f"{case.case_id}: {info['total_s']:.1f}s  volumes={info['volumes_cm3']}")
@@ -476,6 +488,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("segment", help="ensemble segmentation only")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--batch-cases", type=int, default=0,
+        help="batch N cases through whole-volume inference together "
+        "(multi-case throughput; fullconv mode only)",
+    )
     # standalone segment saves BraTS-2025 labels by default so the output is
     # directly usable by `evaluate` and external BraTS tools (the pipeline
     # keeps "internal" and converts in its own stage)

@@ -34,7 +34,7 @@ from ..labels.postprocess import et_min_size_postprocess
 from ..models.unet3d import UNetConfig, fold_batchnorm
 from ..pre.preprocess import PreprocessResult, preprocess_case
 from ..pre.resample import resize_trilinear
-from .fullconv import pad_multiple_target, predict_probs_fullconv
+from .fullconv import fullconv_predict, pad_multiple_target, predict_probs_fullconv
 from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
 
 __all__ = ["ModelBundle", "InferenceEngine", "calculate_volumes", "uncrop_labels"]
@@ -153,37 +153,107 @@ class InferenceEngine:
             per_model_probs.append(probs)
         info["predict_s"] = None  # set after sync below
 
+        seg_internal = self._ensemble_labels(per_model_probs, pre)
+        info["predict_s"] = time.perf_counter() - t1
+        out = self._to_output_convention(seg_internal, pre)
+        info["total_s"] = time.perf_counter() - t0
+        info["num_models"] = len(self.models)
+        info["ensemble"] = self.ensemble
+        return out, info
+
+    def _ensemble_labels(self, per_model_probs, pre) -> np.ndarray:
+        """Model-ensemble probability maps → internal-label segmentation."""
         undo = pre.undo_slices
         if self.ensemble == "label" and len(per_model_probs) > 1:
             segs = [
                 np.asarray(region_probs_to_labels(p)[undo]) for p in per_model_probs
             ]
-            seg_internal = np.round(sum(s.astype(np.float32) for s in segs) / len(segs)).astype(
-                np.uint8
+            return np.round(
+                sum(s.astype(np.float32) for s in segs) / len(segs)
+            ).astype(np.uint8)
+        mean_probs = sum(per_model_probs) / len(per_model_probs)
+        seg_internal = np.asarray(region_probs_to_labels(mean_probs)[undo])
+        if self.et_min_voxels:
+            seg_internal = et_min_size_postprocess(
+                seg_internal,
+                et_label=3,
+                replace_with=2,
+                min_voxels=self.et_min_voxels,
             )
-        else:
-            mean_probs = sum(per_model_probs) / len(per_model_probs)
-            seg_internal = np.asarray(region_probs_to_labels(mean_probs)[undo])
-            if self.et_min_voxels:
-                seg_internal = et_min_size_postprocess(
-                    seg_internal,
-                    et_label=3,
-                    replace_with=2,
-                    min_voxels=self.et_min_voxels,
-                )
-        info["predict_s"] = time.perf_counter() - t1
+        return seg_internal
 
+    def _to_output_convention(self, seg_internal: np.ndarray, pre) -> np.ndarray:
         full = uncrop_labels(np.asarray(seg_internal), pre.crop)
         if self.output_convention == "brats2025":
-            out = np.asarray(internal_to_brats2025(full))
-        elif self.output_convention == "brats2021":
-            out = np.asarray(internal_to_brats2021(full))
-        else:
-            out = full
-        info["total_s"] = time.perf_counter() - t0
-        info["num_models"] = len(self.models)
-        info["ensemble"] = self.ensemble
-        return out, info
+            return np.asarray(internal_to_brats2025(full))
+        if self.output_convention == "brats2021":
+            return np.asarray(internal_to_brats2021(full))
+        return full
+
+    def predict_cases_batched(
+        self, cases: List[BratsCase], output_dir: Optional[Path] = None,
+        batch_size: int = 4,
+    ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        """Multi-case throughput on one chip (BASELINE config 4).
+
+        Requires ``mode='fullconv'``: cases are preprocessed, grouped by
+        padded bucket shape, stacked on the batch axis and run through the
+        whole-volume ensemble together — one compiled program per bucket,
+        amortizing per-forward overheads across cases.  GroupNorm
+        statistics stay per-sample (batch axis is the normalization
+        boundary), so results are identical to per-case fullconv calls.
+        """
+        if self.mode != "fullconv":
+            raise ValueError("predict_cases_batched requires mode='fullconv'")
+        div = max(2**m.cfg.num_pool for m in self.models)
+        loaded = []
+        for case in cases:
+            data, affine, zooms = load_case_volumes(case)
+            pre = preprocess_case(data, patch_size=(div,) * 3, pad_multiple=div)
+            loaded.append((case, affine, zooms, pre))
+        # group by bucket shape
+        groups: Dict[Tuple[int, ...], List[int]] = {}
+        for i, (_, _, _, pre) in enumerate(loaded):
+            groups.setdefault(tuple(pre.data.shape), []).append(i)
+        results: List[Optional[Tuple[np.ndarray, Dict[str, Any]]]] = [None] * len(cases)
+        for shape, idxs in groups.items():
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start : start + batch_size]
+                t0 = time.perf_counter()
+                vols = jnp.stack(
+                    [jnp.moveaxis(jnp.asarray(loaded[i][3].data), 0, -1) for i in chunk]
+                )
+                per_model = []
+                for m in self.models:
+                    probs = fullconv_predict(
+                        m.params_stacked, vols, m.cfg,
+                        num_mirror=8 if self.tta else 1, folded=m.folded,
+                    )
+                    per_model.append(probs)
+                batch_s = time.perf_counter() - t0
+                for bi, i in enumerate(chunk):
+                    case, affine, zooms, pre = loaded[i]
+                    seg_internal = self._ensemble_labels(
+                        [p[bi] for p in per_model], pre
+                    )
+                    out = self._to_output_convention(seg_internal, pre)
+                    voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
+                    et_label = 4 if self.output_convention == "brats2021" else 3
+                    conv = (
+                        "internal" if self.output_convention == "internal" else "brats"
+                    )
+                    info = {
+                        "case_id": case.case_id,
+                        "batch_seconds": batch_s,
+                        "batch_size": len(chunk),
+                        "volumes_cm3": calculate_volumes(out, voxel_cm3, et_label, conv),
+                    }
+                    if output_dir is not None:
+                        path = Path(output_dir) / f"{case.case_id}.nii.gz"
+                        nifti.save(out.astype(np.uint8), path, affine=affine)
+                        info["output_path"] = str(path)
+                    results[i] = (out, info)
+        return [r for r in results if r is not None]
 
     def predict_case(
         self, case: BratsCase, output_path: Optional[Path] = None

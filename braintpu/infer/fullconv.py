@@ -72,8 +72,9 @@ def fullconv_predict(
 
     Args:
       params_stacked: pytree with leading fold axis F on every leaf.
-      volume: (X, Y, Z, C) preprocessed volume, every axis a multiple of
-        ``2**cfg.num_pool``.
+      volume: (X, Y, Z, C) preprocessed volume — or a (B, X, Y, Z, C)
+        batch of same-bucket volumes (multi-case throughput, BASELINE
+        config 4) — every spatial axis a multiple of ``2**cfg.num_pool``.
       cfg: architecture config (static).
       num_mirror: 1 (no TTA) or 8 (full mirror TTA).
       folded: params have BatchNorm pre-folded into convs.
@@ -87,8 +88,10 @@ def fullconv_predict(
             "fullconv mode is incompatible with the axial-attention variant "
             "(patch-shape-bound positional embeddings); use sliding-window"
         )
+    squeeze = volume.ndim == 4
+    x = volume[None] if squeeze else volume  # (B, X, Y, Z, C)
     div = 2**cfg.num_pool
-    X, Y, Z, _ = volume.shape
+    B, X, Y, Z, _ = x.shape
     if any(s % div for s in (X, Y, Z)):
         raise ValueError(
             f"volume shape {(X, Y, Z)} must be a multiple of {div}; "
@@ -96,9 +99,9 @@ def fullconv_predict(
         )
     combos = MIRROR_COMBOS[:1] if num_mirror == 1 else MIRROR_COMBOS
     flag_groups = jnp.asarray(mirror_flag_groups(combos, 1))  # (G, 1, 3)
+    flag_groups = jnp.repeat(flag_groups, B, axis=1)  # same flips across batch
     num_folds = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
     K = cfg.num_classes
-    x = volume[None]  # (1, X, Y, Z, C)
 
     def mirror_step(prob_sum, flags):
         batch = _apply_flips(x, flags)
@@ -108,14 +111,15 @@ def fullconv_predict(
             return group_sum + jax.nn.sigmoid(logits), None
 
         group_sum, _ = jax.lax.scan(
-            fold_step, jnp.zeros((1, X, Y, Z, K), jnp.float32), params_stacked
+            fold_step, jnp.zeros((B, X, Y, Z, K), jnp.float32), params_stacked
         )
-        return prob_sum + _apply_flips(group_sum, flags)[0], None
+        return prob_sum + _apply_flips(group_sum, flags), None
 
     probs, _ = jax.lax.scan(
-        mirror_step, jnp.zeros((X, Y, Z, K), jnp.float32), flag_groups
+        mirror_step, jnp.zeros((B, X, Y, Z, K), jnp.float32), flag_groups
     )
-    return probs / (num_folds * len(combos))
+    probs = probs / (num_folds * len(combos))
+    return probs[0] if squeeze else probs
 
 
 def fullconv_predict_sharded(

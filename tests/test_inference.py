@@ -255,3 +255,42 @@ def test_calculate_volumes_internal_convention():
     assert v["NCR"] == pytest.approx(0.2)
     assert v["TC"] == pytest.approx(0.3)  # NCR + ET, not ED + ET
     assert v["WT"] == pytest.approx(0.5)
+
+
+def test_predict_cases_batched_matches_per_case(tmp_path):
+    """Batched multi-case fullconv equals per-case fullconv predictions."""
+    import jax
+    import jax.numpy as jnp
+
+    from braintpu.infer import InferenceEngine, ModelBundle
+    from braintpu.io import nifti
+    from braintpu.io.brats import find_cases
+    from braintpu.models.unet3d import UNetConfig, init_params
+
+    rng = np.random.default_rng(0)
+    aff = np.eye(4)
+    for k in range(2):
+        d = tmp_path / f"BraTS-GLI-0900{k}-000"
+        d.mkdir()
+        base = np.zeros((28, 30, 26), np.float32)
+        base[3:25, 4:27, 3:23] = rng.normal(400, 60, (22, 23, 20)).astype(np.float32)
+        for mod in ["t1", "t1ce", "t2", "flair"]:
+            nifti.save(base + rng.normal(0, 5, base.shape).astype(np.float32) * (base > 0),
+                       d / f"BraTS-GLI-0900{k}-000_{mod}.nii.gz", affine=aff)
+    cases = find_cases(tmp_path)
+    assert len(cases) == 2
+    cfg = UNetConfig(norm="group", base_features=8, num_pool=2,
+                     patch_size=(16, 16, 16), group_norm_groups=4,
+                     compute_dtype=jnp.float32)
+    folds = [init_params(cfg, jax.random.PRNGKey(f)) for f in range(2)]
+    engine = InferenceEngine(
+        models=[ModelBundle.from_folds(cfg, folds, name="m")],
+        mode="fullconv", tta=False, et_min_voxels=0,
+    )
+    batched = engine.predict_cases_batched(cases, output_dir=tmp_path / "out")
+    assert len(batched) == 2
+    for case, (seg_b, info) in zip(cases, batched):
+        seg_s, _ = engine.predict_case(case)
+        np.testing.assert_array_equal(seg_b, seg_s)
+        assert info["batch_size"] == 2
+        assert (tmp_path / "out" / f"{case.case_id}.nii.gz").exists()
