@@ -83,6 +83,13 @@ class PipelineConfig:
     use_llm_refinement: bool = False
     save_brats_convention: str = "brats2025"
     fail_fast: bool = False
+    #: transient-failure tolerance for the device-dependent segmentation
+    #: stage (the reference aborts on first error, run_full_pipeline.py:187);
+    #: each retry emits a "retry" StageEvent before re-running.
+    segment_retries: int = 1
+    #: test seam: called with the stage name before each stage body runs —
+    #: raise from it to inject a fault (None in production).
+    fault_hook: Optional[Callable[[str], None]] = None
 
 
 @dataclass
@@ -153,7 +160,19 @@ class Pipeline:
             # stage 2: segmentation (ensemble sliding-window on device)
             self._emit(result, "segmenting", "start")
             seg_path = out / f"{case.case_id}.nii.gz"
-            seg, info = self.engine.predict_case(case, seg_path)
+            for attempt in range(self.config.segment_retries + 1):
+                try:
+                    if self.config.fault_hook:
+                        self.config.fault_hook("segmenting")
+                    seg, info = self.engine.predict_case(case, seg_path)
+                    break
+                except Exception as e:
+                    if attempt >= self.config.segment_retries:
+                        raise
+                    self._emit(
+                        result, "segmenting", "retry",
+                        attempt=attempt + 1, error=str(e)[:300],
+                    )
             result.seg = seg
             self._emit(
                 result,

@@ -142,3 +142,38 @@ def test_pipeline_evaluates_brats2021_ground_truth(tmp_path, synth_case, tiny_en
     assert result.succeeded, result.summary.get("traceback")
     assert result.metrics is not None
     assert result.metrics["mean_dice"] is not None
+
+
+def test_segmentation_retry_on_transient_fault(tmp_path, tiny_engine, synth_case):
+    """A transient segmentation fault is retried (with a 'retry' event)
+    instead of failing the case; a persistent fault still fails it."""
+    from braintpu.pipeline import Pipeline, PipelineConfig
+
+    calls = {"n": 0}
+
+    def flaky(stage):
+        if stage == "segmenting":
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected transient device fault")
+
+    cfg = PipelineConfig(
+        output_root=tmp_path / "out", generate_pdf=False,
+        segment_retries=1, fault_hook=flaky,
+    )
+    result = Pipeline(tiny_engine, cfg).run_case(synth_case)
+    assert result.succeeded
+    assert any(e.stage == "segmenting" and e.status == "retry" for e in result.events)
+
+    calls["n"] = 0
+
+    def always(stage):
+        if stage == "segmenting":
+            raise RuntimeError("injected persistent fault")
+
+    cfg2 = PipelineConfig(
+        output_root=tmp_path / "out2", generate_pdf=False,
+        segment_retries=1, fault_hook=always,
+    )
+    result2 = Pipeline(tiny_engine, cfg2).run_case(synth_case)
+    assert not result2.succeeded
