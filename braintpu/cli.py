@@ -148,14 +148,28 @@ def cmd_pipeline(args):
 
 
 def cmd_segment(args):
+    import contextlib
+
     from .io.brats import find_cases
 
     engine = load_engine(args)
     cases = find_cases(args.input)
+    trace_ctx = contextlib.nullcontext()
+    if getattr(args, "trace_dir", None):
+        from .utils.profiling import device_trace
+
+        trace_ctx = device_trace(args.trace_dir)
+        print(f"capturing device trace to {args.trace_dir} "
+              "(analyze with: braintpu profile-report <dir>)")
     if not cases:
         raise SystemExit(f"no complete BraTS case under {args.input}")
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
+    with trace_ctx:
+        return _run_segment(args, engine, cases, out)
+
+
+def _run_segment(args, engine, cases, out):
     if getattr(args, "batch_cases", 0) and len(cases) > 1:
         if engine.mode != "fullconv":
             raise SystemExit("--batch-cases requires --mode fullconv")
@@ -492,6 +506,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--batch-cases", type=int, default=0,
         help="batch N cases through whole-volume inference together "
         "(multi-case throughput; fullconv mode only)",
+    )
+    p.add_argument(
+        "--trace-dir",
+        help="capture a jax.profiler device trace of the run "
+        "(analyze with 'braintpu profile-report')",
     )
     # standalone segment saves BraTS-2025 labels by default so the output is
     # directly usable by `evaluate` and external BraTS tools (the pipeline
