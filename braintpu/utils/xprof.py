@@ -72,7 +72,9 @@ def aggregate_trace(logdir_or_pb: str, line: str = "XLA Ops") -> List[OpTime]:
 
     totals: Dict[str, float] = defaultdict(float)
     counts: Dict[str, int] = defaultdict(int)
+    seen: List[str] = []
     for plane in xs.planes:
+        seen.append(f"{plane.name}: lines {[ln.name for ln in plane.lines]}")
         if "TPU" not in plane.name and "GPU" not in plane.name:
             continue
         emeta = {m.id: m.name for m in plane.event_metadata.values()}
@@ -83,6 +85,12 @@ def aggregate_trace(logdir_or_pb: str, line: str = "XLA Ops") -> List[OpTime]:
                 name = emeta.get(ev.metadata_id, "?")
                 totals[name] += ev.duration_ps / 1e9  # ms
                 counts[name] += 1
+    if not totals:
+        raise ValueError(
+            f"no device plane with a {line!r} line in this capture — per-op "
+            "attribution needs a TPU/GPU trace (CPU captures only record "
+            "host threads).  Planes found:\n  " + "\n  ".join(seen)
+        )
     return sorted(
         (OpTime(n, t, counts[n]) for n, t in totals.items()),
         key=lambda o: -o.total_ms,
