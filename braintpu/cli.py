@@ -44,6 +44,13 @@ def load_engine(args):
         "axial-full": AXIAL_UNET_FULL,
     }
     selected = args.models.split(",") if args.models else ["model1", "model2"]
+    if getattr(args, "mode", None) == "fullconv":
+        bad = [n for n in selected if configs[n].axial_attention]
+        if bad:
+            raise SystemExit(
+                f"--mode fullconv is incompatible with axial models {bad} "
+                "(patch-shape-bound positional embeddings); use --mode sliding"
+            )
     folds = list(range(args.folds))
 
     bundles = []

@@ -1,7 +1,7 @@
 """Inference engine: sliding-window + TTA + fold/model ensembling."""
 
 from .engine import InferenceEngine, ModelBundle, calculate_volumes, uncrop_labels
-from .fullconv import fullconv_predict, pad_multiple_target, predict_probs_fullconv
+from .fullconv import fullconv_predict, fullconv_predict_sharded, predict_probs_fullconv
 from .gaussian import gaussian_importance_map, patch_grid, sliding_window_starts
 from .sliding_window import (
     default_mirror_chunk,
@@ -18,7 +18,7 @@ __all__ = [
     "calculate_volumes",
     "uncrop_labels",
     "fullconv_predict",
-    "pad_multiple_target",
+    "fullconv_predict_sharded",
     "predict_probs_fullconv",
     "gaussian_importance_map",
     "patch_grid",

@@ -34,7 +34,7 @@ from ..labels.postprocess import et_min_size_postprocess
 from ..models.unet3d import UNetConfig, fold_batchnorm
 from ..pre.preprocess import PreprocessResult, preprocess_case
 from ..pre.resample import resize_trilinear
-from .fullconv import fullconv_predict, pad_multiple_target, predict_probs_fullconv
+from .fullconv import fullconv_predict, predict_probs_fullconv
 from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
 
 __all__ = ["ModelBundle", "InferenceEngine", "calculate_volumes", "uncrop_labels"]

@@ -29,8 +29,9 @@ Semantics deltas vs the sliding-window path (deliberate, documented):
 The axial-attention variant has patch-shape-bound positional embeddings
 (models/axial.py) and is rejected here — use the sliding-window path.
 
-Volume shapes are bucketed to multiples of 32 per axis, so XLA recompiles
-at most once per bucket rather than once per exact crop shape.
+Volume shapes are bucketed to multiples of ``2**num_pool`` per axis (32 for
+the default 5-pool presets), so XLA recompiles at most once per bucket
+rather than once per exact crop shape.
 """
 
 from __future__ import annotations
@@ -49,15 +50,7 @@ __all__ = [
     "fullconv_predict",
     "fullconv_predict_sharded",
     "predict_probs_fullconv",
-    "pad_multiple_target",
 ]
-
-
-def pad_multiple_target(
-    spatial: Tuple[int, int, int], multiple: int
-) -> Tuple[int, int, int]:
-    """Per-axis target extents rounded up to ``multiple`` (shape bucketing)."""
-    return tuple(int(-(-s // multiple) * multiple) for s in spatial)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_mirror", "folded"))
@@ -95,7 +88,7 @@ def fullconv_predict(
     if any(s % div for s in (X, Y, Z)):
         raise ValueError(
             f"volume shape {(X, Y, Z)} must be a multiple of {div}; "
-            "pad with pad_multiple_target first"
+            "preprocess with preprocess_case(..., pad_multiple=2**num_pool)"
         )
     combos = MIRROR_COMBOS[:1] if num_mirror == 1 else MIRROR_COMBOS
     flag_groups = jnp.asarray(mirror_flag_groups(combos, 1))  # (G, 1, 3)

@@ -229,8 +229,25 @@ def test_fullconv_shape_and_axial_guards():
 def test_engine_fullconv_mode(synth_case):
     """fullconv engine runs end-to-end and agrees with sliding mode labels on
     an easy (strongly saturated) synthetic prediction field."""
-    cfg = tiny_cfg()
-    folds = [init_params(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+    # Receptive field must be well inside the patch, or every sliding-window
+    # voxel is border-affected and the mode comparison measures only the
+    # zero-pad context delta (at the real 128-patch scale RF/patch ≈ 1.4
+    # but 50 % overlap + Gaussian blending keeps agreement >99 %; here we
+    # use a shallow net where patch ≫ RF to make the bound tight).
+    cfg = UNetConfig(
+        in_channels=4, num_classes=3, base_features=4, max_features=8,
+        num_pool=1, conv_per_stage=1, norm="batch",
+        patch_size=(32, 32, 32), compute_dtype=jnp.float32,
+    )
+
+    def saturate(params):
+        # scale the seg heads so sigmoids saturate: near-0.5 probabilities
+        # flip on any numerical delta and measure nothing
+        for stage in params["decoder"]:
+            stage["seg"]["w"] = stage["seg"]["w"] * 12.0
+        return params
+
+    folds = [saturate(init_params(cfg, jax.random.PRNGKey(i))) for i in range(2)]
     bundle = ModelBundle.from_folds(cfg, folds)
     cases = brats.find_cases(synth_case)
     from braintpu.io.brats import load_case_volumes
@@ -241,6 +258,13 @@ def test_engine_fullconv_mode(synth_case):
     assert seg_fc.shape == seg_sw.shape == data.shape[1:]
     assert set(np.unique(seg_fc)) <= {0, 1, 2, 3}
     assert info["total_s"] > 0
+    # the modes differ only in border context / normalization extent; on a
+    # saturated random-weight prediction field they must agree on nearly
+    # every voxel (this enforces the agreement documented in README.md)
+    agreement = float(np.mean(seg_fc == seg_sw))
+    # toy scale leaves some genuinely ambiguous voxels; production-scale
+    # agreement measured >99.7 % (README) — this guards the math, not the %
+    assert agreement >= 0.97, f"fullconv vs sliding agreement {agreement:.4f}"
 
 
 def test_calculate_volumes_internal_convention():
