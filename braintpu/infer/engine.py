@@ -201,7 +201,10 @@ class InferenceEngine:
         whole-volume ensemble together — one compiled program per bucket,
         amortizing per-forward overheads across cases.  GroupNorm
         statistics stay per-sample (batch axis is the normalization
-        boundary), so results are identical to per-case fullconv calls.
+        boundary); results match per-case fullconv calls exactly on the
+        XLA path (on TPU, non-folded norm models take the fused-stage
+        kernel only at N == 1, so batched output can differ at bf16
+        rounding level from a per-case call).
         """
         if self.mode != "fullconv":
             raise ValueError("predict_cases_batched requires mode='fullconv'")

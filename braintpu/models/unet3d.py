@@ -909,6 +909,8 @@ def fold_batchnorm(params: Dict[str, Any], cfg: UNetConfig) -> Dict[str, Any]:
         }
 
     return {
+        # preserve any extra subtrees (e.g. encoder_attn for AXIAL_UNET_FULL)
+        **{k: v for k, v in params.items() if k not in ("encoder", "bottleneck", "decoder")},
         "encoder": [[fold_block(b) for b in stage] for stage in params["encoder"]],
         "bottleneck": [fold_block(b) for b in params["bottleneck"]],
         "decoder": [

@@ -69,6 +69,12 @@ class PatchSampler:
     seed: int = 0
     #: optional nnU-Net-style transform set (train/augment.py)
     augment: Optional["AugmentConfig"] = None
+    #: draw every patch of a batch from its own random case (nnU-Net's
+    #: decorrelated batches) instead of one resident case per batch.  The
+    #: default keeps host I/O amortized (one 4-modality decode + preprocess
+    #: per batch rather than per patch) — the right trade on hosts where
+    #: loading competes with the device for CPU.
+    mixed_batches: bool = False
 
     def __post_init__(self):
         if not self.cases:
@@ -117,14 +123,22 @@ class PatchSampler:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._rng.permutation(len(self.cases))
         pos = 0
+
+        def next_case():
+            nonlocal order, pos
+            idx = int(order[pos % len(order)])
+            pos += 1
+            if pos % len(order) == 0:
+                order = self._rng.permutation(len(self.cases))
+            return self._get_case(idx)
+
         while True:
             imgs, labs = [], []
+            if not self.mixed_batches:
+                data, seg = next_case()
             for b in range(self.batch_size):
-                idx = int(order[pos % len(order)])
-                pos += 1
-                if pos % len(order) == 0:
-                    order = self._rng.permutation(len(self.cases))
-                data, seg = self._get_case(idx)
+                if self.mixed_batches:
+                    data, seg = next_case()
                 force_fg = self._rng.random() < self.oversample_fg
                 dp, sp = self._sample_patch(data, seg, force_fg)
                 if self.augment is not None:

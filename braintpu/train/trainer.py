@@ -74,6 +74,9 @@ def _merge_bn_stats(params: Any, new_stats: Dict[str, Any]) -> Any:
         return out
 
     merged = {
+        # preserve extra subtrees (e.g. encoder_attn for AXIAL_UNET_FULL;
+        # NOTE: attention-block BN running stats are not updated in training)
+        **{k: v for k, v in params.items() if k not in ("encoder", "bottleneck", "decoder")},
         "encoder": [
             [merge_block(b, s) for b, s in zip(stage, stage_stats)]
             for stage, stage_stats in zip(params["encoder"], new_stats["encoder"])
@@ -167,7 +170,10 @@ def fit(
     try:
         it = iter(batches)
         while int(state.step) < num_steps:
-            batch = next(it)
+            try:
+                batch = next(it)
+            except StopIteration:
+                break  # finite dataset exhausted — stop cleanly (checkpoint below)
             key = None
             if rng is not None:
                 rng, key = jax.random.split(rng)

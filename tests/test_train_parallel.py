@@ -359,12 +359,15 @@ def test_augment_patch_properties():
     np.testing.assert_array_equal(s3, seg)
 
     # sampler integration
+    import os
+
     from braintpu.io.brats import find_cases
     from braintpu.train.data import PatchSampler
 
-    cases = find_cases("/tmp/vfy") if find_cases("/tmp/vfy") else None
-    if cases:
-        s = PatchSampler(cases, patch_size=(16, 16, 16), batch_size=1,
-                         seed=0, augment=AugmentConfig())
-        b = next(iter(s))
-        assert b["image"].shape == (1, 16, 16, 16, 4)
+    if os.path.isdir("/tmp/vfy"):  # machine-local scratch case, if present
+        cases = find_cases("/tmp/vfy")
+        if cases:
+            s = PatchSampler(cases, patch_size=(16, 16, 16), batch_size=1,
+                             seed=0, augment=AugmentConfig())
+            b = next(iter(s))
+            assert b["image"].shape == (1, 16, 16, 16, 4)

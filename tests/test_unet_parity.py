@@ -338,3 +338,40 @@ def test_axial_sum_vs_sequential_differ():
     summed = axial.apply_axial_attention(params, x, dim_head=4, sum_axial_out=True)
     assert seq.shape == summed.shape == x.shape
     assert float(jnp.max(jnp.abs(seq - summed))) > 1e-4
+
+
+def test_fold_batchnorm_preserves_encoder_attn():
+    """fold_batchnorm and _merge_bn_stats must carry the encoder_attn
+    subtree of the full Axial_UNet through (review finding: both rebuilt the
+    tree with only encoder/bottleneck/decoder keys, silently dropping it)."""
+    import braintpu.models.unet3d as u3
+
+    cfg = u3.UNetConfig(
+        norm="batch", base_features=8, num_pool=2, patch_size=(16, 16, 16),
+        axial_attention=True, axial_mode="full", attn_heads=2, attn_dim_head=4,
+        compute_dtype=jnp.float32,
+    )
+    params = u3.init_params(cfg, jax.random.PRNGKey(0))
+    folded = u3.fold_batchnorm(params, cfg)
+    assert "encoder_attn" in folded
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 16, 16, 4)).astype(np.float32)
+    )
+    y_ref = u3.apply_unet(params, x, cfg)
+    y_fold = u3.apply_unet(folded, x, cfg, folded=True)
+    np.testing.assert_allclose(
+        np.asarray(y_fold), np.asarray(y_ref), atol=2e-4
+    )
+
+    # one training step keeps the tree structure intact
+    from braintpu.train import TrainConfig, create_train_state, train_step
+
+    tc = TrainConfig(base_lr=1e-3, max_steps=10)
+    state = create_train_state(params, tc)
+    batch = {
+        "image": x,
+        "labels": jnp.zeros((1, 16, 16, 16), jnp.int32),
+    }
+    state, _ = train_step(state, batch, cfg, tc)
+    assert "encoder_attn" in state.params
+    state, _ = train_step(state, batch, cfg, tc)  # second step must not crash
