@@ -189,8 +189,12 @@ def _run_segment(args, engine, cases, out):
                 f"{info['batch_seconds']:.1f}s  volumes={info['volumes_cm3']}"
             )
         return 0
-    for case in cases:
-        seg, info = engine.predict_case(case, out / f"{case.case_id}.nii.gz")
+    from .io.brats import CasePrefetcher
+
+    for case, loaded in CasePrefetcher(cases):
+        seg, info = engine.predict_case(
+            case, out / f"{case.case_id}.nii.gz", loaded=loaded
+        )
         print(f"{case.case_id}: {info['total_s']:.1f}s  volumes={info['volumes_cm3']}")
     return 0
 

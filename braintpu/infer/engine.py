@@ -259,10 +259,18 @@ class InferenceEngine:
         return [r for r in results if r is not None]
 
     def predict_case(
-        self, case: BratsCase, output_path: Optional[Path] = None
+        self,
+        case: BratsCase,
+        output_path: Optional[Path] = None,
+        loaded: Optional[Tuple[np.ndarray, np.ndarray, Tuple[float, ...]]] = None,
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
-        """Load a case from disk, segment it, optionally save NIfTI + volumes."""
-        data, affine, zooms = load_case_volumes(case)
+        """Load a case from disk, segment it, optionally save NIfTI + volumes.
+
+        Pass ``loaded=(data, affine, zooms)`` (e.g. from
+        :class:`braintpu.io.brats.CasePrefetcher`) to overlap the next
+        case's host-side decode with this case's device compute.
+        """
+        data, affine, zooms = loaded if loaded is not None else load_case_volumes(case)
         seg, info = self.predict_case_array(data)
         voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
         et_label = 4 if self.output_convention == "brats2021" else 3

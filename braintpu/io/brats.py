@@ -22,7 +22,7 @@ import re
 import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -38,6 +38,7 @@ __all__ = [
     "BratsCase",
     "find_cases",
     "load_case_volumes",
+    "CasePrefetcher",
 ]
 
 #: Canonical modality order = nnU-Net channel order (T1→0000 … FLAIR→0003).
@@ -197,3 +198,45 @@ def load_case_volumes(case: BratsCase) -> Tuple[np.ndarray, np.ndarray, Tuple[fl
         raise ValueError(f"modality shape mismatch for {case.case_id}: {shapes}")
     data = np.stack([im.get_fdata(dtype=np.float32) for im in imgs], axis=0)
     return data, imgs[0].affine, imgs[0].get_zooms()
+
+class CasePrefetcher:
+    """Overlap host-side NIfTI decode with device compute (SURVEY §2.2 "PP").
+
+    Wraps a case list into an iterator of ``(case, (data, affine, zooms))``
+    where case *k+1*'s 4-modality decode + decompression runs on a
+    background thread while the consumer segments case *k* on the device.
+    The reference is strictly serial (one subprocess per stage); here the
+    host's decode latency hides entirely behind device time.
+
+    Usage::
+
+        for case, loaded in CasePrefetcher(cases):
+            data, affine, zooms = loaded
+            ...
+    """
+
+    def __init__(self, cases: Sequence[BratsCase], depth: int = 1):
+        import concurrent.futures as cf
+
+        self._cases = list(cases)
+        self._pool = cf.ThreadPoolExecutor(max_workers=max(1, depth))
+        self._depth = max(1, depth)
+
+    def __iter__(self):
+        import collections
+
+        pending = collections.deque()
+        idx = 0
+        try:
+            while idx < len(self._cases) or pending:
+                while idx < len(self._cases) and len(pending) <= self._depth:
+                    case = self._cases[idx]
+                    pending.append((case, self._pool.submit(load_case_volumes, case)))
+                    idx += 1
+                case, fut = pending.popleft()
+                yield case, fut.result()
+        finally:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __len__(self):
+        return len(self._cases)

@@ -74,3 +74,29 @@ def test_load_case_volumes(synth_case):
     assert data.dtype == np.float32
     assert zooms[:3] == (1.0, 1.0, 1.0)
     assert affine[0, 3] == -24
+
+
+def test_case_prefetcher_yields_all_cases(tmp_path):
+    """CasePrefetcher overlaps loads but yields every case in order with the
+    same data as a direct load."""
+    import numpy as np
+
+    from braintpu.io import nifti
+    from braintpu.io.brats import CasePrefetcher, find_cases, load_case_volumes
+
+    aff = np.eye(4)
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        d = tmp_path / f"BraTS-GLI-0880{k}-000"
+        d.mkdir()
+        for mod in ["t1", "t1ce", "t2", "flair"]:
+            nifti.save(rng.normal(size=(6, 7, 8)).astype(np.float32),
+                       d / f"BraTS-GLI-0880{k}-000_{mod}.nii.gz", affine=aff)
+    cases = find_cases(tmp_path)
+    assert len(cases) == 3
+    seen = []
+    for case, (data, affine, zooms) in CasePrefetcher(cases, depth=2):
+        ref, _, _ = load_case_volumes(case)
+        np.testing.assert_array_equal(data, ref)
+        seen.append(case.case_id)
+    assert seen == [c.case_id for c in cases]
