@@ -172,6 +172,9 @@ def cmd_segment(args):
         raise SystemExit(f"no complete BraTS case under {args.input}")
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
+    if getattr(args, "warmup", False):
+        secs = engine.warmup()
+        print(f"# warmup compile: {secs:.1f}s")
     with trace_ctx:
         return _run_segment(args, engine, cases, out)
 
@@ -517,6 +520,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--batch-cases", type=int, default=0,
         help="batch N cases through whole-volume inference together "
         "(multi-case throughput; fullconv mode only)",
+    )
+    p.add_argument(
+        "--warmup", action="store_true",
+        help="compile the standard bucket before the first case",
     )
     p.add_argument(
         "--trace-dir",

@@ -114,6 +114,23 @@ class InferenceEngine:
     #: FLOPs; see infer/fullconv.py for the documented semantics deltas).
     mode: str = "sliding"
 
+    def warmup(
+        self, bucket_shape: Tuple[int, int, int] = (192, 192, 160)
+    ) -> float:
+        """Trigger all compilations for a bucket shape before the first case.
+
+        A cold fullconv ensemble costs minutes of XLA compilation; calling
+        this (e.g. on a background thread while the first case downloads,
+        or at service start — serve/api does) moves that cost off the
+        first request.  Returns seconds spent.  Persistent-cache hits
+        (utils.compcache) make reruns cheap.
+        """
+        t0 = time.perf_counter()
+        # fully nonzero so crop-to-nonzero keeps the exact bucket extent
+        dummy = np.ones((4,) + tuple(bucket_shape), np.float32)
+        self.predict_case_array(dummy)
+        return time.perf_counter() - t0
+
     def predict_case_array(
         self, data_cxyz: np.ndarray
     ) -> Tuple[np.ndarray, Dict[str, Any]]:
