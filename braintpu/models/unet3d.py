@@ -754,10 +754,13 @@ def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> boo
         return False
     if cfg.conv_impl != "auto" or cfg.compute_dtype != jnp.bfloat16:
         return False
-    if folded:
-        return True
-    # deferred norms need per-sample stats → single-volume batches only
-    return cfg.norm in ("group", "instance") and x.shape[0] == 1
+    # Single-volume forwards only for now: deferred norms need per-sample
+    # stats, and the batched (sliding-window TTA) path stays on the
+    # hardware-measured XLA lowerings until the kernel is benchmarked at
+    # patch scale.
+    if x.shape[0] != 1:
+        return False
+    return folded or cfg.norm in ("group", "instance")
 
 
 def _apply_unet_fused(params, x, cfg: UNetConfig, folded: bool):

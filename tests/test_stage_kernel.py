@@ -108,7 +108,10 @@ def test_fused_supported_gating():
         assert not u3._fused_supported(cfg, x8, False, False, False)
         assert not u3._fused_supported(cfg, x1, True, False, False)  # train
         bn = u3.UNetConfig(norm="batch")
-        assert u3._fused_supported(bn, x8, False, False, True)  # folded, any N
+        assert u3._fused_supported(bn, x1, False, False, True)  # folded, N==1
+        # batched forwards (sliding-window TTA) stay on the XLA path until
+        # the kernel is benchmarked at patch scale
+        assert not u3._fused_supported(bn, x8, False, False, True)
         assert not u3._fused_supported(bn, x8, False, False, False)
     finally:
         u3._on_tpu = real
