@@ -214,18 +214,36 @@ def _kernel(
 
     nchunks = CH // RS
 
+    ci_total = wm_ref.shape[0] // 9
+    # Small-ci layers starve the MXU contraction depth tap-by-tap → one
+    # K=9·ci im2col dot; large-ci layers accumulate per-tap dots (the
+    # 9-way lane concat is only 128-aligned for power-of-two ci).
+    use_im2col = ci_total <= 64
+
     def chunk(ic, _):
         r0 = ic * RS
         taps = []
+        g = None
         for ky in range(3):
             a = load_chunk(buf1, r0, ky, a1_ref, c1_ref, in1_affine, in1_slope)
             if two_inputs:
                 a2 = load_chunk(buf2, r0, ky, a2_ref, c2_ref, in2_affine, in2_slope)
                 a = jnp.concatenate([a, a2], axis=-1)
             for kx in range(3):
-                taps.append(_shift_w(a, kx).reshape(RS * W, -1))
-        a9 = jnp.concatenate(taps, axis=-1)  # (RS*W, 9*ci)
-        g = jnp.dot(a9, wm_ref[:], preferred_element_type=jnp.float32)
+                at = _shift_w(a, kx).reshape(RS * W, -1)
+                if use_im2col:
+                    taps.append(at)
+                else:
+                    t = ky * 3 + kx
+                    gt = jnp.dot(
+                        at,
+                        wm_ref[pl.ds(t * ci_total, ci_total), :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    g = gt if g is None else g + gt
+        if use_im2col:
+            a9 = jnp.concatenate(taps, axis=-1)  # (RS*W, 9*ci)
+            g = jnp.dot(a9, wm_ref[:], preferred_element_type=jnp.float32)
         g = jnp.where(valid, g, 0.0)
         rows = pl.ds(pl.multiple_of(r0 * W, RS * W), RS * W)
 

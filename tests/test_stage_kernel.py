@@ -34,6 +34,10 @@ def _pow2(rng, shape):
         (6, 16, 16, 8, 8, 8, True, None, True),
         (4, 24, 16, 16, 0, 8, True, None, True),
         (7, 40, 24, 8, 8, 16, True, None, True),
+        # ci > 64 exercises the per-tap dot accumulation branch (the 9-way
+        # lane concat is only 128-aligned for power-of-two ci)
+        (4, 16, 16, 72, 0, 8, True, None, True),
+        (4, 16, 16, 64, 64, 8, False, 0.5, False),
     ],
 )
 def test_conv_stage_exact(D, H, W, ci1, ci2, co, stats, out_slope, affine):
