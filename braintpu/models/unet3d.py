@@ -747,8 +747,10 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
 def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> bool:
     import os
 
-    # kill switch: BRAINTPU_FUSED_STAGES=0 falls back to the XLA stage path
-    if os.environ.get("BRAINTPU_FUSED_STAGES", "1") == "0":
+    # Opt-in until the round-2 TPU compile probe + parity measurement pass
+    # (PERF.md checklist): BRAINTPU_FUSED_STAGES=1 enables the fused Pallas
+    # stage path; default stays on the hardware-measured XLA lowerings.
+    if os.environ.get("BRAINTPU_FUSED_STAGES", "0") != "1":
         return False
     if train or deep_supervision or cfg.axial_attention or not _on_tpu():
         return False

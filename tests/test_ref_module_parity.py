@@ -1,0 +1,227 @@
+"""Forward parity vs the reference's ACTUAL PyTorch ``Generic_UNet`` module
+at production topology.
+
+Round-1 parity ran only against a clean-room torch-functional oracle at toy
+scale (16³, 2 pools); a clean-room oracle written by the same author can
+share a misreading.  This test imports the real
+``/root/reference/model_architecture/generic_UNet.py`` (its ``nnunet`` /
+``axial_attention`` imports stubbed — we execute the module definition as
+an oracle only), instantiates it exactly as the KAIST checkpoints expect
+(conv pooling + conv upsampling, BN / GN-large variants,
+ref generic_UNet.py:171-446), randomizes the state_dict, and asserts the
+braintpu converter + JAX forward agree at the real 128³ / 5-pool topology.
+"""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from braintpu.ckpt import convert_state_dict
+from braintpu.models import (
+    MODEL1_BN,
+    MODEL2_GN_LARGE,
+    apply_unet,
+    fold_batchnorm,
+)
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+REF_UNET = Path("/root/reference/model_architecture/generic_UNet.py")
+
+pytestmark = pytest.mark.skipif(
+    not REF_UNET.exists(), reason="reference generic_UNet.py not mounted"
+)
+
+
+def _stub_modules():
+    """sys.modules stubs for the reference's nnunet / axial_attention imports."""
+
+    class InitWeights_He:
+        def __init__(self, neg_slope=1e-2):
+            self.neg_slope = neg_slope
+
+        def __call__(self, module):
+            if isinstance(
+                module,
+                (nn.Conv3d, nn.Conv2d, nn.ConvTranspose2d, nn.ConvTranspose3d),
+            ):
+                module.weight = nn.init.kaiming_normal_(
+                    module.weight, a=self.neg_slope
+                )
+                if module.bias is not None:
+                    module.bias = nn.init.constant_(module.bias, 0)
+
+    class SegmentationNetwork(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_shape_must_be_divisible_by = None
+            self.conv_op = None
+            self.num_classes = None
+            self.inference_apply_nonlin = lambda x: x
+
+    class _AxialUnused:
+        def __init__(self, *a, **k):
+            raise RuntimeError("axial stub must not be instantiated here")
+
+    def softmax_helper(x):
+        return torch.softmax(x, 1)
+
+    mods = {}
+    for name in (
+        "nnunet",
+        "nnunet.utilities",
+        "nnunet.utilities.nd_softmax",
+        "nnunet.network_architecture",
+        "nnunet.network_architecture.initialization",
+        "nnunet.network_architecture.neural_network",
+        "axial_attention",
+    ):
+        mods[name] = types.ModuleType(name)
+    mods["nnunet.utilities.nd_softmax"].softmax_helper = softmax_helper
+    mods["nnunet.network_architecture.initialization"].InitWeights_He = InitWeights_He
+    mods["nnunet.network_architecture.neural_network"].SegmentationNetwork = (
+        SegmentationNetwork
+    )
+    mods["axial_attention"].AxialAttention = _AxialUnused
+    mods["axial_attention"].AxialPositionalEmbedding = _AxialUnused
+    return mods
+
+
+@pytest.fixture(scope="module")
+def ref_unet_module():
+    saved = {k: sys.modules.get(k) for k in _stub_modules()}
+    sys.modules.update(_stub_modules())
+    try:
+        spec = importlib.util.spec_from_file_location("ref_generic_unet", REF_UNET)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def build_ref_net(mod, cfg):
+    """Instantiate the reference Generic_UNet to match a braintpu UNetConfig.
+
+    Mirrors the nnUNetTrainerV2 construction the checkpoints were trained
+    with: Conv3d, convolutional pooling + upsampling, LeakyReLU(1e-2),
+    sigmoid region heads (ref run_brats2021_inference_singlethread.py uses
+    the regions trainers whose final_nonlin is sigmoid).
+    """
+    if cfg.norm == "batch":
+        norm_op, norm_kwargs = nn.BatchNorm3d, {
+            "eps": 1e-5, "affine": True, "momentum": 0.1,
+        }
+    else:
+        norm_op, norm_kwargs = nn.GroupNorm, {
+            "num_groups": cfg.group_norm_groups, "eps": 1e-5, "affine": True,
+        }
+    net = mod.Generic_UNet(
+        input_channels=cfg.in_channels,
+        base_num_features=cfg.base_features,
+        num_classes=cfg.num_classes,
+        num_pool=cfg.num_pool,
+        num_conv_per_stage=cfg.conv_per_stage,
+        feat_map_mul_on_downscale=2,
+        conv_op=nn.Conv3d,
+        norm_op=norm_op,
+        norm_op_kwargs=norm_kwargs,
+        dropout_op=nn.Dropout3d,
+        dropout_op_kwargs={"p": 0.0, "inplace": True},
+        nonlin=nn.LeakyReLU,
+        nonlin_kwargs={"negative_slope": cfg.negative_slope, "inplace": True},
+        deep_supervision=True,
+        dropout_in_localization=False,
+        # braintpu's apply_unet returns raw logits (sigmoid lives in the
+        # inference engine), so compare at the logit level — harsher.
+        final_nonlin=lambda x: x,
+        weightInitializer=mod.InitWeights_He(1e-2),
+        pool_op_kernel_sizes=[list(cfg.pool_kernel)] * cfg.num_pool,
+        conv_kernel_sizes=[list(cfg.conv_kernel)] * (cfg.num_pool + 1),
+        upscale_logits=False,
+        convolutional_pooling=True,
+        convolutional_upsampling=True,
+        max_num_features=cfg.max_features,
+        encoder_scale=cfg.encoder_scale,
+        axial_attention=False,
+    )
+    net.do_ds = False  # inference mode: full-resolution head only
+    net.eval()
+    return net
+
+
+def randomize_state(net, seed):
+    """Keep He-initialized conv weights; randomize biases, norm affines and
+    BN running stats so every converted tensor actually matters."""
+    g = torch.Generator().manual_seed(seed)
+    sd = net.state_dict()
+    with torch.no_grad():
+        for k, v in sd.items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            if k.endswith("running_var"):
+                v.copy_(torch.rand(v.shape, generator=g) + 0.5)
+            elif k.endswith("running_mean"):
+                v.copy_(torch.randn(v.shape, generator=g) * 0.2)
+            elif ".instnorm.weight" in k:
+                v.copy_(torch.rand(v.shape, generator=g) + 0.5)
+            elif ".instnorm.bias" in k or k.endswith(".conv.bias"):
+                v.copy_(torch.randn(v.shape, generator=g) * 0.1)
+    return sd
+
+
+@pytest.mark.parametrize(
+    "cfg,patch",
+    [
+        (MODEL1_BN, (128, 128, 128)),
+        (MODEL2_GN_LARGE, (128, 128, 128)),
+    ],
+    ids=["bn-128", "gn-large-128"],
+)
+def test_production_topology_parity(ref_unet_module, cfg, patch):
+    cfg = __import__("dataclasses").replace(cfg, compute_dtype=jnp.float32)
+    net = build_ref_net(ref_unet_module, cfg)
+    sd = randomize_state(net, seed=11)
+
+    x_t = torch.randn(
+        1, cfg.in_channels, *patch, generator=torch.Generator().manual_seed(3)
+    )
+    with torch.no_grad():
+        ref = net(x_t).numpy()  # (1, 3, D, H, W) region logits
+
+    params = convert_state_dict({k: v for k, v in sd.items()}, cfg)
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))
+    out = np.asarray(apply_unet(params, x_j, cfg))
+    out_nchw = out.transpose(0, 4, 1, 2, 3)
+
+    np.testing.assert_allclose(out_nchw, ref, rtol=1e-3, atol=1e-3)
+    # report achieved accuracy so regressions show up in -v output
+    max_abs = float(np.max(np.abs(out_nchw - ref)))
+    assert max_abs < 1e-3, max_abs
+
+
+def test_bn_fold_matches_ref_module(ref_unet_module):
+    """Folded-BN fast path agrees with the real torch module (64³ to keep
+    the third full forward cheap)."""
+    cfg = __import__("dataclasses").replace(MODEL1_BN, compute_dtype=jnp.float32)
+    net = build_ref_net(ref_unet_module, cfg)
+    sd = randomize_state(net, seed=5)
+    x_t = torch.randn(1, 4, 64, 64, 64, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        ref = net(x_t).numpy()
+    params = convert_state_dict({k: v for k, v in sd.items()}, cfg)
+    folded = fold_batchnorm(params, cfg)
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 4, 1))
+    out = np.asarray(apply_unet(folded, x_j, cfg, folded=True))
+    np.testing.assert_allclose(out.transpose(0, 4, 1, 2, 3), ref, rtol=1e-3, atol=1e-3)
