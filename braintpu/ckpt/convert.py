@@ -73,8 +73,61 @@ def _conv_block_from(sd: Mapping[str, Any], prefix: str, has_bn_stats: bool) -> 
     return block
 
 
+def _axial_params_from(
+    sd: Mapping[str, Any], emb_prefix: str, attn_prefix: str
+) -> Dict[str, Any]:
+    """AxialPositionalEmbedding + AxialAttention state → braintpu axial params.
+
+    The reference wraps the ``axial_attention`` pip package
+    (ref generic_UNet.py:24, 377-387, 489-511), whose state_dict layout is:
+    ``<emb>.param_{0,1,2}`` — (1, C, D, 1, 1)/(1, C, 1, H, 1)/(1, C, 1, 1, W)
+    additive positional embeddings; ``<attn>.axial_attentions.{i}.fn.to_q/
+    to_kv/to_out`` — per-axis SelfAttention Linears in D, H, W axis order
+    (``calculate_permutations`` with dim_index=1 iterates dims 2, 3, 4).
+    braintpu fuses q and kv into one (C, 3*inner) projection.
+    """
+    pos = {}
+    for i, name in enumerate("dhw"):
+        p = _np(sd[f"{emb_prefix}.param_{i}"])
+        pos[name] = p.reshape(p.shape[1], -1).T  # (1,C,…axis…) → (axis, C)
+    axes = []
+    for i in range(3):
+        base = f"{attn_prefix}.axial_attentions.{i}.fn"
+        q = _np(sd[f"{base}.to_q.weight"])  # (inner, C), torch Linear layout
+        kv = _np(sd[f"{base}.to_kv.weight"])  # (2*inner, C), k then v
+        ax = {
+            "qkv": np.concatenate([q.T, kv.T], axis=1),  # (C, 3*inner) q|k|v
+            "out": _np(sd[f"{base}.to_out.weight"]).T,  # (inner, C)
+        }
+        if f"{base}.to_out.bias" in sd:
+            ax["out_b"] = _np(sd[f"{base}.to_out.bias"])
+        axes.append(ax)
+    return {"pos": pos, "axes": axes}
+
+
+def _axial_bn_from(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "shift": _np(sd[f"{prefix}.bias"]),
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
 def convert_state_dict(sd: Mapping[str, Any], cfg: UNetConfig) -> Dict[str, Any]:
-    """Map a ``Generic_UNet`` state_dict onto the braintpu param pytree."""
+    """Map a ``Generic_UNet``/``Axial_UNet`` state_dict onto the braintpu
+    param pytree.
+
+    Axial families: ``axial_mode='full'`` maps the Axial_UNet namespace
+    (``axial_attention_down.{j}`` / ``axial_attention_up.{j}`` holding
+    pos-emb → attention → BatchNorm sequentials, ref generic_UNet.py:489-799);
+    ``axial_mode='decoder'`` maps Generic_UNet's ``axial_embedding.{j}`` +
+    ``axial_attention.{j}`` decoder lists (ref generic_UNet.py:377-387).
+    No axial checkpoints ship with the reference, so these mappings are
+    validated against synthetic state_dicts in tests/test_axial_convert.py
+    (naming read from the reference + the axial_attention package source),
+    not against trained weights.
+    """
     sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
     has_bn = cfg.norm == "batch"
     P = cfg.num_pool
@@ -105,6 +158,38 @@ def convert_state_dict(sd: Mapping[str, Any], cfg: UNetConfig) -> Dict[str, Any]
         decoder.append({"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}})
 
     params = {"encoder": encoder, "bottleneck": bottleneck, "decoder": decoder}
+
+    if cfg.axial_attention and cfg.axial_mode == "full":
+        att_levels = [d for d in range(P) if d not in cfg.no_attention_levels]
+        encoder_attn: Dict[str, Any] = {}
+        for j, d in enumerate(att_levels):
+            base = f"axial_attention_down.{j}.axial_attention"
+            blk = {"attn": _axial_params_from(sd, f"{base}.0", f"{base}.1")}
+            if f"{base}.2.running_mean" in sd:
+                blk["bn"] = _axial_bn_from(sd, f"{base}.2")
+            encoder_attn[str(d)] = blk
+        if encoder_attn:
+            params["encoder_attn"] = encoder_attn
+        k = 0
+        for u in range(P):
+            if (P - u - 1) in cfg.no_attention_levels:
+                continue
+            base = f"axial_attention_up.{k}.axial_attention"
+            blk = {"attn": _axial_params_from(sd, f"{base}.0", f"{base}.1")}
+            if f"{base}.2.running_mean" in sd:
+                blk["bn"] = _axial_bn_from(sd, f"{base}.2")
+            decoder[u]["attn_block"] = blk
+            k += 1
+    elif cfg.axial_attention:
+        j = 0
+        for u in range(P):
+            if u in cfg.no_attention_levels:
+                continue
+            decoder[u]["attn"] = _axial_params_from(
+                sd, f"axial_embedding.{j}", f"axial_attention.{j}"
+            )
+            j += 1
+
     _validate_shapes(params, cfg)
     return params
 

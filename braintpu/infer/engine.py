@@ -209,39 +209,44 @@ class InferenceEngine:
 
     def predict_cases_batched(
         self, cases: List[BratsCase], output_dir: Optional[Path] = None,
-        batch_size: int = 4,
+        batch_size: int = 4, max_pending: Optional[int] = None,
     ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
         """Multi-case throughput on one chip (BASELINE config 4).
 
-        Requires ``mode='fullconv'``: cases are preprocessed, grouped by
-        padded bucket shape, stacked on the batch axis and run through the
-        whole-volume ensemble together — one compiled program per bucket,
-        amortizing per-forward overheads across cases.  GroupNorm
-        statistics stay per-sample (batch axis is the normalization
-        boundary); results match per-case fullconv calls exactly on the
-        XLA path (on TPU, non-folded norm models take the fused-stage
-        kernel only at N == 1, so batched output can differ at bf16
-        rounding level from a per-case call).
+        Requires ``mode='fullconv'``: cases stream in through a
+        :class:`~braintpu.io.brats.CasePrefetcher` (host decode overlapped
+        with device compute), are grouped by padded bucket shape, stacked on
+        the batch axis and run through the whole-volume ensemble together —
+        one compiled program per bucket, amortizing per-forward overheads
+        across cases.  Host memory is bounded: at most ``max_pending``
+        (default ``max(2*batch_size, 8)``) preprocessed cases are resident
+        at once — when the cap is hit, the fullest bucket is flushed as a
+        partial batch — and each case's arrays are freed as soon as its
+        segmentation is written.  GroupNorm statistics stay per-sample
+        (batch axis is the normalization boundary); results match per-case
+        fullconv calls exactly on the XLA path (on TPU, non-folded norm
+        models take the fused-stage kernel only at N == 1, so batched
+        output can differ at bf16 rounding level from a per-case call).
         """
         if self.mode != "fullconv":
             raise ValueError("predict_cases_batched requires mode='fullconv'")
         div = max(2**m.cfg.num_pool for m in self.models)
-        loaded = []
-        for case in cases:
-            data, affine, zooms = load_case_volumes(case)
-            pre = preprocess_case(data, patch_size=(div,) * 3, pad_multiple=div)
-            loaded.append((case, affine, zooms, pre))
-        # group by bucket shape
-        groups: Dict[Tuple[int, ...], List[int]] = {}
-        for i, (_, _, _, pre) in enumerate(loaded):
-            groups.setdefault(tuple(pre.data.shape), []).append(i)
+        if max_pending is None:
+            max_pending = max(2 * batch_size, 8)
         results: List[Optional[Tuple[np.ndarray, Dict[str, Any]]]] = [None] * len(cases)
-        for shape, idxs in groups.items():
-            for start in range(0, len(idxs), batch_size):
-                chunk = idxs[start : start + batch_size]
+        # bucket shape → [(case_index, case, affine, zooms, preprocess_result)]
+        pending: Dict[Tuple[int, ...], List[Tuple[int, Any, Any, Any, Any]]] = {}
+        n_pending = 0
+
+        def run_bucket(shape: Tuple[int, ...]) -> None:
+            nonlocal n_pending
+            entries = pending.pop(shape)
+            n_pending -= len(entries)
+            for start in range(0, len(entries), batch_size):
+                chunk = entries[start : start + batch_size]
                 t0 = time.perf_counter()
                 vols = jnp.stack(
-                    [jnp.moveaxis(jnp.asarray(loaded[i][3].data), 0, -1) for i in chunk]
+                    [jnp.moveaxis(jnp.asarray(e[4].data), 0, -1) for e in chunk]
                 )
                 per_model = []
                 for m in self.models:
@@ -250,9 +255,12 @@ class InferenceEngine:
                         num_mirror=8 if self.tta else 1, folded=m.folded,
                     )
                     per_model.append(probs)
+                # sync before timing: fullconv_predict dispatches
+                # asynchronously, so un-synced clocks measure dispatch
+                # latency, not compute
+                jax.block_until_ready(per_model)
                 batch_s = time.perf_counter() - t0
-                for bi, i in enumerate(chunk):
-                    case, affine, zooms, pre = loaded[i]
+                for bi, (i, case, affine, zooms, pre) in enumerate(chunk):
                     seg_internal = self._ensemble_labels(
                         [p[bi] for p in per_model], pre
                     )
@@ -273,6 +281,23 @@ class InferenceEngine:
                         nifti.save(out.astype(np.uint8), path, affine=affine)
                         info["output_path"] = str(path)
                     results[i] = (out, info)
+
+        from ..io.brats import CasePrefetcher
+
+        for i, (case, (data, affine, zooms)) in enumerate(
+            CasePrefetcher(cases, depth=2)
+        ):
+            pre = preprocess_case(data, patch_size=(div,) * 3, pad_multiple=div)
+            del data  # free the raw decode; `pre` holds the cropped copy
+            shape = tuple(pre.data.shape)
+            pending.setdefault(shape, []).append((i, case, affine, zooms, pre))
+            n_pending += 1
+            if len(pending[shape]) >= batch_size:
+                run_bucket(shape)
+            elif n_pending >= max_pending:
+                run_bucket(max(pending, key=lambda s: len(pending[s])))
+        for shape in sorted(pending, key=lambda s: -len(pending[s])):
+            run_bucket(shape)
         return [r for r in results if r is not None]
 
     def predict_case(

@@ -82,7 +82,9 @@ def init_axial_params(
 _MAX_LOGIT_BYTES = 512 * 1024 * 1024
 
 
-def _axis_attention(x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int) -> jnp.ndarray:
+def _axis_attention(
+    x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int, bout=None
+) -> jnp.ndarray:
     """Self-attention along the second-to-last axis of (B, L, C)."""
     B, L, C = x.shape
     inner = heads * dim_head
@@ -102,7 +104,13 @@ def _axis_attention(x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int) -> jn
         weights = jax.nn.softmax(logits, axis=-1).astype(xc.dtype)
         out = jnp.einsum("bhlm,bhmd->bhld", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, L, inner)
-        return jnp.einsum("blk,kc->blc", out, wout.astype(xc.dtype))
+        y = jnp.einsum("blk,kc->blc", out, wout.astype(xc.dtype))
+        if bout is not None:
+            # the reference package's to_out Linear carries a bias
+            # (axial_attention SelfAttention.to_out); present only on
+            # converted checkpoints
+            y = y + bout.astype(y.dtype)
+        return y
 
     row_bytes = heads * L * L * 4
     if B * row_bytes <= _MAX_LOGIT_BYTES:
@@ -118,16 +126,23 @@ def _axis_attention(x: jnp.ndarray, wqkv, wout, heads: int, dim_head: int) -> jn
 def _one_axis(params_axis, x, axis, heads, dim_head):
     """Attention along spatial ``axis`` (0=D, 1=H, 2=W) of (N, D, H, W, C)."""
     N, D, H, W, C = x.shape
+    bout = params_axis.get("out_b")
     if axis == 0:
         y = x.transpose(0, 2, 3, 1, 4).reshape(N * H * W, D, C)
-        y = _axis_attention(y, params_axis["qkv"], params_axis["out"], heads, dim_head)
+        y = _axis_attention(
+            y, params_axis["qkv"], params_axis["out"], heads, dim_head, bout
+        )
         return y.reshape(N, H, W, D, C).transpose(0, 3, 1, 2, 4)
     if axis == 1:
         y = x.transpose(0, 1, 3, 2, 4).reshape(N * D * W, H, C)
-        y = _axis_attention(y, params_axis["qkv"], params_axis["out"], heads, dim_head)
+        y = _axis_attention(
+            y, params_axis["qkv"], params_axis["out"], heads, dim_head, bout
+        )
         return y.reshape(N, D, W, H, C).transpose(0, 1, 3, 2, 4)
     y = x.reshape(N * D * H, W, C)
-    y = _axis_attention(y, params_axis["qkv"], params_axis["out"], heads, dim_head)
+    y = _axis_attention(
+        y, params_axis["qkv"], params_axis["out"], heads, dim_head, bout
+    )
     return y.reshape(N, D, H, W, C)
 
 

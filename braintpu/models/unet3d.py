@@ -257,11 +257,15 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
 
             d = cfg.num_pool - u - 1
             shape_dhw = tuple(int(s // (2**d)) for s in cfg.patch_size)
-            # reference scales heads/dim_head by 2^d with depth
-            # (generic_UNet.py:383-384); cap the inner dim at 2× channels to
-            # keep deep-stage projections sane.
+            # reference scales heads AND dim_head by 2^d with depth
+            # (generic_UNet.py:383-384).  dim_head keeps the reference
+            # scaling (apply_unet depends on it to derive the head split
+            # for converted checkpoints); for randomly-initialized models
+            # the head count is capped so inner ≤ 2× channels — the
+            # reference's uncapped projections (e.g. 256→16384 at d=3) are
+            # a documented VRAM quirk we don't reproduce at init.
             heads = cfg.attn_heads * (2**d)
-            dim_head = cfg.attn_dim_head
+            dim_head = cfg.attn_dim_head * (2**d)
             while heads * dim_head > 2 * ch["skip"] and heads > 1:
                 heads //= 2
             stage["attn"] = init_axial_params(
@@ -873,8 +877,15 @@ def apply_unet(
         elif "attn" in stage:
             from .axial import apply_axial_attention
 
+            # per-depth dim_head scaling matches the reference's
+            # AxialAttention(dim_heads=dim_heads*2**d) (generic_UNet.py:383),
+            # so converted checkpoints split heads exactly as trained
+            dlev = cfg.num_pool - u - 1
             h = (
-                apply_axial_attention(stage["attn"], h, cfg.attn_dim_head) + h
+                apply_axial_attention(
+                    stage["attn"], h, cfg.attn_dim_head * (2**dlev)
+                )
+                + h
             ).astype(cfg.compute_dtype)
         h = jnp.concatenate([h, skips[-(u + 1)]], axis=-1)
         stage_stats = []

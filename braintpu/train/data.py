@@ -80,16 +80,24 @@ class PatchSampler:
         if not self.cases:
             raise ValueError("no training cases")
         self._rng = np.random.default_rng(self.seed)
-        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
-    def _get_case(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _get_case(self, idx: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if idx not in self._cache:
             # one resident case keeps host memory bounded
             self._cache.clear()
-            self._cache[idx] = load_training_case(self.cases[idx])
+            data, seg = load_training_case(self.cases[idx])
+            # precompute the foreground coordinate list once per resident
+            # case (nnU-Net precomputes class locations the same way) —
+            # a full-volume argwhere per forced-fg draw is a host scan
+            # ~batch_size×steps times more often than needed
+            fg = np.argwhere(seg > 0)
+            self._cache[idx] = (data, seg, fg)
         return self._cache[idx]
 
-    def _sample_patch(self, data: np.ndarray, seg: np.ndarray, force_fg: bool):
+    def _sample_patch(
+        self, data: np.ndarray, seg: np.ndarray, fg: np.ndarray, force_fg: bool
+    ):
         _, X, Y, Z = data.shape
         ps = self.patch_size
         # pad small volumes up to the patch size
@@ -98,9 +106,9 @@ class PatchSampler:
             data = np.pad(data, [(0, 0)] + pads)
             seg = np.pad(seg, pads)
             _, X, Y, Z = data.shape
-        if force_fg:
-            fg = np.argwhere(seg > 0)
-        else:
+        # fg coordinates were computed on the unpadded volume; padding only
+        # appends at the high end, so they remain valid patch centers
+        if not force_fg:
             fg = np.empty((0, 3))
         if len(fg):
             c = fg[self._rng.integers(len(fg))]
@@ -135,12 +143,12 @@ class PatchSampler:
         while True:
             imgs, labs = [], []
             if not self.mixed_batches:
-                data, seg = next_case()
+                data, seg, fg = next_case()
             for b in range(self.batch_size):
                 if self.mixed_batches:
-                    data, seg = next_case()
+                    data, seg, fg = next_case()
                 force_fg = self._rng.random() < self.oversample_fg
-                dp, sp = self._sample_patch(data, seg, force_fg)
+                dp, sp = self._sample_patch(data, seg, fg, force_fg)
                 if self.augment is not None:
                     from .augment import augment_patch
 

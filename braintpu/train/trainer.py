@@ -155,6 +155,17 @@ def fit(
     the single-device jitted :func:`train_step` and may be replaced with a
     sharded step (``parallel.make_sharded_train_step``).
     """
+    if cfg.axial_attention and cfg.axial_mode == "full" and cfg.axial_bn:
+        # The AxialAttention3D blocks' BatchNorm running stats are not
+        # threaded through train_step's stat merge (_merge_bn_stats leaves
+        # encoder_attn/decoder attn untouched), so training would silently
+        # freeze those norms at init — deviating from the reference's
+        # BatchNorm3d train behavior. Refuse rather than train wrong.
+        raise NotImplementedError(
+            "training axial_mode='full' models is unsupported: attention-block "
+            "BatchNorm running stats are not updated during training. Train "
+            "the 'decoder' axial variant, or set axial_bn=False."
+        )
     mgr = None
     if checkpoint_dir is not None:
         from .checkpoint import CheckpointManager
