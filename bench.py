@@ -47,27 +47,52 @@ def synthetic_case(shape=(240, 240, 155), seed=0):
     return data
 
 
-def _preflight_tunnel(timeout_s: float = 5.0) -> None:
-    """Fail fast (with a machine-readable line) if the TPU tunnel is dead.
+def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
+    """Fail (with a machine-readable line) if the TPU tunnel is dead.
 
     In this environment the axon PJRT plugin blocks all jax work when the
     local relay is down; a hung bench is worse than an explicit error.
+    The relay also flaps, so rather than failing on the first probe we
+    poll for up to ``wait_s`` (BRAINTPU_BENCH_TUNNEL_WAIT overrides)
+    before giving up — round 1's capture was lost to exactly this.
     """
     import os
     import socket
 
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return  # direct TPU or CPU — nothing to probe
-    for port in (8082, 8092, 8102, 8112):
-        s = socket.socket()
-        s.settimeout(timeout_s)
-        try:
-            s.connect(("127.0.0.1", port))
+    wait_s = float(os.environ.get("BRAINTPU_BENCH_TUNNEL_WAIT", wait_s))
+    deadline = time.monotonic() + wait_s
+
+    def probe() -> bool:
+        for port in (8082, 8092, 8102, 8112):
+            s = socket.socket()
+            s.settimeout(timeout_s)
+            try:
+                s.connect(("127.0.0.1", port))
+                return True
+            except OSError:
+                continue
+            finally:
+                s.close()
+        return False
+
+    waited = False
+    while True:
+        if probe():
+            if waited:
+                print("# tunnel came back; proceeding", file=sys.stderr)
             return
-        except OSError:
-            continue
-        finally:
-            s.close()
+        if time.monotonic() >= deadline:
+            break
+        if not waited:
+            print(
+                f"# tpu tunnel down; polling up to {wait_s:.0f}s for the "
+                "relay to return",
+                file=sys.stderr,
+            )
+            waited = True
+        time.sleep(10.0)
     print(
         json.dumps(
             {

@@ -107,6 +107,7 @@ class FeatureContext:
     _tumor_masks: Optional[Dict[str, np.ndarray]] = None
     _brain_masks: Dict[str, np.ndarray] = field(default_factory=dict)
     _normal_stats: Dict[str, Dict] = field(default_factory=dict)
+    _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":
@@ -168,12 +169,41 @@ class FeatureContext:
             self._brain_masks[modality] = brain_mask_from(self.modalities[modality])
         return self._brain_masks[modality]
 
+    def _dev_stats(self) -> Dict[str, Dict[str, Dict]]:
+        """All region × modality stats from ONE jitted device pass
+        (features/devstats.py); computed lazily, cached for the case."""
+        if self._device_stats is None:
+            from .devstats import compute_case_stats
+
+            self._device_stats = compute_case_stats(self.modalities, self.seg)
+        return self._device_stats
+
+    def region_stats(self, region: str, modality: str) -> Dict:
+        """Masked intensity summary for a tumor region on one sequence.
+
+        Same schema as :func:`intensity_stats`; with
+        ``BRAINTPU_DEVICE_FEATURES=1`` all regions' stats come from a
+        single batched device reduction instead of per-mask host passes.
+        """
+        if self._use_device_stats():
+            return self._dev_stats()[region][modality]
+        return intensity_stats(self.modalities[modality], self.tumor_masks[region])
+
+    @staticmethod
+    def _use_device_stats() -> bool:
+        from .devstats import device_features_enabled
+
+        return device_features_enabled()
+
     def normal_stats(self, modality: str) -> Dict:
         """Normal-brain (non-tumor, >5th-pct) intensity reference per sequence."""
         if modality not in self._normal_stats:
-            data = self.modalities[modality]
-            normal = self.brain_mask(modality) & (self.seg == 0)
-            self._normal_stats[modality] = intensity_stats(data, normal)
+            if self._use_device_stats():
+                self._normal_stats[modality] = self._dev_stats()["normal"][modality]
+            else:
+                data = self.modalities[modality]
+                normal = self.brain_mask(modality) & (self.seg == 0)
+                self._normal_stats[modality] = intensity_stats(data, normal)
         return self._normal_stats[modality]
 
     def region_volume_cm3(self, region: str) -> float:

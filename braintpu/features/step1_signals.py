@@ -25,7 +25,7 @@ from typing import Dict, Optional
 import numpy as np
 from scipy.ndimage import binary_dilation
 
-from .context import FeatureContext, intensity_stats
+from .context import FeatureContext
 
 __all__ = ["signal_label", "analyze_sequence_findings"]
 
@@ -61,7 +61,7 @@ def _region_signals(ctx: FeatureContext, region_key: str) -> Optional[Dict]:
     labels = {}
     region_means = {}
     for mod, key in SEQ_KEYS.items():
-        stats = intensity_stats(ctx.modalities[mod], mask)
+        stats = ctx.region_stats(region_key, mod)
         normal_mean = ctx.normal_stats(mod)["mean"]
         ratio = (
             stats["mean"] / normal_mean if normal_mean and normal_mean > 0 else 1.0

@@ -615,6 +615,17 @@ def _upconv(x, w, compute_dtype):
     # NOTE: lhs-dilated Conv3D expresses this in one op but hits a
     # pathological XLA:TPU compile (>25 min, can wedge the compile service);
     # the einsum + per-axis phase peel below is the fast-compiling path.
+    if (kd, kh, kw) == (2, 2, 2) and compute_dtype == jnp.bfloat16 and _on_tpu():
+        from ..ops.upconv_pallas import (
+            pallas_upconv_enabled,
+            upconv2x,
+            upconv2x_supported,
+        )
+
+        # Opt-in fused dot+interleave kernel (PERF.md item 4): removes the
+        # three whole-tensor shuffle passes; pending TPU compile probe.
+        if pallas_upconv_enabled() and upconv2x_supported(x.shape, co):
+            return upconv2x(x, w).astype(compute_dtype)
     wm = w.reshape(ci, kd * kh * kw * co).astype(compute_dtype)
     y = jnp.einsum(
         "ndhwc,ck->ndhwk", x.astype(compute_dtype), wm, preferred_element_type=jnp.float32
@@ -760,12 +771,16 @@ def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> boo
         return False
     if cfg.conv_impl != "auto" or cfg.compute_dtype != jnp.bfloat16:
         return False
-    # Single-volume forwards only for now: deferred norms need per-sample
+    # Single-volume forwards by default: deferred norms need per-sample
     # stats, and the batched (sliding-window TTA) path stays on the
     # hardware-measured XLA lowerings until the kernel is benchmarked at
-    # patch scale.
+    # patch scale.  Folded-BN batches carry no stats, so they can take the
+    # kernel once benchmarked — second opt-in BRAINTPU_FUSED_BATCHED=1
+    # (PERF.md round-2 checklist item 3).
     if x.shape[0] != 1:
-        return False
+        if not (folded and os.environ.get("BRAINTPU_FUSED_BATCHED", "0") == "1"):
+            return False
+        return True
     return folded or cfg.norm in ("group", "instance")
 
 

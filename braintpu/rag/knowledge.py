@@ -151,13 +151,18 @@ Pattern descriptors and enhancing-component volume in cm³.
         ),
         _doc(
             "Non-enhancing Tumor",
-            "non-enhancing, infiltrative, T2, FLAIR, low grade, signal abnormality",
+            "non-enhancing, tumor core, NCET, necrosis, infiltrative, T2, FLAIR, "
+            "low grade, signal abnormality",
             f"""Definition:
 A non-enhancing component is abnormal tissue that does not brighten after
 gadolinium, implying a relatively intact blood-brain barrier in that region.
 Such tissue is usually identified as T2/FLAIR signal abnormality beyond the
-enhancing margin. Entirely non-enhancing lesions can be seen with
-lower-grade glioma, treatment effect, and several non-neoplastic processes.
+enhancing margin. The non-enhancing tumor core (sometimes abbreviated NCET)
+is the part of the tumor core lacking contrast uptake — necrotic, cystic, or
+intact-barrier tumor tissue — and is delineated as its own sub-region in the
+BraTS segmentation convention. Entirely non-enhancing lesions can be seen
+with lower-grade glioma, treatment effect, and several non-neoplastic
+processes.
 
 Why It Appears in the Report:
 It documents lesion tissue visible on T2/FLAIR that lacks contrast uptake,
@@ -170,13 +175,17 @@ Qualitative description; volume in cm³ where measured.
         ),
         _doc(
             "Tumor Volumes",
-            "volume, whole tumor, tumor core, enhancing tumor, necrotic core, WT, TC, ET, NCR, ED, cm3, segmentation",
+            "volume, measurement, volumetric, whole tumor, tumor core, "
+            "enhancing tumor, necrotic core, WT, TC, ET, NCR, ED, cm3, "
+            "segmentation, BraTS, sub-regions, voxel",
             f"""Definition:
-Automated segmentation reports volumes for standard lesion compartments:
+Automated segmentation reports volumes for the standard BraTS sub-regions:
 whole tumor (WT — all abnormal tissue including edema in some conventions),
 tumor core (TC — enhancing plus necrotic components), enhancing tumor (ET),
-necrotic core (NCR), and peritumoral edema (ED). Volumes are computed by
-counting segmented voxels and multiplying by the volume of one voxel.
+necrotic core (NCR), and peritumoral edema (ED). Volume is measured by
+counting the voxels assigned to each sub-region and multiplying by the
+volume of one voxel (set by the scan's spatial resolution), giving a
+quantitative, reproducible volumetric measurement for every compartment.
 
 Why It Appears in the Report:
 Compartment volumes quantify lesion burden objectively and allow comparison

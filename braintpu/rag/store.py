@@ -107,9 +107,13 @@ class SentenceTransformerEmbedder:
     name = "all-MiniLM-L6-v2"
 
     def __init__(self, model_name: str = "all-MiniLM-L6-v2"):
+        # fail fast from the local cache only: this environment has no
+        # egress, and the hub client otherwise burns ~5 network retries
+        # per missing file before raising
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from sentence_transformers import SentenceTransformer  # may raise
 
-        self.model = SentenceTransformer(model_name)
+        self.model = SentenceTransformer(model_name, local_files_only=True)
         self.dim = self.model.get_sentence_embedding_dimension()
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:

@@ -1,0 +1,101 @@
+"""Device-batched feature statistics parity vs the host numpy path.
+
+features/devstats.py computes every region × modality masked-intensity
+summary in one jitted program (segment reductions + one shared sort per
+modality with cumulative-count subset quantiles).  These tests pin it to
+the reference-semantics host implementation (context.intensity_stats /
+brain_mask_from) on randomized volumes, including empty regions.
+"""
+
+import numpy as np
+import pytest
+
+from braintpu.features.context import (
+    FeatureContext,
+    brain_mask_from,
+    intensity_stats,
+    tumor_masks_from_seg,
+)
+from braintpu.features.devstats import REGIONS, compute_case_stats
+
+
+def synth(seed=0, shape=(24, 28, 20), labels=(0, 1, 2, 3)):
+    rng = np.random.default_rng(seed)
+    mods = {
+        m: np.abs(rng.normal(300 + 40 * i, 80, shape)).astype(np.float32)
+        for i, m in enumerate(("t1", "t1ce", "t2", "flair"))
+    }
+    for m in mods:  # a zero background like skull-stripped MRI
+        mods[m][:3] = 0
+    seg = rng.choice(labels, size=shape, p=None).astype(np.int32)
+    seg[:6] = 0  # keep some guaranteed background
+    return mods, seg
+
+
+def assert_stats_close(dev: dict, host: dict, context: str):
+    assert dev["voxel_count"] == host["voxel_count"], context
+    if host["voxel_count"] == 0:
+        assert dev["mean"] is None
+        return
+    for k in ("mean", "std", "min", "max", "median", "q25", "q75"):
+        np.testing.assert_allclose(
+            dev[k], host[k], rtol=2e-4, atol=2e-3, err_msg=f"{context}:{k}"
+        )
+
+
+@pytest.mark.parametrize("seed,labels", [(0, (0, 1, 2, 3)), (1, (0, 2, 4)), (2, (0,))])
+def test_device_stats_match_host(seed, labels):
+    mods, seg = synth(seed, labels=labels)
+    dev = compute_case_stats(mods, seg)
+    masks = tumor_masks_from_seg(seg)
+    for region in REGIONS:
+        for m, data in mods.items():
+            host = intensity_stats(data, masks[region])
+            assert_stats_close(dev[region][m], host, f"{region}/{m}")
+    for m, data in mods.items():
+        normal = brain_mask_from(data) & (seg == 0)
+        host = intensity_stats(data, normal)
+        assert_stats_close(dev["normal"][m], host, f"normal/{m}")
+
+
+def test_step1_identical_under_device_flag(monkeypatch):
+    """Step 1 output is unchanged (within float noise) when the device
+    stats path is switched on via BRAINTPU_DEVICE_FEATURES=1."""
+    from braintpu.features import analyze_sequence_findings
+
+    mods, seg = synth(3)
+    host_ctx = FeatureContext.from_arrays(mods, seg)
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    host_out = analyze_sequence_findings(host_ctx)
+
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev_ctx = FeatureContext.from_arrays(mods, seg)
+    dev_out = analyze_sequence_findings(dev_ctx)
+
+    # bin labels and schema must agree exactly; floats to ~1e-3
+    def strip(d):
+        if isinstance(d, dict):
+            return {k: strip(v) for k, v in d.items()}
+        if isinstance(d, float):
+            return round(d, 1)  # f32-vs-f64 noise sits at ~1e-2 on raw stats
+        return d
+
+    assert strip(dev_out["region_signal_analysis"]) == strip(
+        host_out["region_signal_analysis"]
+    )
+    assert dev_out["contrast_enhancement"]["pattern"] == (
+        host_out["contrast_enhancement"]["pattern"]
+    )
+    assert dev_out["t2_flair_mismatch"] == host_out["t2_flair_mismatch"]
+
+
+def test_empty_segmentation():
+    mods, seg = synth(4)
+    seg[:] = 0
+    dev = compute_case_stats(mods, seg)
+    for region in REGIONS:
+        for m in mods:
+            assert dev[region][m]["voxel_count"] == 0
+            assert dev[region][m]["mean"] is None
+    # normal-brain reference still populated
+    assert dev["normal"]["t1"]["voxel_count"] > 0

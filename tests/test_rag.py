@@ -105,6 +105,58 @@ def test_store_roundtrip(tmp_path):
     assert loaded.retrieve("midline shift", 1)[0][0].title == "Midline Shift"
 
 
+#: The reference's 10 canned retrieval-check questions
+#: (/root/reference/RAG_Assistant/test_rag.py:89-124, where a human eyeballs
+#: the best-match title), mapped to the expected builtin-KB document.
+REFERENCE_SAMPLE_QUESTIONS = [
+    ("What is enhancing tumor?", "Enhancing Tumor"),
+    ("Explain peritumoral edema", "Peritumoral Edema"),
+    ("What does midline shift indicate?", "Midline Shift"),
+    ("How are MRI sequences used?", "MRI Sequences"),
+    ("What is non-enhancing tumor core?", "Non-enhancing Tumor"),
+    ("Tell me about T1 and T2 sequences", "MRI Sequences"),
+    ("How is tumor volume measured?", "Tumor Volumes"),
+    ("What is vasogenic edema?", "Peritumoral Edema"),
+    ("Explain blood-brain barrier disruption", "Enhancing Tumor"),
+    ("What are the BraTS sub-regions?", "Tumor Volumes"),
+]
+
+
+def test_reference_canned_questions_hashed_embedder():
+    """The default hashed-ngram embedder resolves the reference's 10 canned
+    questions (asserting, unlike the reference's by-eye check).  Quality bar
+    per VERDICT round-1 item 7 is >= 8/10; currently all 10 resolve."""
+    store = build_vector_store()
+    results = [
+        (q, want, store.retrieve(q, k=1)[0][0].title)
+        for q, want in REFERENCE_SAMPLE_QUESTIONS
+    ]
+    hits = sum(1 for _, want, got in results if got == want)
+    misses = [(q, want, got) for q, want, got in results if got != want]
+    assert hits >= 8, misses
+    # current exact behavior (update alongside deliberate KB changes)
+    assert hits == 10, misses
+
+
+def test_reference_canned_questions_minilm_when_available():
+    """Semantic-retrieval parity with the reference's MiniLM-L6-v2 embedder
+    (vector_store_builder.py:64,145) — exercised only when the model weights
+    are in the local HF cache (this environment has no egress)."""
+    from braintpu.rag import SentenceTransformerEmbedder
+
+    try:
+        embedder = SentenceTransformerEmbedder()
+    except Exception as e:  # no package or no cached weights
+        pytest.skip(f"MiniLM unavailable offline: {type(e).__name__}")
+    store = build_vector_store(embedder=embedder)
+    hits = sum(
+        1
+        for q, want in REFERENCE_SAMPLE_QUESTIONS
+        if store.retrieve(q, k=1)[0][0].title == want
+    )
+    assert hits >= 8
+
+
 def test_embedder_determinism():
     from braintpu.rag import HashedNgramEmbedder
 
