@@ -40,7 +40,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["device_features_enabled", "compute_case_stats", "REGIONS"]
+__all__ = [
+    "device_features_enabled",
+    "compute_case_stats",
+    "compute_quality_stats",
+    "REGIONS",
+]
 
 #: region name → segmentation labels composing it (BraTS space; ET
 #: accepts both the 3 and 4 conventions — context.tumor_masks_from_seg)
@@ -237,4 +242,94 @@ def compute_case_stats(
         )
         for mi, m in enumerate(mods)
     }
+    return out
+
+
+@jax.jit
+def _quality_kernel(data: jnp.ndarray, brain: jnp.ndarray):
+    """Per-modality image-quality reductions (step5 SNR block semantics,
+    step5_quality.py::assess_image_quality): brain-masked moments and
+    q01/q25/q75/q99, 10th percentile of nonzero, background-noise std
+    under ``~brain ∧ (0 < x < p10)``, zero/outlier counts — one program.
+
+    data (M, V) f32, brain (V,) bool (the t1-derived mask, shared).
+    """
+    M, V = data.shape
+    brainf = brain.astype(jnp.float32)
+    n_brain = brainf.sum()
+
+    b_sum = (data * brainf).sum(axis=1)
+    b_sumsq = (data * data * brainf).sum(axis=1)
+    mean = b_sum / jnp.maximum(n_brain, 1.0)
+    var = jnp.maximum(b_sumsq / jnp.maximum(n_brain, 1.0) - mean * mean, 0.0)
+    std = jnp.sqrt(var)
+
+    perm = jnp.argsort(data, axis=1)
+    sorted_vals = jnp.take_along_axis(data, perm, axis=1)
+    brain_sorted = jnp.take_along_axis(
+        jnp.broadcast_to(brain[None, :], (M, V)), perm, axis=1
+    )
+    cum = jnp.cumsum(brain_sorted.astype(jnp.int32), axis=1)
+    nb = n_brain.astype(jnp.int32)
+    qs = jax.vmap(
+        lambda sv, cm: jnp.stack(
+            _masked_quantiles(sv, cm, nb, (0.01, 0.25, 0.75, 0.99))
+        )
+    )(sorted_vals, cum)  # (M, 4)
+
+    # 10th percentile of nonzero: strictly positive values are the sort tail
+    nz_count = (data > 0).sum(axis=1)
+    pos = jnp.maximum(nz_count - 1, 0).astype(jnp.float32) * 0.10
+    base = (V - nz_count).astype(jnp.int32)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - jnp.floor(pos)
+    g = jnp.arange(M)
+    p10 = sorted_vals[g, base + lo] * (1 - frac) + sorted_vals[g, base + hi] * frac
+
+    bg = (~brain)[None, :] & (data > 0) & (data < p10[:, None])
+    bgf = bg.astype(jnp.float32)
+    bg_n = bgf.sum(axis=1)
+    bg_mean = (data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0)
+    bg_var = jnp.maximum(
+        (data * data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0) - bg_mean**2, 0.0
+    )
+
+    zeros_in_brain = ((data == 0) & brain[None, :]).sum(axis=1)
+    q01, q25, q75, q99 = qs[:, 0], qs[:, 1], qs[:, 2], qs[:, 3]
+    iqr = q75 - q25
+    hi_out = ((data > (q99 + 3 * iqr)[:, None]) & brain[None, :]).sum(axis=1)
+    lo_out = ((data < (q01 - 3 * iqr)[:, None]) & brain[None, :]).sum(axis=1)
+
+    return {
+        "n_brain": n_brain,
+        "mean": mean,
+        "std": std,
+        "bg_count": bg_n,
+        "bg_std": jnp.sqrt(bg_var),
+        "zeros_in_brain": zeros_in_brain,
+        "outliers": hi_out + lo_out,
+    }
+
+
+def compute_quality_stats(
+    modalities: Dict[str, np.ndarray], brain_mask: np.ndarray
+) -> Dict[str, Dict[str, float]]:
+    """{modality → quality reductions} from one device pass (step5 SNR)."""
+    mods = list(modalities)
+    data = jnp.asarray(
+        np.stack([np.asarray(modalities[m], np.float32).ravel() for m in mods])
+    )
+    raw = jax.device_get(_quality_kernel(data, jnp.asarray(brain_mask.ravel())))
+    out = {}
+    for mi, m in enumerate(mods):
+        out[m] = {
+            "n_brain": int(raw["n_brain"]),
+            "mean": float(raw["mean"][mi]),
+            "std": float(raw["std"][mi]),
+            "bg_count": int(raw["bg_count"][mi]),
+            "bg_std": float(raw["bg_std"][mi]),
+            "zeros_in_brain": int(raw["zeros_in_brain"][mi]),
+            "outliers": int(raw["outliers"][mi]),
+        }
     return out

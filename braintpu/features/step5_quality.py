@@ -118,33 +118,56 @@ def assess_segmentation_quality(ctx: FeatureContext) -> Dict:
 
 def assess_image_quality(ctx: FeatureContext) -> Dict:
     brain = ctx.brain_mask("t1")
+    dev = None
+    if ctx._use_device_stats():
+        # one jitted program replaces the ~16 masked host reductions below
+        from .devstats import compute_quality_stats
+
+        dev = compute_quality_stats(ctx.modalities, brain)
     metrics: Dict[str, Dict] = {}
     overall_issues: List[str] = []
     for mod, name in SEQ_DISPLAY.items():
         data = ctx.modalities[mod]
         seq_issues: List[str] = []
-        brain_values = data[brain]
-        if brain_values.size == 0:
-            seq_issues.append("No brain tissue detected")
-            metrics[name] = {"snr_estimate": 0, "issues": seq_issues, "quality": "Poor"}
-            continue
-        signal_mean = float(brain_values.mean())
-        nz = data[data > 0]
-        bg = ~brain & (data > 0) & (data < np.percentile(nz, 10))
-        if bg.sum() > 100:
-            bg_std = float(data[bg].std())
-            snr = signal_mean / bg_std if bg_std > 0 else 0.0
+        if dev is not None:
+            s = dev[mod]
+            n_brain = s["n_brain"]
+            if n_brain == 0:
+                seq_issues.append("No brain tissue detected")
+                metrics[name] = {"snr_estimate": 0, "issues": seq_issues, "quality": "Poor"}
+                continue
+            signal_mean, brain_std = s["mean"], s["std"]
+            if s["bg_count"] > 100:
+                snr = signal_mean / s["bg_std"] if s["bg_std"] > 0 else 0.0
+            else:
+                snr = signal_mean / brain_std if brain_std > 0 else 0.0
+            zero_fraction = s["zeros_in_brain"] / n_brain
+            outlier_fraction = s["outliers"] / n_brain
         else:
-            snr = signal_mean / float(brain_values.std()) if brain_values.std() > 0 else 0.0
+            brain_values = data[brain]
+            if brain_values.size == 0:
+                seq_issues.append("No brain tissue detected")
+                metrics[name] = {"snr_estimate": 0, "issues": seq_issues, "quality": "Poor"}
+                continue
+            signal_mean = float(brain_values.mean())
+            brain_std = float(brain_values.std())
+            nz = data[data > 0]
+            bg = ~brain & (data > 0) & (data < np.percentile(nz, 10))
+            if bg.sum() > 100:
+                bg_std = float(data[bg].std())
+                snr = signal_mean / bg_std if bg_std > 0 else 0.0
+            else:
+                snr = signal_mean / brain_std if brain_std > 0 else 0.0
 
-        zero_fraction = float(((data == 0) & brain).sum() / brain.sum()) if brain.sum() > 0 else 0.0
+            zero_fraction = float(((data == 0) & brain).sum() / brain.sum()) if brain.sum() > 0 else 0.0
+
+            q01, q25, q75, q99 = np.percentile(brain_values, [1, 25, 75, 99])
+            iqr = q75 - q25
+            outliers = int((brain_values > q99 + 3 * iqr).sum() + (brain_values < q01 - 3 * iqr).sum())
+            outlier_fraction = outliers / brain_values.size
+
         if zero_fraction > 0.01:
             seq_issues.append(f"Missing data: {zero_fraction*100:.1f}% zeros within brain")
-
-        q01, q25, q75, q99 = np.percentile(brain_values, [1, 25, 75, 99])
-        iqr = q75 - q25
-        outliers = int((brain_values > q99 + 3 * iqr).sum() + (brain_values < q01 - 3 * iqr).sum())
-        outlier_fraction = outliers / brain_values.size
         if outlier_fraction > 0.01:
             seq_issues.append(f"Intensity outliers detected ({outlier_fraction*100:.1f}%)")
 
@@ -159,10 +182,10 @@ def assess_image_quality(ctx: FeatureContext) -> Dict:
 
         metrics[name] = {
             "snr_estimate": float(snr),
-            "zero_fraction": zero_fraction,
+            "zero_fraction": float(zero_fraction),
             "outlier_fraction": float(outlier_fraction),
-            "mean_intensity": signal_mean,
-            "std_intensity": float(brain_values.std()),
+            "mean_intensity": float(signal_mean),
+            "std_intensity": float(brain_std),
             "issues": seq_issues,
             "quality": quality,
         }

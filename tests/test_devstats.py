@@ -89,6 +89,50 @@ def test_step1_identical_under_device_flag(monkeypatch):
     assert dev_out["t2_flair_mismatch"] == host_out["t2_flair_mismatch"]
 
 
+def test_quality_stats_match_host():
+    """compute_quality_stats reproduces step5's per-sequence SNR-block
+    reductions (brain moments, nonzero-p10 background std, zero and
+    outlier counts)."""
+    from braintpu.features.devstats import compute_quality_stats
+
+    mods, seg = synth(5)
+    brain = brain_mask_from(mods["t1"])
+    dev = compute_quality_stats(mods, brain)
+    for m, data in mods.items():
+        s = dev[m]
+        bv = data[brain]
+        assert s["n_brain"] == bv.size
+        np.testing.assert_allclose(s["mean"], bv.mean(), rtol=1e-4)
+        np.testing.assert_allclose(s["std"], bv.std(), rtol=1e-3)
+        nz = data[data > 0]
+        bg = ~brain & (data > 0) & (data < np.percentile(nz, 10))
+        assert abs(s["bg_count"] - int(bg.sum())) <= 2  # p10 f32 boundary
+        if bg.sum() > 100:
+            np.testing.assert_allclose(s["bg_std"], data[bg].std(), rtol=5e-2)
+        assert s["zeros_in_brain"] == int(((data == 0) & brain).sum())
+        q01, q25, q75, q99 = np.percentile(bv, [1, 25, 75, 99])
+        iqr = q75 - q25
+        host_out = int((bv > q99 + 3 * iqr).sum() + (bv < q01 - 3 * iqr).sum())
+        assert abs(s["outliers"] - host_out) <= 2
+
+
+def test_step5_image_quality_identical_under_device_flag(monkeypatch):
+    from braintpu.features.step5_quality import assess_image_quality
+
+    mods, seg = synth(6)
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    host = assess_image_quality(FeatureContext.from_arrays(mods, seg))
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev = assess_image_quality(FeatureContext.from_arrays(mods, seg))
+    assert dev["overall_quality"] == host["overall_quality"]
+    for name in host["sequences"]:
+        h, d = host["sequences"][name], dev["sequences"][name]
+        assert d["quality"] == h["quality"]
+        assert d["issues"] == h["issues"]
+        np.testing.assert_allclose(d["snr_estimate"], h["snr_estimate"], rtol=5e-2)
+        np.testing.assert_allclose(d["mean_intensity"], h["mean_intensity"], rtol=1e-4)
+
+
 def test_empty_segmentation():
     mods, seg = synth(4)
     seg[:] = 0

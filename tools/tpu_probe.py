@@ -1,0 +1,252 @@
+"""TPU compile/perf probe harness for the PERF.md round-2 checklist.
+
+A hung Mosaic/XLA compile in this environment wedges the shared remote
+compile service for every jax process (PERF.md "known-good facts"), so
+every probe here runs in its OWN subprocess with a hard timeout — a hang
+costs one killed child, not the session.  Probes run smallest-first, one
+at a time.
+
+Usage (run from the repo root, with the axon tunnel up):
+
+    python tools/tpu_probe.py relay              # is the tunnel alive?
+    python tools/tpu_probe.py stage              # conv_stage per-shape compile+run
+    python tools/tpu_probe.py upconv             # upconv2x strategies
+    python tools/tpu_probe.py fullconv           # BN/GN ensemble timings
+    python tools/tpu_probe.py all
+
+Each probe prints one JSON line: {"probe": ..., "ok": bool, "seconds": ...}.
+Results append to tools/tpu_probe_results.jsonl for the session log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "tools", "tpu_probe_results.jsonl")
+
+#: (name, D, H, W, ci, co, stats) — smallest first; production shapes from
+#: the 192×192×160 fullconv bucket and the 128³ sliding patch.
+STAGE_SHAPES = [
+    ("tiny-smoke", 8, 16, 16, 8, 8, True),
+    ("patch-l2", 32, 32, 32, 256, 256, True),
+    ("patch-l1", 64, 64, 64, 128, 128, True),
+    ("bucket-l1-gn", 80, 96, 80, 128, 128, True),
+    ("patch-l0-bn", 128, 128, 128, 32, 32, True),
+    ("bucket-l0-gn64", 160, 192, 160, 64, 64, True),
+    ("bucket-l0-concat", 160, 192, 160, 128, 64, True),
+]
+
+UPCONV_SHAPES = [
+    ("up-smoke", 8, 16, 16, 16, 8),
+    ("up-patch-l1", 64, 64, 64, 64, 32),
+    ("up-bucket-l0", 80, 96, 80, 64, 32),
+]
+
+_CHILD_STAGE = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from braintpu.ops.stage_pallas import conv_stage, conv_stage_supported
+name, D, H, W, ci, co, stats = json.loads(sys.argv[1])
+shape = (1, D, H, W, ci)
+if not conv_stage_supported(shape, co):
+    print(json.dumps({"probe": f"stage:{name}", "ok": False,
+                      "skip": "unsupported shape"}))
+    sys.exit(0)
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(jnp.bfloat16)
+w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32)) * 0.05
+b = jnp.zeros((co,), jnp.float32)
+t0 = time.time()
+out = conv_stage(x, w, b, out_slope=0.01, stats=stats)
+jax.block_until_ready(out)
+compile_s = time.time() - t0
+t0 = time.time()
+for _ in range(3):
+    out = conv_stage(x, w, b, out_slope=0.01, stats=stats)
+jax.block_until_ready(out)
+run_s = (time.time() - t0) / 3
+y = out[0] if stats else out
+ok = bool(jnp.isfinite(jnp.sum(y.astype(jnp.float32))))
+flops = 2 * D * H * W * 27 * ci * co
+print(json.dumps({"probe": f"stage:{name}", "ok": ok,
+                  "compile_s": round(compile_s, 1),
+                  "run_s": round(run_s, 4),
+                  "tflops": round(flops / run_s / 1e12, 1)}))
+"""
+
+_CHILD_STAGE_PARITY = r"""
+import json, sys
+import numpy as np, jax.numpy as jnp
+from braintpu.ops.stage_pallas import conv_stage, _xla_reference, conv_stage_supported
+# exact-arithmetic parity ON TPU (interpret-mode exactness already proven)
+rng = np.random.default_rng(0)
+D, H, W, ci, co = 8, 16, 16, 8, 8
+x = jnp.asarray(rng.integers(-3, 4, (1, D, H, W, ci)).astype(np.float32)).astype(jnp.bfloat16)
+w = jnp.asarray((2.0 ** rng.integers(-3, 0, (3, 3, 3, ci, co)) *
+                 rng.choice([-1, 1], (3, 3, 3, ci, co))).astype(np.float32))
+b = jnp.asarray(rng.integers(-3, 4, (co,)).astype(np.float32))
+y, s1, s2 = conv_stage(x, w, b, out_slope=None, stats=True)
+cfgd = dict(in1_affine=False, in1_slope=None, in2_affine=False,
+            in2_slope=None, out_slope=None)
+ry, rs1, rs2 = _xla_reference(x, None, w, b, None, None, None, None, cfgd)
+exact = bool(np.array_equal(np.asarray(y, np.float32), np.asarray(ry, np.float32)))
+s_ok = bool(np.allclose(np.asarray(s1), np.asarray(rs1), rtol=1e-4) and
+            np.allclose(np.asarray(s2), np.asarray(rs2), rtol=1e-3))
+print(json.dumps({"probe": "stage:tpu-parity", "ok": exact and s_ok,
+                  "exact_y": exact, "stats_ok": s_ok}))
+"""
+
+_CHILD_UPCONV = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from braintpu.ops.upconv_pallas import upconv2x, upconv2x_supported
+import braintpu.models.unet3d as u3
+name, D, H, W, ci, co, strategy = json.loads(sys.argv[1])
+shape = (1, D, H, W, ci)
+if not upconv2x_supported(shape, co):
+    print(json.dumps({"probe": f"upconv:{name}:{strategy}", "ok": False,
+                      "skip": "unsupported"}))
+    sys.exit(0)
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.integers(-3, 4, shape).astype(np.float32)).astype(jnp.bfloat16)
+w = jnp.asarray((2.0 ** rng.integers(-3, 0, (ci, 2, 2, 2, co))).astype(np.float32))
+t0 = time.time()
+got = upconv2x(x, w, strategy=strategy)
+jax.block_until_ready(got)
+compile_s = time.time() - t0
+ref = u3._upconv(x, w, jnp.float32)
+exact = bool(np.array_equal(np.asarray(got, np.float32), np.asarray(ref, np.float32)))
+t0 = time.time()
+for _ in range(5):
+    got = upconv2x(x, w, strategy=strategy)
+jax.block_until_ready(got)
+run_s = (time.time() - t0) / 5
+print(json.dumps({"probe": f"upconv:{name}:{strategy}", "ok": exact,
+                  "compile_s": round(compile_s, 1), "run_s": round(run_s, 4)}))
+"""
+
+_CHILD_FULLCONV = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from braintpu.infer.fullconv import fullconv_predict
+from braintpu.infer.sliding_window import stack_folds
+from braintpu.models import MODEL1_BN, MODEL2_GN_LARGE, init_params, fold_batchnorm
+which, mirrors = json.loads(sys.argv[1])
+cfg = MODEL1_BN if which == "bn" else MODEL2_GN_LARGE
+folded = cfg.norm == "batch"
+folds = []
+for f in range(5):
+    p = init_params(cfg, jax.random.PRNGKey(f))
+    folds.append(fold_batchnorm(p, cfg) if folded else p)
+stacked = stack_folds(folds)
+rng = np.random.default_rng(0)
+vol = jnp.asarray(rng.normal(size=(192, 192, 160, 4)).astype(np.float32))
+t0 = time.time()
+probs = fullconv_predict(stacked, vol, cfg, num_mirror=mirrors, folded=folded)
+jax.block_until_ready(probs)
+warm = time.time() - t0
+times = []
+for _ in range(3):
+    t0 = time.time()
+    probs = fullconv_predict(stacked, vol, cfg, num_mirror=mirrors, folded=folded)
+    jax.block_until_ready(probs)
+    times.append(time.time() - t0)
+print(json.dumps({"probe": f"fullconv:{which}:m{mirrors}", "ok": True,
+                  "warm_s": round(warm, 1),
+                  "steady_s": round(float(np.median(times)), 3),
+                  "fused": __import__("os").environ.get("BRAINTPU_FUSED_STAGES", "0")}))
+"""
+
+
+def relay_up(timeout_s: float = 3.0) -> bool:
+    for port in (8082, 8092, 8102, 8112):
+        s = socket.socket()
+        s.settimeout(timeout_s)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
+def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code, json.dumps(arg)],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        line = None
+        for ln in (p.stdout or "").splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                line = ln
+        if line:
+            rec = json.loads(line)
+        else:
+            rec = {"probe": str(arg), "ok": False, "rc": p.returncode,
+                   "stderr": (p.stderr or "")[-400:]}
+    except subprocess.TimeoutExpired:
+        rec = {"probe": str(arg), "ok": False,
+               "error": f"TIMEOUT after {timeout}s (possible Mosaic hang — "
+                        "do NOT retry the same shape; fix offline)"}
+    rec["wall_s"] = round(time.time() - t0, 1)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("what", choices=["relay", "stage", "upconv", "fullconv", "all"])
+    ap.add_argument("--timeout", type=float, default=420.0)
+    ap.add_argument("--fused", action="store_true",
+                    help="fullconv probes with BRAINTPU_FUSED_STAGES=1")
+    args = ap.parse_args()
+
+    if not relay_up():
+        print(json.dumps({"probe": "relay", "ok": False}))
+        return 2
+    print(json.dumps({"probe": "relay", "ok": True}))
+    if args.what == "relay":
+        return 0
+
+    ok = True
+    if args.what in ("stage", "all"):
+        run_child(_CHILD_STAGE_PARITY, None, args.timeout)
+        for spec in STAGE_SHAPES:
+            rec = run_child(_CHILD_STAGE, spec, args.timeout)
+            if "error" in rec:  # hang — stop escalating shapes
+                ok = False
+                break
+    if args.what in ("upconv", "all"):
+        for strategy in ("reshape", "select"):
+            for spec in UPCONV_SHAPES:
+                rec = run_child(_CHILD_UPCONV, list(spec) + [strategy], args.timeout)
+                if "error" in rec:
+                    ok = False
+                    break
+    if args.what in ("fullconv", "all"):
+        env = {"BRAINTPU_FUSED_STAGES": "1"} if args.fused else {}
+        for which in ("bn", "gn"):
+            for mirrors in (1, 8):
+                run_child(_CHILD_FULLCONV, [which, mirrors],
+                          max(args.timeout, 900.0), env)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
