@@ -57,29 +57,17 @@ def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
     before giving up — round 1's capture was lost to exactly this.
     """
     import os
-    import socket
 
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    from braintpu._relay import relay_configured, relay_up
+
+    if not relay_configured():
         return  # direct TPU or CPU — nothing to probe
     wait_s = float(os.environ.get("BRAINTPU_BENCH_TUNNEL_WAIT", wait_s))
     deadline = time.monotonic() + wait_s
 
-    def probe() -> bool:
-        for port in (8082, 8092, 8102, 8112):
-            s = socket.socket()
-            s.settimeout(timeout_s)
-            try:
-                s.connect(("127.0.0.1", port))
-                return True
-            except OSError:
-                continue
-            finally:
-                s.close()
-        return False
-
     waited = False
     while True:
-        if probe():
+        if relay_up(timeout_s):
             if waited:
                 print("# tunnel came back; proceeding", file=sys.stderr)
             return

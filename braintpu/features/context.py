@@ -170,12 +170,15 @@ class FeatureContext:
         return self._brain_masks[modality]
 
     def _dev_stats(self) -> Dict[str, Dict[str, Dict]]:
-        """All region × modality stats from ONE jitted device pass
+        """All region × modality stats (plus the normal reference and the
+        step-5 quality reductions) from ONE jitted device pass
         (features/devstats.py); computed lazily, cached for the case."""
         if self._device_stats is None:
             from .devstats import compute_case_stats
 
-            self._device_stats = compute_case_stats(self.modalities, self.seg)
+            self._device_stats = compute_case_stats(
+                self.modalities, self.seg, self.brain_mask("t1")
+            )
         return self._device_stats
 
     def region_stats(self, region: str, modality: str) -> Dict:

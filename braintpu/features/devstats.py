@@ -3,23 +3,31 @@
 The reference computes each region × sequence intensity summary as a
 separate host pass — ``data[mask]`` gather + ``np.percentile`` per pair
 (/root/reference/feature_extraction/utils.py:27-51, called ~16× per case
-from step1_sequence_findings.py:71-135).  This module replaces all of
-those passes with ONE jitted device program per case:
+from step1_sequence_findings.py:71-135) — and step 5 adds another ~16
+masked reductions for the SNR block (step5_quality.py:162-258).  This
+module replaces ALL of those passes with ONE jitted device program per
+case:
 
 * **moments** (count / mean / std / min / max) for every tumor region ×
   modality via label segment-reductions — the masks NCR/ED/ET/TC/WT are
   unions of segmentation labels, so one ``segment_sum`` over the volume
   yields every region's sums at once;
-* **exact masked quantiles** (q25 / median / q75, and the 5th-percentile
-  brain threshold) from ONE shared ascending sort per modality: for any
-  mask, ``cumsum(mask[perm])`` gives each element's rank *within the
-  subset*, so the subset's k-th order statistic is a ``searchsorted`` into
-  that cumulative count — no per-mask re-sort.  Interpolation follows
-  ``np.percentile``'s linear rule, so values match the host path up to
-  f32 rounding;
+* **exact masked quantiles** (q25 / median / q75, brain q01/q25/q75/q99,
+  and the 5th/10th-percentile-of-nonzero thresholds) from ONE shared
+  ascending sort per modality: for any mask, ``cumsum(mask[perm])``
+  gives each element's rank *within the subset*, so the subset's k-th
+  order statistic is a ``searchsorted`` into that cumulative count — no
+  per-mask re-sort.  Interpolation follows ``np.percentile``'s linear
+  rule, so values match the host path up to f32 rounding;
 * the **normal-brain reference** (non-tumor voxels above the per-modality
-  5th-percentile-of-nonzero threshold, utils.py:54-68) in the same
-  program.
+  5th-percentile-of-nonzero threshold, utils.py:54-68) and the **step-5
+  image-quality reductions** (brain moments, background-noise std under
+  ``~brain ∧ (0 < x < p10)``, zero/outlier counts) in the same program —
+  the volumes are uploaded and sorted exactly once per case.
+
+Label semantics match the host masks (context.tumor_masks_from_seg):
+labels outside 0–4 count toward WT (host ``seg > 0``) but never toward
+NCR/ED/ET/TC, and are not "normal" background.
 
 TPU shape notes: everything is a flat (V,) pass — segment sums, one radix
 sort, cumsums and a handful of gathers; total device work for a 240³ case
@@ -27,14 +35,17 @@ is a few tens of ms vs ~1 s of host numpy.  This path is **opt-in**
 (``BRAINTPU_DEVICE_FEATURES=1``): in dev environments where the device
 sits behind a dispatch tunnel, shipping the raw volumes across the wire
 costs more than the host math it replaces, so the numpy path stays the
-default until measured on directly-attached hardware.
+default until measured on directly-attached hardware.  The flag is read
+per call (the wrappers here are host-level), but set it before the
+process starts — callers inside already-compiled jit programs will not
+observe a flip.
 """
 
 from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,18 +58,21 @@ __all__ = [
     "REGIONS",
 ]
 
-#: region name → segmentation labels composing it (BraTS space; ET
-#: accepts both the 3 and 4 conventions — context.tumor_masks_from_seg)
+#: region name → segmentation labels composing it.  Label 5 is the
+#: fold-bucket for anything outside 0–4; host ``wt = seg > 0`` includes
+#: such labels, the named regions exclude them.
 REGIONS = {
     "ncr": (1,),
     "ed": (2,),
     "et": (3, 4),
     "tc": (1, 3, 4),
-    "wt": (1, 2, 3, 4),
+    "wt": (1, 2, 3, 4, 5),
 }
 
 _QS = (0.25, 0.5, 0.75)
-_NUM_LABELS = 5  # 0..4 after clipping
+_BRAIN_QS = (0.01, 0.25, 0.75, 0.99)
+_NUM_LABELS = 6  # 0..4 + foreign-label bucket 5
+_SINGLE_LABELS = (1, 2)  # labels consumed as single-label regions
 
 
 def device_features_enabled() -> bool:
@@ -85,17 +99,32 @@ def _masked_quantiles(sorted_vals: jnp.ndarray, cum: jnp.ndarray, n, qs):
     return out
 
 
-@partial(jax.jit, static_argnames=("brain_pct",))
-def _case_stats_kernel(data: jnp.ndarray, seg: jnp.ndarray, brain_pct: float = 5.0):
-    """data (M, V) f32, seg (V,) int32 in [0, 4] → stat arrays.
+def _tail_percentile(sorted_vals, nz_count, V, pct):
+    """Percentile of the strictly-positive values per modality: positives
+    are the ascending sort's tail, so it reads straight off the sort."""
+    pos = jnp.maximum(nz_count - 1, 0).astype(jnp.float32) * (pct / 100.0)
+    base = (V - nz_count).astype(jnp.int32)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - jnp.floor(pos)
+    g = jnp.arange(sorted_vals.shape[0])
+    return sorted_vals[g, base + lo] * (1 - frac) + sorted_vals[g, base + hi] * frac
 
-    Returns a dict of small arrays:
-      label_{count,sum,sumsq,min,max}: per segmentation label × modality,
-      region quantiles per label-union handled by the host wrapper,
-      normal_{count,sum,sumsq,min,max,q}: per modality.
+
+@partial(jax.jit, static_argnames=("brain_pct",))
+def _case_stats_kernel(
+    data: jnp.ndarray,
+    seg: jnp.ndarray,
+    brain: jnp.ndarray,
+    brain_pct: float = 5.0,
+):
+    """data (M, V) f32, seg (V,) int32, brain (V,) bool → stat arrays.
+
+    One upload + one sort per modality serves region moments/quantiles,
+    the normal-brain reference AND the step-5 quality reductions.
     """
     M, V = data.shape
-    seg = jnp.clip(seg, 0, _NUM_LABELS - 1)
+    seg = jnp.where((seg >= 0) & (seg < _NUM_LABELS - 1), seg, _NUM_LABELS - 1)
     ones = jnp.ones((V,), jnp.float32)
     label_count = jax.ops.segment_sum(ones, seg, num_segments=_NUM_LABELS)
 
@@ -108,23 +137,19 @@ def _case_stats_kernel(data: jnp.ndarray, seg: jnp.ndarray, brain_pct: float = 5
 
     sums, sqs, mins, maxs = jax.vmap(per_mod_moments)(data)  # each (M, L)
 
-    # one shared sort per modality; seg labels carried through the perm
+    # one shared sort per modality; membership masks ride the perm
     perm = jnp.argsort(data, axis=1)  # (M, V)
     sorted_vals = jnp.take_along_axis(data, perm, axis=1)
     seg_sorted = seg[perm]  # (M, V)
 
-    # per-label cumulative membership in sort order → exact subset quantiles
-    label_q = []  # list over labels 1..4 of (M, len(_QS))
-    for lab in range(1, _NUM_LABELS):
+    # per-region cumulative membership in sort order → exact quantiles
+    label_q = {}
+    for lab in _SINGLE_LABELS:
         cum = jnp.cumsum((seg_sorted == lab).astype(jnp.int32), axis=1)
         n = label_count[lab].astype(jnp.int32)
-        qs = jax.vmap(lambda sv, cm: jnp.stack(_masked_quantiles(sv, cm, n, _QS)))(
-            sorted_vals, cum
-        )
-        label_q.append(qs)
-    label_q = jnp.stack(label_q, axis=0)  # (L-1, M, Q)
-
-    # union-region quantiles (et/tc/wt span several labels)
+        label_q[lab] = jax.vmap(
+            lambda sv, cm: jnp.stack(_masked_quantiles(sv, cm, n, _QS))
+        )(sorted_vals, cum)
     union_q = {}
     for name, labs in REGIONS.items():
         if len(labs) == 1:
@@ -136,18 +161,9 @@ def _case_stats_kernel(data: jnp.ndarray, seg: jnp.ndarray, brain_pct: float = 5
             lambda sv, cm: jnp.stack(_masked_quantiles(sv, cm, n, _QS))
         )(sorted_vals, cum)
 
-    # normal-brain reference: data > 5th pct of nonzero AND seg == 0.
-    # Strictly-positive entries are the sort's tail, so the nonzero
-    # percentile reads straight off the shared sort.
+    # normal-brain reference: data > 5th pct of nonzero AND seg == 0
     nz_count = (data > 0).sum(axis=1)  # (M,)
-    pos = jnp.maximum(nz_count - 1, 0).astype(jnp.float32) * (brain_pct / 100.0)
-    base = (V - nz_count).astype(jnp.int32)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
-    frac = pos - jnp.floor(pos)
-    g = jnp.arange(M)
-    thr = sorted_vals[g, base + lo] * (1 - frac) + sorted_vals[g, base + hi] * frac
-
+    thr = _tail_percentile(sorted_vals, nz_count, V, brain_pct)
     normal_mask = (data > thr[:, None]) & (seg[None, :] == 0)  # (M, V)
     nmf = normal_mask.astype(jnp.float32)
     n_count = nmf.sum(axis=1)
@@ -161,6 +177,35 @@ def _case_stats_kernel(data: jnp.ndarray, seg: jnp.ndarray, brain_pct: float = 5
     n_q = jax.vmap(
         lambda sv, cm, n: jnp.stack(_masked_quantiles(sv, cm, n, _QS))
     )(sorted_vals, n_cum, n_count.astype(jnp.int32))
+
+    # step-5 quality reductions under the provided (t1-derived) brain mask
+    brainf = brain.astype(jnp.float32)
+    n_brain = brainf.sum()
+    q_sum = (data * brainf[None, :]).sum(axis=1)
+    q_sumsq = (data * data * brainf[None, :]).sum(axis=1)
+    q_mean = q_sum / jnp.maximum(n_brain, 1.0)
+    q_var = jnp.maximum(q_sumsq / jnp.maximum(n_brain, 1.0) - q_mean**2, 0.0)
+    brain_sorted = jnp.take_along_axis(
+        jnp.broadcast_to(brain[None, :], (M, V)), perm, axis=1
+    )
+    b_cum = jnp.cumsum(brain_sorted.astype(jnp.int32), axis=1)
+    nb = n_brain.astype(jnp.int32)
+    b_qs = jax.vmap(
+        lambda sv, cm: jnp.stack(_masked_quantiles(sv, cm, nb, _BRAIN_QS))
+    )(sorted_vals, b_cum)  # (M, 4)
+    p10 = _tail_percentile(sorted_vals, nz_count, V, 10.0)
+    bg = (~brain)[None, :] & (data > 0) & (data < p10[:, None])
+    bgf = bg.astype(jnp.float32)
+    bg_n = bgf.sum(axis=1)
+    bg_mean = (data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0)
+    bg_var = jnp.maximum(
+        (data * data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0) - bg_mean**2, 0.0
+    )
+    zeros_in_brain = ((data == 0) & brain[None, :]).sum(axis=1)
+    q01, q25, q75, q99 = b_qs[:, 0], b_qs[:, 1], b_qs[:, 2], b_qs[:, 3]
+    iqr = q75 - q25
+    hi_out = ((data > (q99 + 3 * iqr)[:, None]) & brain[None, :]).sum(axis=1)
+    lo_out = ((data < (q01 - 3 * iqr)[:, None]) & brain[None, :]).sum(axis=1)
 
     return {
         "label_count": label_count,
@@ -177,6 +222,13 @@ def _case_stats_kernel(data: jnp.ndarray, seg: jnp.ndarray, brain_pct: float = 5
         "normal_max": n_max,
         "normal_q": n_q,
         "brain_threshold": thr,
+        "q_n_brain": n_brain,
+        "q_mean": q_mean,
+        "q_std": jnp.sqrt(q_var),
+        "q_bg_count": bg_n,
+        "q_bg_std": jnp.sqrt(bg_var),
+        "q_zeros_in_brain": zeros_in_brain,
+        "q_outliers": hi_out + lo_out,
     }
 
 
@@ -202,19 +254,28 @@ def _summary(count, total, sumsq, mn, mx, q) -> Dict:
 
 
 def compute_case_stats(
-    modalities: Dict[str, np.ndarray], seg: np.ndarray
+    modalities: Dict[str, np.ndarray],
+    seg: np.ndarray,
+    brain_mask: Optional[np.ndarray] = None,
 ) -> Dict[str, Dict[str, Dict]]:
-    """One device pass → {region | 'normal'} → {modality} → stats dict.
+    """One device pass → {region | 'normal' | 'quality'} → {modality} → stats.
 
-    Same dict schema as :func:`braintpu.features.context.intensity_stats`
-    for every REGIONS entry plus the 'normal' brain reference.
+    Regions and 'normal' use the same dict schema as
+    :func:`braintpu.features.context.intensity_stats`; 'quality' carries
+    the step-5 SNR-block reductions.  ``brain_mask`` is the (t1-derived)
+    host brain mask for the quality block; when omitted, an all-false
+    mask is used and the quality outputs are meaningless.
     """
     mods = list(modalities)
     data = jnp.asarray(
         np.stack([np.asarray(modalities[m], np.float32).ravel() for m in mods])
     )
     segf = jnp.asarray(np.round(np.asarray(seg)).astype(np.int32).ravel())
-    raw = jax.device_get(_case_stats_kernel(data, segf))
+    if brain_mask is None:
+        brain = jnp.zeros(segf.shape, bool)
+    else:
+        brain = jnp.asarray(np.asarray(brain_mask).ravel().astype(bool))
+    raw = jax.device_get(_case_stats_kernel(data, segf, brain))
 
     out: Dict[str, Dict[str, Dict]] = {}
     for name, labs in REGIONS.items():
@@ -226,7 +287,7 @@ def compute_case_stats(
             mn = min(raw["label_min"][mi, l] for l in labs)
             mx = max(raw["label_max"][mi, l] for l in labs)
             q = (
-                raw["label_q"][labs[0] - 1, mi]
+                raw["label_q"][labs[0]][mi]
                 if len(labs) == 1
                 else raw["union_q"][name][mi]
             )
@@ -242,94 +303,28 @@ def compute_case_stats(
         )
         for mi, m in enumerate(mods)
     }
-    return out
-
-
-@jax.jit
-def _quality_kernel(data: jnp.ndarray, brain: jnp.ndarray):
-    """Per-modality image-quality reductions (step5 SNR block semantics,
-    step5_quality.py::assess_image_quality): brain-masked moments and
-    q01/q25/q75/q99, 10th percentile of nonzero, background-noise std
-    under ``~brain ∧ (0 < x < p10)``, zero/outlier counts — one program.
-
-    data (M, V) f32, brain (V,) bool (the t1-derived mask, shared).
-    """
-    M, V = data.shape
-    brainf = brain.astype(jnp.float32)
-    n_brain = brainf.sum()
-
-    b_sum = (data * brainf).sum(axis=1)
-    b_sumsq = (data * data * brainf).sum(axis=1)
-    mean = b_sum / jnp.maximum(n_brain, 1.0)
-    var = jnp.maximum(b_sumsq / jnp.maximum(n_brain, 1.0) - mean * mean, 0.0)
-    std = jnp.sqrt(var)
-
-    perm = jnp.argsort(data, axis=1)
-    sorted_vals = jnp.take_along_axis(data, perm, axis=1)
-    brain_sorted = jnp.take_along_axis(
-        jnp.broadcast_to(brain[None, :], (M, V)), perm, axis=1
-    )
-    cum = jnp.cumsum(brain_sorted.astype(jnp.int32), axis=1)
-    nb = n_brain.astype(jnp.int32)
-    qs = jax.vmap(
-        lambda sv, cm: jnp.stack(
-            _masked_quantiles(sv, cm, nb, (0.01, 0.25, 0.75, 0.99))
-        )
-    )(sorted_vals, cum)  # (M, 4)
-
-    # 10th percentile of nonzero: strictly positive values are the sort tail
-    nz_count = (data > 0).sum(axis=1)
-    pos = jnp.maximum(nz_count - 1, 0).astype(jnp.float32) * 0.10
-    base = (V - nz_count).astype(jnp.int32)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
-    frac = pos - jnp.floor(pos)
-    g = jnp.arange(M)
-    p10 = sorted_vals[g, base + lo] * (1 - frac) + sorted_vals[g, base + hi] * frac
-
-    bg = (~brain)[None, :] & (data > 0) & (data < p10[:, None])
-    bgf = bg.astype(jnp.float32)
-    bg_n = bgf.sum(axis=1)
-    bg_mean = (data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0)
-    bg_var = jnp.maximum(
-        (data * data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0) - bg_mean**2, 0.0
-    )
-
-    zeros_in_brain = ((data == 0) & brain[None, :]).sum(axis=1)
-    q01, q25, q75, q99 = qs[:, 0], qs[:, 1], qs[:, 2], qs[:, 3]
-    iqr = q75 - q25
-    hi_out = ((data > (q99 + 3 * iqr)[:, None]) & brain[None, :]).sum(axis=1)
-    lo_out = ((data < (q01 - 3 * iqr)[:, None]) & brain[None, :]).sum(axis=1)
-
-    return {
-        "n_brain": n_brain,
-        "mean": mean,
-        "std": std,
-        "bg_count": bg_n,
-        "bg_std": jnp.sqrt(bg_var),
-        "zeros_in_brain": zeros_in_brain,
-        "outliers": hi_out + lo_out,
+    out["quality"] = {
+        m: {
+            "n_brain": int(raw["q_n_brain"]),
+            "mean": float(raw["q_mean"][mi]),
+            "std": float(raw["q_std"][mi]),
+            "bg_count": int(raw["q_bg_count"][mi]),
+            "bg_std": float(raw["q_bg_std"][mi]),
+            "zeros_in_brain": int(raw["q_zeros_in_brain"][mi]),
+            "outliers": int(raw["q_outliers"][mi]),
+        }
+        for mi, m in enumerate(mods)
     }
+    return out
 
 
 def compute_quality_stats(
     modalities: Dict[str, np.ndarray], brain_mask: np.ndarray
 ) -> Dict[str, Dict[str, float]]:
-    """{modality → quality reductions} from one device pass (step5 SNR)."""
-    mods = list(modalities)
-    data = jnp.asarray(
-        np.stack([np.asarray(modalities[m], np.float32).ravel() for m in mods])
-    )
-    raw = jax.device_get(_quality_kernel(data, jnp.asarray(brain_mask.ravel())))
-    out = {}
-    for mi, m in enumerate(mods):
-        out[m] = {
-            "n_brain": int(raw["n_brain"]),
-            "mean": float(raw["mean"][mi]),
-            "std": float(raw["std"][mi]),
-            "bg_count": int(raw["bg_count"][mi]),
-            "bg_std": float(raw["bg_std"][mi]),
-            "zeros_in_brain": int(raw["zeros_in_brain"][mi]),
-            "outliers": int(raw["outliers"][mi]),
-        }
-    return out
+    """Standalone step-5 quality reductions (shares the fused kernel).
+
+    Prefer :meth:`FeatureContext._dev_stats`, which computes regions,
+    normal reference and quality in one device pass per case.
+    """
+    zeros = np.zeros(np.asarray(brain_mask).shape, np.int32)
+    return compute_case_stats(modalities, zeros, brain_mask)["quality"]

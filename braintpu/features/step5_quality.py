@@ -120,10 +120,9 @@ def assess_image_quality(ctx: FeatureContext) -> Dict:
     brain = ctx.brain_mask("t1")
     dev = None
     if ctx._use_device_stats():
-        # one jitted program replaces the ~16 masked host reductions below
-        from .devstats import compute_quality_stats
-
-        dev = compute_quality_stats(ctx.modalities, brain)
+        # the case's single fused device pass replaces the ~16 masked
+        # host reductions below (shared with step 1's region stats)
+        dev = ctx._dev_stats()["quality"]
     metrics: Dict[str, Dict] = {}
     overall_issues: List[str] = []
     for mod, name in SEQ_DISPLAY.items():

@@ -765,6 +765,13 @@ def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> boo
     # Opt-in until the round-2 TPU compile probe + parity measurement pass
     # (PERF.md checklist): BRAINTPU_FUSED_STAGES=1 enables the fused Pallas
     # stage path; default stays on the hardware-measured XLA lowerings.
+    #
+    # PROCESS-LEVEL FLAGS: these env vars (and BRAINTPU_PALLAS_UPCONV in
+    # _upconv) are read at jit-trace time; flipping one after a shape has
+    # compiled is silently ignored by the cached executable.  Set them
+    # before the process starts — benchmark/probe tooling (bench.py,
+    # tools/tpu_probe.py) launches fresh processes per flag configuration
+    # for exactly this reason.
     if os.environ.get("BRAINTPU_FUSED_STAGES", "0") != "1":
         return False
     if train or deep_supervision or cfg.axial_attention or not _on_tpu():

@@ -44,11 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["upconv2x", "upconv2x_supported"]
 
+from .stage_pallas import _pad_lanes  # one lane-padding rule across kernels
+
+#: this kernel's own working-set bound (smaller than stage_pallas's: no
+#: halo double-buffering, but a wide 8co f32 dot output)
 _VMEM_BUDGET = 10 * 1024 * 1024
-
-
-def _pad_lanes(c: int) -> int:
-    return -(-c // 128) * 128
 
 
 def _plan_band(H: int, W: int, ci: int, co: int):

@@ -102,18 +102,25 @@ class HashedNgramEmbedder:
 
 
 class SentenceTransformerEmbedder:
-    """MiniLM sentence embeddings when locally available (optional)."""
+    """MiniLM sentence embeddings when available (optional).
+
+    ``local_files_only=True`` restricts loading to the local HF cache and
+    fails fast — use it in egress-less environments, where the default
+    path would otherwise burn ~5 network retries per missing file.
+    """
 
     name = "all-MiniLM-L6-v2"
 
-    def __init__(self, model_name: str = "all-MiniLM-L6-v2"):
-        # fail fast from the local cache only: this environment has no
-        # egress, and the hub client otherwise burns ~5 network retries
-        # per missing file before raising
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    def __init__(
+        self,
+        model_name: str = "all-MiniLM-L6-v2",
+        local_files_only: bool = False,
+    ):
         from sentence_transformers import SentenceTransformer  # may raise
 
-        self.model = SentenceTransformer(model_name, local_files_only=True)
+        self.model = SentenceTransformer(
+            model_name, local_files_only=local_files_only
+        )
         self.dim = self.model.get_sentence_embedding_dimension()
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:

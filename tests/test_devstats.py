@@ -43,7 +43,17 @@ def assert_stats_close(dev: dict, host: dict, context: str):
         )
 
 
-@pytest.mark.parametrize("seed,labels", [(0, (0, 1, 2, 3)), (1, (0, 2, 4)), (2, (0,))])
+@pytest.mark.parametrize(
+    "seed,labels",
+    [
+        (0, (0, 1, 2, 3)),
+        (1, (0, 2, 4)),
+        (2, (0,)),
+        # foreign label 7: counts toward WT (host wt = seg > 0) but never
+        # toward NCR/ED/ET/TC and is not 'normal' background
+        (3, (0, 2, 3, 7)),
+    ],
+)
 def test_device_stats_match_host(seed, labels):
     mods, seg = synth(seed, labels=labels)
     dev = compute_case_stats(mods, seg)

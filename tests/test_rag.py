@@ -145,7 +145,9 @@ def test_reference_canned_questions_minilm_when_available():
     from braintpu.rag import SentenceTransformerEmbedder
 
     try:
-        embedder = SentenceTransformerEmbedder()
+        # cache-only so a missing model skips fast instead of retrying
+        # the network (this environment has no egress)
+        embedder = SentenceTransformerEmbedder(local_files_only=True)
     except Exception as e:  # no package or no cached weights
         pytest.skip(f"MiniLM unavailable offline: {type(e).__name__}")
     store = build_vector_store(embedder=embedder)

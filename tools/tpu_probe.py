@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import socket
 import subprocess
 import sys
 import time
@@ -165,18 +164,8 @@ print(json.dumps({"probe": f"fullconv:{which}:m{mirrors}", "ok": True,
 """
 
 
-def relay_up(timeout_s: float = 3.0) -> bool:
-    for port in (8082, 8092, 8102, 8112):
-        s = socket.socket()
-        s.settimeout(timeout_s)
-        try:
-            s.connect(("127.0.0.1", port))
-            return True
-        except OSError:
-            continue
-        finally:
-            s.close()
-    return False
+sys.path.insert(0, REPO)
+from braintpu._relay import relay_up  # noqa: E402  (stdlib-only module)
 
 
 def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
