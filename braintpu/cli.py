@@ -79,6 +79,18 @@ def load_engine(args):
             fold_params.append(loaded)
         bundles.append(ModelBundle.from_folds(cfg, fold_params, name=name))
 
+    mesh = None
+    if getattr(args, "dp_devices", 0) and args.dp_devices > 1:
+        from .parallel import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.dp_devices:
+            raise SystemExit(
+                f"--dp-devices {args.dp_devices} but only {len(devs)} "
+                "device(s) visible"
+            )
+        mesh = make_mesh(devs[: args.dp_devices], data=args.dp_devices)
+
     return InferenceEngine(
         models=bundles,
         tta=not args.no_tta,
@@ -86,6 +98,7 @@ def load_engine(args):
         et_min_voxels=0 if args.no_et_postprocess else 200,
         output_convention=getattr(args, "convention", None) or "internal",
         mode=getattr(args, "mode", None) or "sliding",
+        mesh=mesh,
     )
 
 
@@ -448,6 +461,31 @@ def cmd_train(args):
     tc = TrainConfig(base_lr=args.lr, max_steps=args.steps)
     state = create_train_state(init_params(cfg, jax.random.PRNGKey(args.seed)), tc)
 
+    step_fn = None
+    if getattr(args, "dp_devices", 0) and args.dp_devices > 1:
+        from .parallel import make_mesh, make_sharded_train_step, shard_train_state
+
+        devs = jax.devices()
+        n = args.dp_devices
+        if len(devs) < n:
+            raise SystemExit(f"--dp-devices {n} but only {len(devs)} device(s)")
+        if args.batch_size % n:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"--dp-devices {n} (per-device batch sharding)"
+            )
+        mesh = make_mesh(devs[:n], data=n)
+        state, shardings = shard_train_state(state, cfg, mesh)
+        sharded = make_sharded_train_step(mesh, cfg, tc, shardings)
+        # fit() passes a dropout key; the sharded step doesn't thread rng
+        # (the production configs train with dropout_rate=0)
+        if cfg.dropout_rate > 0:
+            raise SystemExit(
+                "--dp-devices training does not support dropout_rate > 0"
+            )
+        step_fn = lambda st, b, key: sharded(st, b)  # noqa: E731
+        print(f"data-parallel training over mesh {dict(mesh.shape)}")
+
     def log(m):
         step = int(m["step"])
         if step % args.log_every == 0 or step == 1:
@@ -462,6 +500,7 @@ def cmd_train(args):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         rng=jax.random.PRNGKey(args.seed + 1),
+        step_fn=step_fn,
         on_metrics=log,
     )
     print(f"done at step {int(state.step)}; checkpoints in {args.checkpoint_dir}")
@@ -520,6 +559,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--batch-cases", type=int, default=0,
         help="batch N cases through whole-volume inference together "
         "(multi-case throughput; fullconv mode only)",
+    )
+    p.add_argument(
+        "--dp-devices", type=int, default=0,
+        help="shard each --batch-cases batch case-wise across this many "
+        "devices (data-parallel mesh; fullconv mode only)",
     )
     p.add_argument(
         "--warmup", action="store_true",
@@ -624,6 +668,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=250)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--dp-devices", type=int, default=0,
+        help="data-parallel training: shard the batch over this many "
+        "devices (batch-size must divide evenly)",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser(

@@ -113,6 +113,12 @@ class InferenceEngine:
     #: "fullconv" — whole-volume fully-convolutional forward (~3× fewer
     #: FLOPs; see infer/fullconv.py for the documented semantics deltas).
     mode: str = "sliding"
+    #: optional jax.sharding.Mesh with a 'data' axis: predict_cases_batched
+    #: shards each case batch over it (case-level data parallelism; GSPMD
+    #: partitions the batch-parallel fullconv program, no collectives on
+    #: the forward path — SURVEY.md §2.2 DP row).  Single-case calls are
+    #: unaffected.
+    mesh: Optional[Any] = None
 
     def warmup(
         self, bucket_shape: Tuple[int, int, int] = (192, 192, 160)
@@ -207,11 +213,32 @@ class InferenceEngine:
             return np.asarray(internal_to_brats2021(full))
         return full
 
+    def _mesh_replicated_params(self):
+        """Fold weights replicated onto the mesh (cached): committed
+        single-device arrays can't mix with mesh-sharded inputs."""
+        if getattr(self, "_mesh_params", None) is None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self._mesh_params = [
+                jax.device_put(m.params_stacked, rep) for m in self.models
+            ]
+        return self._mesh_params
+
     def predict_cases_batched(
         self, cases: List[BratsCase], output_dir: Optional[Path] = None,
         batch_size: int = 4, max_pending: Optional[int] = None,
     ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
-        """Multi-case throughput on one chip (BASELINE config 4).
+        """Multi-case throughput on one chip — or across a mesh
+        (BASELINE config 4).
+
+        With ``self.mesh`` set (a Mesh with a 'data' axis), each batch is
+        sharded case-wise across the mesh: fold weights replicate once,
+        the batch axis partitions, and XLA runs the embarrassingly
+        case-parallel forward with no cross-device collectives.  Batches
+        are padded up to a multiple of the mesh size with a replicated
+        last case (dropped from results).
 
         Requires ``mode='fullconv'``: cases stream in through a
         :class:`~braintpu.io.brats.CasePrefetcher` (host decode overlapped
@@ -248,10 +275,33 @@ class InferenceEngine:
                 vols = jnp.stack(
                     [jnp.moveaxis(jnp.asarray(e[4].data), 0, -1) for e in chunk]
                 )
+                n_pad = 0
+                if self.mesh is not None:
+                    # case-level DP: pad the batch to the mesh's data size
+                    # (replicating the last case) and shard the batch axis;
+                    # GSPMD partitions the batch-parallel forward, padded
+                    # rows are dropped below
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    nd = self.mesh.shape["data"]
+                    n_pad = (-vols.shape[0]) % nd
+                    if n_pad:
+                        vols = jnp.concatenate(
+                            [vols, jnp.repeat(vols[-1:], n_pad, axis=0)]
+                        )
+                    vols = jax.device_put(
+                        vols, NamedSharding(self.mesh, P("data"))
+                    )
                 per_model = []
-                for m in self.models:
+                for mi, m in enumerate(self.models):
+                    params = (
+                        self._mesh_replicated_params()[mi]
+                        if self.mesh is not None
+                        else m.params_stacked
+                    )
                     probs = fullconv_predict(
-                        m.params_stacked, vols, m.cfg,
+                        params, vols, m.cfg,
                         num_mirror=8 if self.tta else 1, folded=m.folded,
                     )
                     per_model.append(probs)

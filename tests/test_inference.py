@@ -318,3 +318,17 @@ def test_predict_cases_batched_matches_per_case(tmp_path):
         np.testing.assert_array_equal(seg_b, seg_s)
         assert info["batch_size"] == 2
         assert (tmp_path / "out" / f"{case.case_id}.nii.gz").exists()
+
+    # case-level DP over a mesh: same results, batch sharded across the
+    # virtual devices (with mesh-size padding exercised: 2 cases on 4)
+    from braintpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4], data=4)
+    mesh_engine = InferenceEngine(
+        models=[ModelBundle.from_folds(cfg, folds, name="m")],
+        mode="fullconv", tta=False, et_min_voxels=0, mesh=mesh,
+    )
+    sharded = mesh_engine.predict_cases_batched(cases)
+    assert len(sharded) == 2
+    for (seg_b, _), (seg_m, _) in zip(batched, sharded):
+        np.testing.assert_array_equal(seg_b, seg_m)
