@@ -250,10 +250,10 @@ class InferenceEngine:
         at once — when the cap is hit, the fullest bucket is flushed as a
         partial batch — and each case's arrays are freed as soon as its
         segmentation is written.  GroupNorm statistics stay per-sample
-        (batch axis is the normalization boundary); results match per-case
-        fullconv calls exactly on the XLA path (on TPU, non-folded norm
-        models take the fused-stage kernel only at N == 1, so batched
-        output can differ at bf16 rounding level from a per-case call).
+        (batch axis is the normalization boundary) on every path — the
+        fused stage kernel carries per-sample stats and input affines —
+        so results match per-case fullconv calls (exactly on the XLA
+        path; to bf16 rounding when the opt-in kernel path is live).
         """
         if self.mode != "fullconv":
             raise ValueError("predict_cases_batched requires mode='fullconv'")

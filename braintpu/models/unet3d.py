@@ -672,17 +672,24 @@ def _materialize(h, aff, compute_dtype):
     if aff is None:
         return h
     a, c, slope = aff
+    if a.ndim == 2:  # per-sample affines (N, co) from batched deferred norms
+        a = a[:, None, None, None, :]
+        c = c[:, None, None, None, :]
     t = h.astype(jnp.float32) * a + c
     t = jnp.where(t >= 0, t, t * slope)
     return t.astype(compute_dtype)
 
 
 def _affine_from_moments(mean_g, var_g, block, cfg, co):
-    """Fold group/instance stats + learned scale/shift into (a, c, slope)."""
+    """Fold group/instance stats + learned scale/shift into (a, c, slope).
+
+    ``mean_g``/``var_g``: (g,) single-sample or (N, g) per-sample moments
+    (batched TTA keeps per-patch normalization); the affine shapes follow.
+    """
     g = mean_g.shape[-1]
     rep = co // g
-    mean_c = jnp.repeat(mean_g.reshape(-1), rep)
-    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g.reshape(-1) + cfg.norm_eps), rep)
+    mean_c = jnp.repeat(mean_g, rep, axis=-1)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + cfg.norm_eps), rep, axis=-1)
     scale = block["scale"].astype(jnp.float32)
     shift = block["shift"].astype(jnp.float32)
     a = rstd_c * scale
@@ -709,7 +716,6 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
         stride == (1, 1, 1)
         and tuple(w.shape[:3]) == (3, 3, 3)
         and conv_stage_supported((N, D, H, W, ci), co)
-        and (folded or N == 1)
     )
     if kernel_ok:
         k1 = dict(in1_affine=False, in1_slope=None)
@@ -736,10 +742,10 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
         )
         if folded:
             return out, None
-        y, s1, s2 = out
+        y, s1, s2 = out  # s1/s2 (N, co) per-sample
         nvox = D * H * W * (co // g)
-        s1g = s1.reshape(g, -1).sum(axis=1)
-        s2g = s2.reshape(g, -1).sum(axis=1)
+        s1g = s1.reshape(N, g, -1).sum(axis=-1)
+        s2g = s2.reshape(N, g, -1).sum(axis=-1)
         mean_g = s1g / nvox
         var_g = jnp.maximum(s2g / nvox - mean_g * mean_g, 0.0)
         return y, _affine_from_moments(mean_g, var_g, block, cfg, co)
@@ -755,8 +761,8 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
         y = jnp.where(y >= 0, y, y * cfg.negative_slope)
         return y.astype(cfg.compute_dtype), None
     y = y.astype(cfg.compute_dtype)
-    mean_g, var_g = _spatial_group_stats(y, g)  # (N, g); N == 1 here
-    return y, _affine_from_moments(mean_g[0], var_g[0], block, cfg, co)
+    mean_g, var_g = _spatial_group_stats(y, g)  # (N, g) per-sample
+    return y, _affine_from_moments(mean_g, var_g, block, cfg, co)
 
 
 def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> bool:
@@ -778,16 +784,14 @@ def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> boo
         return False
     if cfg.conv_impl != "auto" or cfg.compute_dtype != jnp.bfloat16:
         return False
-    # Single-volume forwards by default: deferred norms need per-sample
-    # stats, and the batched (sliding-window TTA) path stays on the
-    # hardware-measured XLA lowerings until the kernel is benchmarked at
-    # patch scale.  Folded-BN batches carry no stats, so they can take the
-    # kernel once benchmarked — second opt-in BRAINTPU_FUSED_BATCHED=1
-    # (PERF.md round-2 checklist item 3).
-    if x.shape[0] != 1:
-        if not (folded and os.environ.get("BRAINTPU_FUSED_BATCHED", "0") == "1"):
-            return False
-        return True
+    # Single-volume forwards by default: the batched (sliding-window TTA)
+    # path stays on the hardware-measured XLA lowerings until the kernel
+    # is benchmarked at patch scale.  Batches are admitted by the second
+    # opt-in BRAINTPU_FUSED_BATCHED=1 (PERF.md round-2 checklist item 3):
+    # the kernel carries per-sample Σ/Σ² stats and per-sample input
+    # affines, so batched GroupNorm keeps per-patch semantics.
+    if x.shape[0] != 1 and os.environ.get("BRAINTPU_FUSED_BATCHED", "0") != "1":
+        return False
     return folded or cfg.norm in ("group", "instance")
 
 

@@ -21,15 +21,18 @@ This kernel runs the entire stage chain in VMEM:
   from HBM exactly once, each output slice written once).
 * **Output epilogue** — bias, optional LeakyReLU (folded-BatchNorm path),
   and optional per-channel Σy / Σy² **statistics outputs** accumulated in
-  VMEM so GroupNorm stats for *this* layer's output are free.
+  VMEM so GroupNorm stats for *this* layer's output are free.  Statistics
+  (and the input affines) are **per batch sample**: the grid walks n
+  outermost, the running Σ resets at each sample's first step and flushes
+  into that sample's (1, co) output block at its last — so batched
+  sliding-window TTA keeps per-patch GroupNorm semantics.
 
 Memory: the volume is processed in H-bands (grid ``(N, H/CH, D+2)``) so a
 full-resolution slice never has to be VMEM-resident; each band's input
 rows (+1-row halo) are fetched with explicit double-buffered DMA from HBM.
 
 Constraints: stride 1, 3×3×3, SAME padding, ``ci % 8 == 0``, bf16 compute,
-f32 accumulation.  Stats require N == 1 per batch entry semantics
-(per-(n) stats are accumulated separately).
+f32 accumulation.
 """
 
 from __future__ import annotations
@@ -135,6 +138,8 @@ def _kernel(
     step = (n * HC + hc) * ND + d
     total = pl.num_programs(0) * HC * ND
     slot = jax.lax.rem(step, 2)
+    n_first = jnp.logical_and(hc == 0, d == 0)
+    n_last = jnp.logical_and(hc == HC - 1, d == ND - 1)
 
     def band_start(hcc):
         # DMA start row for band hcc: c0-1 clamped into [0, H-CHP]
@@ -181,7 +186,8 @@ def _kernel(
     c0 = hc * CH
     cs = c0 - band_start(hc)  # buffer index of global row c0-1: 0 top, 1 mid, 2 bottom
 
-    @pl.when(jnp.logical_and(stats, step == 0))
+    # per-sample running Σ: reset at each n's first step, flushed at its last
+    @pl.when(jnp.logical_and(stats, n_first))
     def _():
         st[:] = jnp.zeros_like(st)
 
@@ -271,7 +277,7 @@ def _kernel(
     jax.lax.fori_loop(0, nchunks, chunk, None, unroll=True)
 
     if stats:
-        @pl.when(step == total - 1)
+        @pl.when(n_last)
         def _():
             s1_ref[0] = st[0]
             s2_ref[0] = st[1]
@@ -298,8 +304,8 @@ def _xla_reference(x, x2, w, b, a1, c1, a2, c2, cfgd):
         "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     ) + b.astype(jnp.float32)
-    s1 = jnp.sum(y, axis=(0, 1, 2, 3))
-    s2 = jnp.sum(y * y, axis=(0, 1, 2, 3))
+    s1 = jnp.sum(y, axis=(1, 2, 3))  # per-sample (N, co), like the kernel
+    s2 = jnp.sum(y * y, axis=(1, 2, 3))
     if cfgd["out_slope"] is not None:
         y = jnp.where(y >= 0, y, y * cfgd["out_slope"])
     return y.astype(jnp.bfloat16), s1, s2
@@ -336,14 +342,18 @@ def conv_stage(
       w: (3, 3, 3, ci, co) weights, ci = ci1 (+ ci2 with ``x2``).
       b: (co,) bias.
       x2: optional second input, concatenated on channels after transforms.
-      a1/c1, a2/c2: per-channel input affines (used when ``in*_affine``).
+      a1/c1, a2/c2: per-channel input affines (used when ``in*_affine``) —
+        shape (ci,) shared across the batch, or (N, ci) per sample
+        (deferred per-patch GroupNorm in batched TTA forwards).
       in*_slope: LeakyReLU slope fused after each input affine.
       out_slope: LeakyReLU slope fused on the output (folded-norm path).
       stats: also return (Σy, Σy²) per channel of the pre-activation
-        output — GroupNorm statistics for this layer come for free.
+        output, PER SAMPLE — GroupNorm statistics for this layer come
+        for free.
 
     Returns:
-      y (N, D, H, W, co) bf16, or (y, s1, s2) with ``stats``.
+      y (N, D, H, W, co) bf16, or (y, s1, s2) with ``stats`` where
+      s1/s2 are (N, co) f32.
     """
     N, D, H, W, ci1 = x.shape
     co = w.shape[4]
@@ -351,7 +361,6 @@ def conv_stage(
     ci2 = ci - ci1
     two = x2 is not None
     assert (ci2 > 0) == two
-    assert not (stats and N > 1), "stats accumulate globally; use N == 1"
     plan = plan_stage_tiles(H, W, ci, co)
     assert plan is not None, "use conv_stage_supported before calling"
     CH, RS = plan
@@ -361,7 +370,13 @@ def conv_stage(
     wm = wm.reshape(9 * ci, 3 * co)
 
     def vec(v, n):
-        return (jnp.ones((1, n), jnp.float32) if v is None else v.reshape(1, n)).astype(jnp.float32)
+        """affine vector → (N, n) f32 (broadcast shared (n,) vectors)."""
+        if v is None:
+            return jnp.ones((N, n), jnp.float32)
+        v = v.astype(jnp.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        return jnp.broadcast_to(v, (N, n))
 
     x2_in = x2 if two else jnp.zeros((1, 1, 1, 1, 8), jnp.bfloat16)
     ci2b = ci2 if two else 8
@@ -382,10 +397,10 @@ def conv_stage(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((9 * ci, 3 * co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci1), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci1), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci2b), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci2b), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci1), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci1), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci2b), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci2b), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -393,13 +408,13 @@ def conv_stage(
                 lambda n, hc, d: (n, jnp.maximum(d - 2, 0), hc, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, D, H, W, co), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, co), jnp.float32),
-            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((N, co), jnp.float32),
+            jax.ShapeDtypeStruct((N, co), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, CHP, W, ci1), jnp.bfloat16),
@@ -421,5 +436,5 @@ def conv_stage(
         vec(a1, ci1), vec(c1, ci1), vec(a2, ci2b), vec(c2, ci2b),
     )
     if stats:
-        return out, s1[0], s2[0]
+        return out, s1, s2
     return out

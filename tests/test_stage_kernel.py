@@ -124,8 +124,9 @@ def test_conv_stage_exact_batched_folded():
 
 
 def test_fused_batched_gating(monkeypatch):
-    """BRAINTPU_FUSED_BATCHED=1 admits folded-BN batches to the fused path
-    (still gated behind the primary opt-in), never non-folded batches."""
+    """BRAINTPU_FUSED_BATCHED=1 admits batches to the fused path (still
+    gated behind the primary opt-in) — folded BN and per-sample-stats
+    GroupNorm alike."""
     monkeypatch.setenv("BRAINTPU_FUSED_STAGES", "1")
     bn = u3.UNetConfig(norm="batch")
     gn = u3.UNetConfig(norm="group")
@@ -135,11 +136,80 @@ def test_fused_batched_gating(monkeypatch):
         u3._on_tpu = lambda: True
         monkeypatch.delenv("BRAINTPU_FUSED_BATCHED", raising=False)
         assert not u3._fused_supported(bn, x8, False, False, True)
+        assert not u3._fused_supported(gn, x8, False, False, False)
         monkeypatch.setenv("BRAINTPU_FUSED_BATCHED", "1")
         assert u3._fused_supported(bn, x8, False, False, True)
-        assert not u3._fused_supported(gn, x8, False, False, False)  # stats
+        assert u3._fused_supported(gn, x8, False, False, False)
     finally:
         u3._on_tpu = real
+
+
+def test_conv_stage_per_sample_stats():
+    """Batched stats: each sample's Σy/Σy² equals its own single-sample
+    kernel call exactly (the running Σ must reset between samples)."""
+    rng = np.random.default_rng(21)
+    N, D, H, W, ci, co = 3, 4, 16, 16, 8, 8
+    x = _int_vals(rng, (N, D, H, W, ci)).astype(jnp.bfloat16)
+    w = _pow2(rng, (3, 3, 3, ci, co))
+    b = _int_vals(rng, (co,))
+    y, s1, s2 = conv_stage(x, w, b, out_slope=None, stats=True, interpret=True)
+    assert s1.shape == (N, co) and s2.shape == (N, co)
+    for n in range(N):
+        y1, s1n, s2n = conv_stage(
+            x[n : n + 1], w, b, out_slope=None, stats=True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(s1[n]), np.asarray(s1n[0]))
+        np.testing.assert_array_equal(np.asarray(s2[n]), np.asarray(s2n[0]))
+        np.testing.assert_array_equal(
+            np.asarray(y[n : n + 1], np.float32), np.asarray(y1, np.float32)
+        )
+
+
+def test_conv_stage_per_sample_affines():
+    """(N, ci) input affines apply row-wise: batched call == per-sample
+    calls with each sample's own affine."""
+    rng = np.random.default_rng(22)
+    N, D, H, W, ci, co = 2, 4, 16, 16, 8, 8
+    x = _int_vals(rng, (N, D, H, W, ci)).astype(jnp.bfloat16)
+    w = _pow2(rng, (3, 3, 3, ci, co))
+    b = _int_vals(rng, (co,))
+    a1 = _pow2(rng, (N, ci))
+    c1 = _int_vals(rng, (N, ci))
+    got = conv_stage(
+        x, w, b, a1=a1, c1=c1, in1_affine=True, in1_slope=0.5,
+        out_slope=0.5, interpret=True,
+    )
+    for n in range(N):
+        one = conv_stage(
+            x[n : n + 1], w, b, a1=a1[n], c1=c1[n], in1_affine=True,
+            in1_slope=0.5, out_slope=0.5, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[n : n + 1], np.float32), np.asarray(one, np.float32)
+        )
+
+
+def test_fused_forward_batched_groupnorm(monkeypatch):
+    """_apply_unet_fused on an N=2 GroupNorm batch (per-sample deferred
+    norms end-to-end) tracks the plain eval path per sample."""
+    cfg = u3.UNetConfig(
+        norm="group", base_features=8, num_pool=2,
+        patch_size=(16, 16, 16), group_norm_groups=4,
+    )
+    params = u3.init_params(cfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 4)).astype(np.float32))
+    ref = u3.apply_unet(params, x, cfg)
+    monkeypatch.setattr(u3, "_on_tpu", lambda: True)
+    got = u3._apply_unet_fused(params, x, cfg, folded=False)
+    scale = float(jnp.max(jnp.abs(ref)))
+    d = float(jnp.max(jnp.abs(got - ref)))
+    assert d <= 0.03 * scale, (d, scale)
+    # per-sample independence: batch result == each sample alone
+    for n in range(2):
+        one = u3._apply_unet_fused(params, x[n : n + 1], cfg, folded=False)
+        dn = float(jnp.max(jnp.abs(got[n : n + 1] - one)))
+        assert dn <= 1e-5 * max(scale, 1.0), dn
 
 
 def test_plan_stage_tiles_decision_space():

@@ -32,14 +32,18 @@ LOG = os.path.join(REPO, "tools", "tpu_probe_results.jsonl")
 
 #: (name, D, H, W, ci, co, stats) — smallest first; production shapes from
 #: the 192×192×160 fullconv bucket and the 128³ sliding patch.
+#: (name, N, D, H, W, ci, co, stats)
 STAGE_SHAPES = [
-    ("tiny-smoke", 8, 16, 16, 8, 8, True),
-    ("patch-l2", 32, 32, 32, 256, 256, True),
-    ("patch-l1", 64, 64, 64, 128, 128, True),
-    ("bucket-l1-gn", 80, 96, 80, 128, 128, True),
-    ("patch-l0-bn", 128, 128, 128, 32, 32, True),
-    ("bucket-l0-gn64", 160, 192, 160, 64, 64, True),
-    ("bucket-l0-concat", 160, 192, 160, 128, 64, True),
+    ("tiny-smoke", 1, 8, 16, 16, 8, 8, True),
+    ("patch-l2", 1, 32, 32, 32, 256, 256, True),
+    ("patch-l1", 1, 64, 64, 64, 128, 128, True),
+    ("bucket-l1-gn", 1, 80, 96, 80, 128, 128, True),
+    ("patch-l0-bn", 1, 128, 128, 128, 32, 32, True),
+    ("bucket-l0-gn64", 1, 160, 192, 160, 64, 64, True),
+    ("bucket-l0-concat", 1, 160, 192, 160, 128, 64, True),
+    # batched sliding-window TTA shapes (per-sample stats path)
+    ("tta-batch8-bn-l0", 8, 128, 128, 128, 32, 32, False),
+    ("tta-batch8-gn-l1", 8, 64, 64, 64, 128, 128, True),
 ]
 
 UPCONV_SHAPES = [
@@ -52,8 +56,8 @@ _CHILD_STAGE = r"""
 import json, sys, time
 import numpy as np, jax, jax.numpy as jnp
 from braintpu.ops.stage_pallas import conv_stage, conv_stage_supported
-name, D, H, W, ci, co, stats = json.loads(sys.argv[1])
-shape = (1, D, H, W, ci)
+name, N, D, H, W, ci, co, stats = json.loads(sys.argv[1])
+shape = (N, D, H, W, ci)
 if not conv_stage_supported(shape, co):
     print(json.dumps({"probe": f"stage:{name}", "ok": False,
                       "skip": "unsupported shape"}))
@@ -73,7 +77,7 @@ jax.block_until_ready(out)
 run_s = (time.time() - t0) / 3
 y = out[0] if stats else out
 ok = bool(jnp.isfinite(jnp.sum(y.astype(jnp.float32))))
-flops = 2 * D * H * W * 27 * ci * co
+flops = 2 * N * D * H * W * 27 * ci * co
 print(json.dumps({"probe": f"stage:{name}", "ok": ok,
                   "compile_s": round(compile_s, 1),
                   "run_s": round(run_s, 4),
