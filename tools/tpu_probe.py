@@ -202,9 +202,36 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
     return rec
 
 
+_CHILD_INT8 = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from braintpu.ops.int8_probe import int8_matmul, xla_int8_matmul
+M = K = N = 4096
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.integers(-127, 128, (M, K)).astype(np.int8))
+y = jnp.asarray(rng.integers(-127, 128, (K, N)).astype(np.int8))
+flops = 2 * M * K * N
+out = {}
+for name, fn in (("pallas", lambda: int8_matmul(x, y)),
+                 ("xla", lambda: xla_int8_matmul(x, y))):
+    r = fn(); jax.block_until_ready(r)  # compile
+    reps = 50
+    t0 = time.time()
+    for _ in range(reps):
+        r = fn()
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / reps
+    out[name + "_tops"] = round(flops / dt / 1e12, 1)
+ok = bool(jnp.array_equal(int8_matmul(x, y), xla_int8_matmul(x, y)))
+print(json.dumps({"probe": "int8:4096cube", "ok": ok, **out}))
+"""
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", choices=["relay", "stage", "upconv", "fullconv", "all"])
+    ap.add_argument(
+        "what", choices=["relay", "stage", "upconv", "fullconv", "int8", "all"]
+    )
     ap.add_argument("--timeout", type=float, default=420.0)
     ap.add_argument("--fused", action="store_true",
                     help="fullconv probes with BRAINTPU_FUSED_STAGES=1")
@@ -232,6 +259,8 @@ def main() -> int:
                 if "error" in rec:
                     ok = False
                     break
+    if args.what in ("int8", "all"):
+        run_child(_CHILD_INT8, None, args.timeout)
     if args.what in ("fullconv", "all"):
         env = {"BRAINTPU_FUSED_STAGES": "1"} if args.fused else {}
         for which in ("bn", "gn"):
