@@ -285,6 +285,31 @@ def test_run_all_outputs(tmp_path, synth_case):
     assert "EXECUTIVE SUMMARY" in report
 
 
+def test_run_all_device_features_flag(tmp_path, synth_case, monkeypatch):
+    """The full 6-step runner survives BRAINTPU_DEVICE_FEATURES=1 and
+    produces the same key findings as the host path (floats to ~1e-3)."""
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    seg_path = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
+    host = run_all_steps(synth_case, seg_path, tmp_path / "fe_host")
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev = run_all_steps(synth_case, seg_path, tmp_path / "fe_dev")
+    h1 = host["step1_sequence_findings"]["region_signal_analysis"]["regions"]
+    d1 = dev["step1_sequence_findings"]["region_signal_analysis"]["regions"]
+    assert set(h1) == set(d1)
+    for region in h1:
+        for seq in ("T1", "T2", "FLAIR", "T1ce"):
+            assert d1[region][seq]["signal_label"] == h1[region][seq]["signal_label"]
+            np.testing.assert_allclose(
+                d1[region][seq]["mean_intensity"],
+                h1[region][seq]["mean_intensity"],
+                rtol=1e-3,
+            )
+    hq = host["step5_quality"]["image_quality"]["sequences"]
+    dq = dev["step5_quality"]["image_quality"]["sequences"]
+    for seq in hq:
+        assert dq[seq]["quality"] == hq[seq]["quality"]
+
+
 def test_llm_summary_laterality_validation():
     ctx = make_ctx()
     from braintpu.features.runner import _validate_laterality
