@@ -231,13 +231,34 @@ def convert_torch_checkpoint(path: os.PathLike, cfg: UNetConfig) -> Dict[str, An
 # ---------------------------------------------------------------------------
 
 _INDEX = re.compile(r"^\d+$")
+_ESCAPED = re.compile(r"^K+\d+$")
+
+
+def _escape_key(k: str) -> str:
+    """Dict keys that could be mistaken for list indices get a 'K' prefix.
+
+    Bare digits in a flattened path mean "list index"; dict keys that are
+    digit strings (e.g. the ``encoder_attn`` level map of the full axial
+    family, keyed '0'..'4') — or that already look escaped — gain one
+    leading ``K`` so :func:`unflatten_pytree` can tell them apart.
+    Without this, a digit-keyed dict either crashed densify (keys not
+    starting at 0) or silently became a list, dropping every encoder
+    attention block on reload.
+    """
+    if _INDEX.match(k) or _ESCAPED.match(k):
+        return "K" + k
+    return k
+
+
+def _unescape_key(k: str) -> str:
+    return k[1:] if _ESCAPED.match(k) else k
 
 
 def flatten_pytree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, Mapping):
         for k, v in tree.items():
-            out.update(flatten_pytree(v, f"{prefix}{k}/"))
+            out.update(flatten_pytree(v, f"{prefix}{_escape_key(str(k))}/"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(flatten_pytree(v, f"{prefix}{i}/"))
@@ -260,7 +281,7 @@ def unflatten_pytree(flat: Mapping[str, np.ndarray]) -> Any:
             return node
         if node and all(_INDEX.match(k) for k in node):
             return [densify(node[str(i)]) for i in range(len(node))]
-        return {k: densify(v) for k, v in node.items()}
+        return {_unescape_key(k): densify(v) for k, v in node.items()}
 
     return densify(root)
 

@@ -186,7 +186,8 @@ def cmd_segment(args):
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
     if getattr(args, "warmup", False):
-        secs = engine.warmup()
+        # warm the program the run will actually use (batched vs per-case)
+        secs = engine.warmup(batch_size=getattr(args, "batch_cases", 0))
         print(f"# warmup compile: {secs:.1f}s")
     with trace_ctx:
         return _run_segment(args, engine, cases, out)

@@ -19,7 +19,7 @@ to label painting is on-device XLA.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -32,8 +32,7 @@ from ..io.brats import BratsCase, load_case_volumes
 from ..labels.convert import internal_to_brats2021, internal_to_brats2025
 from ..labels.postprocess import et_min_size_postprocess
 from ..models.unet3d import UNetConfig, fold_batchnorm
-from ..pre.preprocess import PreprocessResult, preprocess_case
-from ..pre.resample import resize_trilinear
+from ..pre.preprocess import preprocess_case
 from .fullconv import fullconv_predict, predict_probs_fullconv
 from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
 
@@ -121,20 +120,32 @@ class InferenceEngine:
     mesh: Optional[Any] = None
 
     def warmup(
-        self, bucket_shape: Tuple[int, int, int] = (192, 192, 160)
+        self,
+        bucket_shape: Tuple[int, int, int] = (192, 192, 160),
+        batch_size: int = 0,
     ) -> float:
         """Trigger all compilations for a bucket shape before the first case.
 
         A cold fullconv ensemble costs minutes of XLA compilation; calling
         this (e.g. on a background thread while the first case downloads,
         or at service start — serve/api does) moves that cost off the
-        first request.  Returns seconds spent.  Persistent-cache hits
-        (utils.compcache) make reruns cheap.
+        first request.  Pass ``batch_size`` to warm the program
+        :meth:`predict_cases_batched` actually runs (its batch dimension
+        and sharding differ from the single-case B=1 program).  Returns
+        seconds spent.  Persistent-cache hits (utils.compcache) make
+        reruns cheap.
         """
         t0 = time.perf_counter()
         # fully nonzero so crop-to-nonzero keeps the exact bucket extent
         dummy = np.ones((4,) + tuple(bucket_shape), np.float32)
-        self.predict_case_array(dummy)
+        if batch_size > 0 and self.mode == "fullconv":
+            div = max(2**m.cfg.num_pool for m in self.models)
+            pre = preprocess_case(dummy, patch_size=(div,) * 3, pad_multiple=div)
+            vol = jnp.moveaxis(jnp.asarray(pre.data), 0, -1)[None]
+            target = self._batch_target(batch_size)
+            jax.block_until_ready(self._batched_fullconv(vol, target))
+        else:
+            self.predict_case_array(dummy)
         return time.perf_counter() - t0
 
     def predict_case_array(
@@ -187,7 +198,10 @@ class InferenceEngine:
     def _ensemble_labels(self, per_model_probs, pre) -> np.ndarray:
         """Model-ensemble probability maps → internal-label segmentation."""
         undo = pre.undo_slices
-        if self.ensemble == "label" and len(per_model_probs) > 1:
+        # label mode applies with ANY model count: the repo-parity recipe
+        # (run_brats2021_inference_singlethread.py:288-312) never runs the
+        # ET min-size rule, so a single-model label run must not either
+        if self.ensemble == "label":
             segs = [
                 np.asarray(region_probs_to_labels(p)[undo]) for p in per_model_probs
             ]
@@ -226,6 +240,47 @@ class InferenceEngine:
             ]
         return self._mesh_params
 
+    def _batch_target(self, batch_size: int) -> int:
+        """Fixed batch shape for batched fullconv: batch_size, rounded up
+        to a multiple of the mesh data axis when sharding."""
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            return -(-batch_size // nd) * nd
+        return batch_size
+
+    def _batched_fullconv(self, vols: jnp.ndarray, target: int) -> List[Any]:
+        """Run every model on a case batch padded to ``target`` rows.
+
+        Padding replicates the last case so EVERY chunk (partial flushes,
+        end-of-stream drains) runs the same compiled program per bucket
+        shape — whole-ensemble XLA compiles cost minutes, so the batch
+        dimension must never vary.  Padded rows are the caller's to drop.
+        With a mesh, the batch axis is sharded over 'data' (case-level DP,
+        no forward-path collectives).
+        """
+        n_pad = target - vols.shape[0]
+        if n_pad:
+            vols = jnp.concatenate([vols, jnp.repeat(vols[-1:], n_pad, axis=0)])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            vols = jax.device_put(vols, NamedSharding(self.mesh, P("data")))
+        per_model = []
+        for mi, m in enumerate(self.models):
+            params = (
+                self._mesh_replicated_params()[mi]
+                if self.mesh is not None
+                else m.params_stacked
+            )
+            per_model.append(
+                fullconv_predict(
+                    params, vols, m.cfg,
+                    num_mirror=8 if self.tta else 1, folded=m.folded,
+                )
+            )
+        return per_model
+
     def predict_cases_batched(
         self, cases: List[BratsCase], output_dir: Optional[Path] = None,
         batch_size: int = 4, max_pending: Optional[int] = None,
@@ -236,20 +291,22 @@ class InferenceEngine:
         With ``self.mesh`` set (a Mesh with a 'data' axis), each batch is
         sharded case-wise across the mesh: fold weights replicate once,
         the batch axis partitions, and XLA runs the embarrassingly
-        case-parallel forward with no cross-device collectives.  Batches
-        are padded up to a multiple of the mesh size with a replicated
-        last case (dropped from results).
+        case-parallel forward with no cross-device collectives.
 
         Requires ``mode='fullconv'``: cases stream in through a
         :class:`~braintpu.io.brats.CasePrefetcher` (host decode overlapped
         with device compute), are grouped by padded bucket shape, stacked on
-        the batch axis and run through the whole-volume ensemble together —
-        one compiled program per bucket, amortizing per-forward overheads
-        across cases.  Host memory is bounded: at most ``max_pending``
-        (default ``max(2*batch_size, 8)``) preprocessed cases are resident
-        at once — when the cap is hit, the fullest bucket is flushed as a
-        partial batch — and each case's arrays are freed as soon as its
-        segmentation is written.  GroupNorm statistics stay per-sample
+        the batch axis and run through the whole-volume ensemble together.
+        Every chunk — including partial flushes and end-of-stream drains —
+        is padded with a replicated last case to one fixed batch shape
+        (``batch_size``, rounded up to the mesh size when sharding), so
+        each bucket shape compiles exactly ONE whole-ensemble program;
+        padded rows are dropped from results.  Accelerator memory is
+        bounded: at most ``max_pending`` (default
+        ``min(max(2*batch_size, 8), 16)``) preprocessed cases are
+        device-resident at once — when the cap is hit, the fullest bucket
+        is flushed as a partial batch — and each case's arrays are freed
+        as soon as its segmentation is written.  GroupNorm statistics stay per-sample
         (batch axis is the normalization boundary) on every path — the
         fused stage kernel carries per-sample stats and input affines —
         so results match per-case fullconv calls (exactly on the XLA
@@ -259,7 +316,12 @@ class InferenceEngine:
             raise ValueError("predict_cases_batched requires mode='fullconv'")
         div = max(2**m.cfg.num_pool for m in self.models)
         if max_pending is None:
-            max_pending = max(2 * batch_size, 8)
+            # pending cases are DEVICE-resident (preprocess returns device
+            # arrays); the cap bounds accelerator memory alongside the
+            # forward's activation peak, so it stays small even for large
+            # batch sizes (16 × ~113 MB bucket ≈ 1.8 GB of HBM)
+            max_pending = min(max(2 * batch_size, 8), 16)
+        target = self._batch_target(batch_size)
         results: List[Optional[Tuple[np.ndarray, Dict[str, Any]]]] = [None] * len(cases)
         # bucket shape → [(case_index, case, affine, zooms, preprocess_result)]
         pending: Dict[Tuple[int, ...], List[Tuple[int, Any, Any, Any, Any]]] = {}
@@ -275,36 +337,7 @@ class InferenceEngine:
                 vols = jnp.stack(
                     [jnp.moveaxis(jnp.asarray(e[4].data), 0, -1) for e in chunk]
                 )
-                n_pad = 0
-                if self.mesh is not None:
-                    # case-level DP: pad the batch to the mesh's data size
-                    # (replicating the last case) and shard the batch axis;
-                    # GSPMD partitions the batch-parallel forward, padded
-                    # rows are dropped below
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    nd = self.mesh.shape["data"]
-                    n_pad = (-vols.shape[0]) % nd
-                    if n_pad:
-                        vols = jnp.concatenate(
-                            [vols, jnp.repeat(vols[-1:], n_pad, axis=0)]
-                        )
-                    vols = jax.device_put(
-                        vols, NamedSharding(self.mesh, P("data"))
-                    )
-                per_model = []
-                for mi, m in enumerate(self.models):
-                    params = (
-                        self._mesh_replicated_params()[mi]
-                        if self.mesh is not None
-                        else m.params_stacked
-                    )
-                    probs = fullconv_predict(
-                        params, vols, m.cfg,
-                        num_mirror=8 if self.tta else 1, folded=m.folded,
-                    )
-                    per_model.append(probs)
+                per_model = self._batched_fullconv(vols, target)
                 # sync before timing: fullconv_predict dispatches
                 # asynchronously, so un-synced clocks measure dispatch
                 # latency, not compute

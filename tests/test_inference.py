@@ -281,6 +281,48 @@ def test_calculate_volumes_internal_convention():
     assert v["WT"] == pytest.approx(0.5)
 
 
+def test_single_model_label_ensemble_skips_et_postprocess():
+    """ensemble='label' with ONE model must behave like the repo-parity
+    label pipeline — no ET min-size rule — not fall through to the softmax
+    branch (regression: `len(probs) > 1` guard routed single-model label
+    runs into et_min_size_postprocess)."""
+    import jax
+    import jax.numpy as jnp
+
+    from braintpu.infer import InferenceEngine, ModelBundle
+    from braintpu.infer.engine import uncrop_labels  # noqa: F401  (API)
+    from braintpu.models.unet3d import UNetConfig, init_params
+
+    cfg = UNetConfig(norm="instance", base_features=8, num_pool=2,
+                     patch_size=(16, 16, 16), compute_dtype=jnp.float32)
+    folds = [init_params(cfg, jax.random.PRNGKey(0))]
+    label_eng = InferenceEngine(
+        models=[ModelBundle.from_folds(cfg, folds)], mode="fullconv",
+        tta=False, ensemble="label", et_min_voxels=200,
+        output_convention="internal",
+    )
+
+    class FakePre:
+        undo_slices = (slice(None),) * 3
+
+    # probabilities with a tiny (<200 voxel) ET region: label mode must
+    # keep it; the softmax branch would relabel it to NCR
+    probs = np.zeros((8, 8, 8, 3), np.float32)
+    probs[..., 0] = 0.9  # WT everywhere
+    probs[:2, :2, :2, 1] = 0.9  # TC corner
+    probs[:2, :2, :2, 2] = 0.9  # ET corner (8 voxels)
+    seg = label_eng._ensemble_labels([jnp.asarray(probs)], FakePre())
+    assert (seg == 3).sum() == 8  # ET survives in label mode
+
+    softmax_eng = InferenceEngine(
+        models=[ModelBundle.from_folds(cfg, folds)], mode="fullconv",
+        tta=False, ensemble="softmax", et_min_voxels=200,
+        output_convention="internal",
+    )
+    seg_s = softmax_eng._ensemble_labels([jnp.asarray(probs)], FakePre())
+    assert (seg_s == 3).sum() == 0  # postprocess relabels the tiny ET
+
+
 def test_predict_cases_batched_matches_per_case(tmp_path):
     """Batched multi-case fullconv equals per-case fullconv predictions."""
     import jax

@@ -201,6 +201,34 @@ def test_npz_roundtrip(tmp_path):
     assert param_count(loaded) == param_count(params)
 
 
+@pytest.mark.parametrize("no_attn", [(0,), (1,)], ids=["skip0", "skip1"])
+def test_npz_roundtrip_axial_full(tmp_path, no_attn):
+    """encoder_attn is a DICT keyed by digit strings ('0'..'4' levels) —
+    the densify heuristic must not confuse it with a list.  Regression:
+    keys not starting at 0 crashed the loader; keys 0..n-1 silently became
+    a list, and apply_unet then skipped every encoder attention block."""
+    cfg = UNetConfig(
+        norm="batch", base_features=8, num_pool=2, patch_size=(16, 16, 16),
+        axial_attention=True, axial_mode="full", attn_heads=2,
+        attn_dim_head=4, no_attention_levels=no_attn,
+        compute_dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    assert isinstance(params["encoder_attn"], dict)
+    path = tmp_path / "axial.npz"
+    save_pytree_npz(params, path)
+    loaded = load_pytree_npz(path)
+    assert isinstance(loaded["encoder_attn"], dict)
+    assert set(loaded["encoder_attn"]) == set(params["encoder_attn"])
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 16, 16, 4)).astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(apply_unet(loaded, x, cfg)),
+        np.asarray(apply_unet(params, x, cfg)),
+    )
+
+
 def test_init_shapes_match_converted_shapes():
     cfg = tiny_cfg("group", 2)
     sd = make_torch_state_dict(cfg)
