@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -108,6 +108,7 @@ class FeatureContext:
     _brain_masks: Dict[str, np.ndarray] = field(default_factory=dict)
     _normal_stats: Dict[str, Dict] = field(default_factory=dict)
     _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
+    _mass_stats: Optional[Dict[str, Any]] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":
@@ -180,6 +181,18 @@ class FeatureContext:
                 self.modalities, self.seg, self.brain_mask("t1")
             )
         return self._device_stats
+
+    def mass_effect_stats(self) -> Dict[str, Any]:
+        """Step-2 device reductions (slab counts, CSF threshold/counts,
+        peritumoral spread) from one jitted pass; cached for the case.
+        Only called on the ``BRAINTPU_DEVICE_FEATURES=1`` path."""
+        if self._mass_stats is None:
+            from .devstats import compute_mass_effect_stats
+
+            self._mass_stats = compute_mass_effect_stats(
+                self.modalities["t1"], self.tumor_masks["wt"], self.brain_mask("t1")
+            )
+        return self._mass_stats
 
     def region_stats(self, region: str, modality: str) -> Dict:
         """Masked intensity summary for a tumor region on one sequence.

@@ -55,6 +55,7 @@ __all__ = [
     "device_features_enabled",
     "compute_case_stats",
     "compute_quality_stats",
+    "compute_mass_effect_stats",
     "REGIONS",
 ]
 
@@ -316,6 +317,127 @@ def compute_case_stats(
         for mi, m in enumerate(mods)
     }
     return out
+
+
+def _dilate_cross(m: jnp.ndarray) -> jnp.ndarray:
+    """One binary dilation by the 6-connected cross structuring element.
+
+    The cross SE is the union {center, ±x, ±y, ±z}, and dilation by a
+    union of SEs is the union of the per-SE dilations — so one 3-wide
+    max-window along each axis (zero-padded borders, matching scipy's
+    ``border_value=0``), max-combined, reproduces
+    ``ndimage.binary_dilation(m)`` exactly.
+    """
+    pads = [
+        ((1, 1), (0, 0), (0, 0)),
+        ((0, 0), (1, 1), (0, 0)),
+        ((0, 0), (0, 0), (1, 1)),
+    ]
+    wins = [(3, 1, 1), (1, 3, 1), (1, 1, 3)]
+    out = m
+    for win, pad in zip(wins, pads):
+        out = jnp.maximum(
+            out,
+            jax.lax.reduce_window(m, 0.0, jax.lax.max, win, (1, 1, 1), pad),
+        )
+    return out
+
+
+def _masked_mean_std(x: jnp.ndarray, mask: jnp.ndarray):
+    """Two-pass masked mean/std: the shift by the masked mean keeps the
+    f32 variance accurate (raw sumsq − mean² cancels catastrophically at
+    MRI intensity scales: mean ~3e2 ⇒ mean² ~1e5 vs var ~1e3)."""
+    mf = mask.astype(jnp.float32)
+    n = mf.sum()
+    mean = (x * mf).sum() / jnp.maximum(n, 1.0)
+    var = (jnp.square(x - mean) * mf).sum() / jnp.maximum(n, 1.0)
+    return n, mean, jnp.sqrt(var)
+
+
+@partial(jax.jit, static_argnames=("dilate_iters", "csf_pct"))
+def _mass_effect_kernel(
+    t1: jnp.ndarray,
+    wt: jnp.ndarray,
+    brain: jnp.ndarray,
+    dilate_iters: int = 10,
+    csf_pct: float = 15.0,
+):
+    """Step-2 mass-effect reductions in one device program.
+
+    ``t1`` (X, Y, Z) f32, ``wt``/``brain`` (X, Y, Z) bool.  Replaces the
+    host passes of step2_mass_effect (ref step2_mass_effect.py:32-414):
+    per-sagittal-slab brain/tumor counts (midline shift), the 15th-pct
+    CSF threshold of ``t1[brain]`` (ventricular compression), left/right
+    CSF counts, and the peritumoral-vs-distant intensity spread after a
+    10× cross dilation of the tumor (sulcal effacement).
+    """
+    X = t1.shape[0]
+    per_x_brain = brain.sum(axis=(1, 2)).astype(jnp.int32)
+    per_x_tumor = wt.sum(axis=(1, 2)).astype(jnp.int32)
+
+    # 15th percentile of t1[brain]: global sort + subset rank counts
+    flat = t1.ravel()
+    perm = jnp.argsort(flat)
+    sorted_vals = flat[perm]
+    cum = jnp.cumsum(brain.ravel()[perm].astype(jnp.int32))
+    nb = brain.sum().astype(jnp.int32)
+    (thr,) = _masked_quantiles(sorted_vals, cum, nb, (csf_pct / 100.0,))
+
+    csf = (t1 < thr) & (t1 > 0) & ~wt
+    mid = X // 2
+    csf_left = csf[:mid].sum().astype(jnp.int32)
+    csf_right = csf[mid:].sum().astype(jnp.int32)
+
+    dil = wt.astype(jnp.float32)
+    for _ in range(dilate_iters):
+        dil = _dilate_cross(dil)
+    expanded = dil > 0
+    peritumoral = expanded & ~wt & brain
+    distant = brain & ~expanded
+    peri_n, _, peri_std = _masked_mean_std(t1, peritumoral)
+    dist_n, _, dist_std = _masked_mean_std(t1, distant)
+
+    return {
+        "per_x_brain": per_x_brain,
+        "per_x_tumor": per_x_tumor,
+        "csf_threshold": thr,
+        "csf_left": csf_left,
+        "csf_right": csf_right,
+        "peri_count": peri_n,
+        "peri_std": peri_std,
+        "distant_count": dist_n,
+        "distant_std": dist_std,
+    }
+
+
+def compute_mass_effect_stats(
+    t1: np.ndarray, wt_mask: np.ndarray, brain_mask: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """Host wrapper: step-2 reductions as plain numpy scalars/arrays.
+
+    The per-x slab counts come back as exact int32 vectors so the host
+    keeps its float64 center-of-mass arithmetic bit-for-bit (f32 weighted
+    index sums would round above 2^24); only the threshold and spreads
+    are f32.
+    """
+    raw = jax.device_get(
+        _mass_effect_kernel(
+            jnp.asarray(np.asarray(t1, np.float32)),
+            jnp.asarray(np.asarray(wt_mask, bool)),
+            jnp.asarray(np.asarray(brain_mask, bool)),
+        )
+    )
+    return {
+        "per_x_brain": np.asarray(raw["per_x_brain"], np.int64),
+        "per_x_tumor": np.asarray(raw["per_x_tumor"], np.int64),
+        "csf_threshold": float(raw["csf_threshold"]),
+        "csf_left": int(raw["csf_left"]),
+        "csf_right": int(raw["csf_right"]),
+        "peri_count": int(raw["peri_count"]),
+        "peri_std": float(raw["peri_std"]),
+        "distant_count": int(raw["distant_count"]),
+        "distant_std": float(raw["distant_std"]),
+    }
 
 
 def compute_quality_stats(

@@ -75,7 +75,19 @@ def calculate_midline_shift(ctx: FeatureContext) -> Dict:
             "clinical_significance": "No tumor present to cause mass effect",
             "is_significant": False,
         }
-    xs = np.nonzero(brain.any(axis=(1, 2)))[0]
+    if ctx._use_device_stats():
+        # one fused device pass (features/devstats.py) supplies the exact
+        # integer slab counts; the float64 COM math below is unchanged
+        ms = ctx.mass_effect_stats()
+        per_x = ms["per_x_brain"].astype(np.float64)
+        per_x_tumor = ms["per_x_tumor"].astype(np.float64)
+        tumor_cx_f = float(
+            (np.arange(per_x_tumor.size) * per_x_tumor).sum() / per_x_tumor.sum()
+        )
+    else:
+        per_x = brain.sum(axis=(1, 2)).astype(np.float64)  # voxels per slab
+        tumor_cx_f = float(np.nonzero(tumor)[0].mean())
+    xs = np.nonzero(per_x > 0)[0]
     if xs.size == 0:
         return {
             "shift_mm": None,
@@ -88,13 +100,12 @@ def calculate_midline_shift(ctx: FeatureContext) -> Dict:
     midline_x = (x_min + x_max) / 2
     brain_width = x_max - x_min
 
-    tumor_cx = float(np.nonzero(tumor)[0].mean())
+    tumor_cx = tumor_cx_f
     tumor_side = "left" if tumor_cx < midline_x else "right"
     distance_to_midline = abs(tumor_cx - midline_x) * vx
 
     mid = int(midline_x)
     x_idx = np.arange(brain.shape[0])
-    per_x = brain.sum(axis=(1, 2)).astype(np.float64)  # voxels per sagittal slab
     left_n, right_n = per_x[:mid].sum(), per_x[mid:].sum()
     if left_n > 0 and right_n > 0:
         left_com = (x_idx[:mid] * per_x[:mid]).sum() / left_n
@@ -147,13 +158,22 @@ def analyze_ventricular_compression(ctx: FeatureContext) -> Dict:
             "asymmetry_ratio": 0,
             "details": "Could not analyze - no brain tissue detected",
         }
-    csf_threshold = np.percentile(t1[brain], 15)
-    csf = (t1 < csf_threshold) & (t1 > 0) & ~tumor
-
-    mid = t1.shape[0] // 2
     vox_cm3 = ctx.voxel_volume_mm3 / 1000.0
-    left_vol = float(csf[:mid].sum() * vox_cm3)
-    right_vol = float(csf[mid:].sum() * vox_cm3)
+    if ctx._use_device_stats():
+        # threshold + hemispheric CSF counts from the fused device pass;
+        # the (rare, EDT-only) host csf mask below reuses the same f32
+        # threshold so counts and mask agree
+        ms = ctx.mass_effect_stats()
+        csf_threshold = ms["csf_threshold"]
+        csf = None
+        left_vol = float(ms["csf_left"] * vox_cm3)
+        right_vol = float(ms["csf_right"] * vox_cm3)
+    else:
+        csf_threshold = np.percentile(t1[brain], 15)
+        csf = (t1 < csf_threshold) & (t1 > 0) & ~tumor
+        mid = t1.shape[0] // 2
+        left_vol = float(csf[:mid].sum() * vox_cm3)
+        right_vol = float(csf[mid:].sum() * vox_cm3)
     total = left_vol + right_vol
     asym = abs(left_vol - right_vol) / total if total > 0 else 0.0
 
@@ -165,7 +185,9 @@ def analyze_ventricular_compression(ctx: FeatureContext) -> Dict:
         side, detected = "none", False
 
     min_dist = None
-    if tumor.any() and csf.any():
+    if tumor.any() and (left_vol + right_vol) > 0:
+        if csf is None:  # device path: materialize the mask only for EDT
+            csf = (t1 < csf_threshold) & (t1 > 0) & ~tumor
         # exact: EDT of the CSF complement sampled at tumor voxels (in mm)
         dist = ndimage.distance_transform_edt(~csf, sampling=ctx.zooms)
         min_dist = float(dist[tumor].min())
@@ -201,23 +223,32 @@ def analyze_sulcal_effacement(ctx: FeatureContext) -> Dict:
             "severity": "No tumor detected",
             "details": "No tumor detected",
         }
-    expanded = ndimage.binary_dilation(tumor, iterations=10)
-    peritumoral = expanded & ~tumor & brain
-    if peritumoral.sum() == 0:
+    if ctx._use_device_stats():
+        # the 10× cross dilation runs on device as iterated per-axis
+        # 3-max-windows (exactly scipy's 6-connected binary_dilation)
+        ms = ctx.mass_effect_stats()
+        peri_count, distant_count = ms["peri_count"], ms["distant_count"]
+        peri_std, distant_std = ms["peri_std"], ms["distant_std"]
+    else:
+        expanded = ndimage.binary_dilation(tumor, iterations=10)
+        peritumoral = expanded & ~tumor & brain
+        distant = brain & ~expanded
+        peri_count = int(peritumoral.sum())
+        distant_count = int(distant.sum())
+        peri_std = float(t1[peritumoral].std()) if peri_count else 0.0
+        distant_std = float(t1[distant].std()) if distant_count else 0.0
+    if peri_count == 0:
         return {
             "effacement_detected": False,
             "severity": "Could not analyze",
             "details": "Could not analyze peritumoral region",
         }
-    distant = brain & ~expanded
-    if distant.sum() == 0:
+    if distant_count == 0:
         return {
             "effacement_detected": True,
             "severity": "Severe",
             "details": "Tumor occupies majority of brain volume",
         }
-    peri_std = float(t1[peritumoral].std())
-    distant_std = float(t1[distant].std())
     ratio = peri_std / distant_std if distant_std > 0 else 1.0
     if ratio < 0.6:
         detected, severity = True, "Moderate to Severe"

@@ -153,3 +153,108 @@ def test_empty_segmentation():
             assert dev[region][m]["mean"] is None
     # normal-brain reference still populated
     assert dev["normal"]["t1"]["voxel_count"] > 0
+
+
+def synth_tumor_blob(seed=0, shape=(40, 44, 36)):
+    """Volume with a compact tumor blob (so dilation has real geometry)."""
+    rng = np.random.default_rng(seed)
+    mods = {
+        m: np.abs(rng.normal(300 + 40 * i, 80, shape)).astype(np.float32)
+        for i, m in enumerate(("t1", "t1ce", "t2", "flair"))
+    }
+    for m in mods:
+        mods[m][:3] = 0
+        mods[m][-3:] = 0
+    seg = np.zeros(shape, np.int32)
+    seg[8:18, 12:24, 10:20] = 2
+    seg[10:15, 15:21, 12:17] = 1
+    seg[12:14, 17:19, 13:15] = 3
+    return mods, seg
+
+
+def test_mass_effect_stats_match_host():
+    """The fused step-2 kernel reproduces the host reductions: exact
+    integer slab/region counts (incl. the 10x cross dilation == scipy
+    binary_dilation) and f32-close threshold/spreads."""
+    from scipy import ndimage
+
+    from braintpu.features.devstats import compute_mass_effect_stats
+
+    mods, seg = synth_tumor_blob(5)
+    t1 = mods["t1"]
+    wt = seg > 0
+    brain = brain_mask_from(t1)
+    dev = compute_mass_effect_stats(t1, wt, brain)
+
+    np.testing.assert_array_equal(dev["per_x_brain"], brain.sum(axis=(1, 2)))
+    np.testing.assert_array_equal(dev["per_x_tumor"], wt.sum(axis=(1, 2)))
+
+    thr_host = np.percentile(t1[brain], 15)
+    np.testing.assert_allclose(dev["csf_threshold"], thr_host, rtol=1e-5)
+    # hemispheric CSF counts, evaluated at the device threshold for exactness
+    csf = (t1 < np.float32(dev["csf_threshold"])) & (t1 > 0) & ~wt
+    mid = t1.shape[0] // 2
+    assert dev["csf_left"] == int(csf[:mid].sum())
+    assert dev["csf_right"] == int(csf[mid:].sum())
+
+    expanded = ndimage.binary_dilation(wt, iterations=10)
+    peritumoral = expanded & ~wt & brain
+    distant = brain & ~expanded
+    assert dev["peri_count"] == int(peritumoral.sum())
+    assert dev["distant_count"] == int(distant.sum())
+    np.testing.assert_allclose(
+        dev["peri_std"], float(t1[peritumoral].std()), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        dev["distant_std"], float(t1[distant].std()), rtol=1e-4
+    )
+
+
+def test_step2_identical_under_device_flag(monkeypatch):
+    """analyze_mass_effect decisions and key numerics are unchanged when
+    the device path is on."""
+    from braintpu.features.step2_mass_effect import analyze_mass_effect
+
+    mods, seg = synth_tumor_blob(7)
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    host = analyze_mass_effect(FeatureContext.from_arrays(mods, seg))
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev = analyze_mass_effect(FeatureContext.from_arrays(mods, seg))
+
+    hm, dm = host["midline_shift"], dev["midline_shift"]
+    np.testing.assert_allclose(dm["shift_mm"], hm["shift_mm"], atol=1e-6)
+    assert dm["severity"] == hm["severity"]
+    assert dm["tumor_hemisphere"] == hm["tumor_hemisphere"]
+
+    hv, dv = host["ventricular_compression"], dev["ventricular_compression"]
+    np.testing.assert_allclose(
+        dv["asymmetry_ratio"], hv["asymmetry_ratio"], atol=2e-3
+    )
+    assert dv["severity"] == hv["severity"]
+    if hv["tumor_to_ventricle_distance_mm"] is not None:
+        np.testing.assert_allclose(
+            dv["tumor_to_ventricle_distance_mm"],
+            hv["tumor_to_ventricle_distance_mm"],
+            atol=0.5,
+        )
+
+    hs, ds = host["sulcal_effacement"], dev["sulcal_effacement"]
+    np.testing.assert_allclose(
+        ds["variance_ratio"], hs["variance_ratio"], rtol=1e-3
+    )
+    assert ds["severity"] == hs["severity"]
+    assert (
+        dev["herniation_risk"]["mass_effect_score"]
+        == host["herniation_risk"]["mass_effect_score"]
+    )
+
+
+def test_step2_no_tumor_under_device_flag(monkeypatch):
+    """Tumor-free cases never touch the mass-effect kernel's tumor math."""
+    from braintpu.features.step2_mass_effect import analyze_mass_effect
+
+    mods, _ = synth_tumor_blob(9)
+    seg = np.zeros(mods["t1"].shape, np.int32)
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    res = analyze_mass_effect(FeatureContext.from_arrays(mods, seg))
+    assert res["midline_shift"]["severity"] == "No tumor detected"
