@@ -109,6 +109,7 @@ class FeatureContext:
     _normal_stats: Dict[str, Dict] = field(default_factory=dict)
     _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
     _mass_stats: Optional[Dict[str, Any]] = None
+    _artifact_stats: Optional[Dict[str, Any]] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":
@@ -193,6 +194,19 @@ class FeatureContext:
                 self.modalities["t1"], self.tumor_masks["wt"], self.brain_mask("t1")
             )
         return self._mass_stats
+
+    def artifact_stats(self) -> Dict[str, Any]:
+        """Step-5 artifact-detector device reductions (bias shells,
+        background CVs, per-z zero counts, edge maxima, Gibbs gradient
+        stats); cached per case.  Only called on the
+        ``BRAINTPU_DEVICE_FEATURES=1`` path."""
+        if self._artifact_stats is None:
+            from .devstats import compute_artifact_stats
+
+            self._artifact_stats = compute_artifact_stats(
+                self.modalities, self.brain_mask("t1"), self.tumor_masks["wt"]
+            )
+        return self._artifact_stats
 
     def region_stats(self, region: str, modality: str) -> Dict:
         """Masked intensity summary for a tumor region on one sequence.

@@ -440,6 +440,162 @@ def compute_mass_effect_stats(
     }
 
 
+def _erode_cross(m: jnp.ndarray) -> jnp.ndarray:
+    """One binary erosion by the 6-connected cross (scipy semantics,
+    ``border_value=0``): erosion by a union of SEs is the intersection of
+    the per-SE erosions, so the elementwise min of the three zero-padded
+    per-axis 3-min-windows reproduces ``ndimage.binary_erosion(m)``."""
+    out = None
+    for axis in range(3):
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 1)
+        p = jnp.pad(m, pad)  # zeros: outside counts as background
+        sl = [slice(None)] * 3
+        views = []
+        for off in range(3):
+            s = list(sl)
+            s[axis] = slice(off, off + m.shape[axis])
+            views.append(p[tuple(s)])
+        ax_min = jnp.minimum(jnp.minimum(views[0], views[1]), views[2])
+        out = ax_min if out is None else jnp.minimum(out, ax_min)
+    return out
+
+
+def _conv1d_sym(x: jnp.ndarray, w, axis: int) -> jnp.ndarray:
+    """Correlate with a 3-tap kernel along one axis, 'reflect' boundary
+    (scipy's default, == np.pad 'symmetric')."""
+    pad = [(0, 0)] * 3
+    pad[axis] = (1, 1)
+    p = jnp.pad(x, pad, mode="symmetric")
+
+    def view(off):
+        s = [slice(None)] * 3
+        s[axis] = slice(off, off + x.shape[axis])
+        return p[tuple(s)]
+
+    return w[0] * view(0) + w[1] * view(1) + w[2] * view(2)
+
+
+def _sobel_magnitude(x: jnp.ndarray) -> jnp.ndarray:
+    """|∇x| with scipy.ndimage.sobel semantics: per-axis derivative
+    [-1,0,1] × smoothing [1,2,1] on the other two axes, reflect edges.
+    The sign convention cancels in the squared sum."""
+    total = jnp.zeros_like(x)
+    for d_axis in range(3):
+        g = _conv1d_sym(x, (-1.0, 0.0, 1.0), d_axis)
+        for s_axis in range(3):
+            if s_axis != d_axis:
+                g = _conv1d_sym(g, (1.0, 2.0, 1.0), s_axis)
+        total = total + g * g
+    return jnp.sqrt(total)
+
+
+@jax.jit
+def _artifact_kernel(
+    mods: jnp.ndarray, brain: jnp.ndarray, wt: jnp.ndarray
+):
+    """Step-5 artifact-detector reductions in one device program.
+
+    ``mods`` (M, X, Y, Z) f32 with t1 first; ``brain``/``wt`` bool.
+    Covers ref step5_quality.py:261-454: bias-field inner/outer shell
+    means, per-modality background CV inputs, susceptibility per-z zero
+    counts, wrap-around edge maxima, and the Gibbs edge-gradient stats
+    (2× cross erosion + full-volume Sobel magnitude — the single biggest
+    host pass in step 5).
+    """
+    t1 = mods[0]
+    X, Y, Z = t1.shape
+    bf = brain.astype(jnp.float32)
+    nb = bf.sum()
+    ix = jnp.arange(X, dtype=jnp.float32)[:, None, None]
+    iy = jnp.arange(Y, dtype=jnp.float32)[None, :, None]
+    iz = jnp.arange(Z, dtype=jnp.float32)[None, None, :]
+    safe_nb = jnp.maximum(nb, 1.0)
+    cx = (bf * ix).sum() / safe_nb
+    cy = (bf * iy).sum() / safe_nb
+    cz = (bf * iz).sum() / safe_nb
+    dist = jnp.sqrt(
+        jnp.square(ix - cx) + jnp.square(iy - cy) + jnp.square(iz - cz)
+    )
+    max_dist = jnp.max(jnp.where(brain, dist, -jnp.inf))
+    inner = brain & (dist < max_dist * 0.3)
+    outer = brain & (dist > max_dist * 0.7)
+    in_n, in_mean, _ = _masked_mean_std(t1, inner)
+    out_n, out_mean, _ = _masked_mean_std(t1, outer)
+
+    bg = (~brain)[None] & (mods > 0)  # (M, X, Y, Z)
+    bgf = bg.astype(jnp.float32)
+    bg_n = bgf.sum(axis=(1, 2, 3))
+    bg_mean = (mods * bgf).sum(axis=(1, 2, 3)) / jnp.maximum(bg_n, 1.0)
+    bg_var = (
+        jnp.square(mods - bg_mean[:, None, None, None]) * bgf
+    ).sum(axis=(1, 2, 3)) / jnp.maximum(bg_n, 1.0)
+
+    zero_in_brain = (t1 == 0) & brain
+    per_z_zero = zero_in_brain.sum(axis=(0, 1)).astype(jnp.int32)
+    per_z_brain = brain.sum(axis=(0, 1)).astype(jnp.int32)
+
+    m = 5
+    edge_max = jnp.stack(
+        [t1[:m].max(), t1[-m:].max(), t1[:, :m].max(), t1[:, -m:].max()]
+    )
+
+    er = _erode_cross(_erode_cross(wt.astype(jnp.float32)))
+    edge = wt & ~(er > 0.5)
+    grad = _sobel_magnitude(t1)
+    e_n, e_mean, e_std = _masked_mean_std(grad, edge)
+
+    return {
+        "inner_count": in_n, "inner_mean": in_mean,
+        "outer_count": out_n, "outer_mean": out_mean,
+        "bg_count": bg_n, "bg_mean": bg_mean, "bg_std": jnp.sqrt(bg_var),
+        "per_z_zero": per_z_zero, "per_z_brain": per_z_brain,
+        "edge_max": edge_max,
+        "gibbs_edge_count": e_n, "gibbs_grad_mean": e_mean,
+        "gibbs_grad_std": e_std,
+    }
+
+
+def compute_artifact_stats(
+    modalities: Dict[str, np.ndarray],
+    brain_mask: np.ndarray,
+    wt_mask: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Host wrapper for the step-5 artifact reductions; t1 must be the
+    first modality in ``modalities`` iteration order."""
+    mods = list(modalities)
+    assert mods[0] == "t1", "artifact kernel expects t1 first"
+    data = jnp.asarray(
+        np.stack([np.asarray(modalities[k], np.float32) for k in mods])
+    )
+    raw = jax.device_get(
+        _artifact_kernel(
+            data,
+            jnp.asarray(np.asarray(brain_mask, bool)),
+            jnp.asarray(np.asarray(wt_mask, bool)),
+        )
+    )
+    out: Dict[str, np.ndarray] = {
+        "inner_count": int(raw["inner_count"]),
+        "inner_mean": float(raw["inner_mean"]),
+        "outer_count": int(raw["outer_count"]),
+        "outer_mean": float(raw["outer_mean"]),
+        "per_z_zero": np.asarray(raw["per_z_zero"], np.int64),
+        "per_z_brain": np.asarray(raw["per_z_brain"], np.int64),
+        "edge_max": np.asarray(raw["edge_max"]),
+        "gibbs_edge_count": int(raw["gibbs_edge_count"]),
+        "gibbs_grad_mean": float(raw["gibbs_grad_mean"]),
+        "gibbs_grad_std": float(raw["gibbs_grad_std"]),
+    }
+    for mi, mname in enumerate(mods):
+        out[f"bg_{mname}"] = {
+            "count": int(raw["bg_count"][mi]),
+            "mean": float(raw["bg_mean"][mi]),
+            "std": float(raw["bg_std"][mi]),
+        }
+    return out
+
+
 def compute_quality_stats(
     modalities: Dict[str, np.ndarray], brain_mask: np.ndarray
 ) -> Dict[str, Dict[str, float]]:

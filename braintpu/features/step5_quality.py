@@ -207,35 +207,54 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
     t1 = ctx.modalities["t1"]
     detected: List[str] = []
     details: Dict[str, Dict] = {}
+    # every reduction below has a fused device twin
+    # (features/devstats.py::_artifact_kernel); the decision logic is
+    # shared — only the stat source switches
+    arts = ctx.artifact_stats() if ctx._use_device_stats() else None
 
-    coords = np.nonzero(brain)
-    if coords[0].size > 0:
+    if arts is not None:
+        inner_n, outer_n = arts["inner_count"], arts["outer_count"]
+        inner_mean, outer_mean = arts["inner_mean"], arts["outer_mean"]
+    elif (coords := np.nonzero(brain))[0].size > 0:
         center = np.array([c.mean() for c in coords])
         dist = np.sqrt(sum((coords[i] - center[i]) ** 2 for i in range(3)))
         max_dist = dist.max()
         brain_vals = t1[brain]
         inner = brain_vals[dist < max_dist * 0.3]
         outer = brain_vals[dist > max_dist * 0.7]
-        if inner.size > 100 and outer.size > 100:
-            ratio = float(outer.mean() / inner.mean()) if inner.mean() > 0 else 1.0
-            if ratio < 0.7 or ratio > 1.4:
-                detected.append("Intensity inhomogeneity")
-                details["intensity_inhomogeneity"] = {
-                    "detected": True,
-                    "severity": "Moderate" if 0.6 < ratio < 1.6 else "Severe",
-                    "ratio": ratio,
-                    "description": "Significant signal intensity variation across the brain (bias field artifact)",
-                    "impact": "May affect intensity-based measurements",
-                }
-            else:
-                details["intensity_inhomogeneity"] = {"detected": False, "ratio": ratio}
+        inner_n, outer_n = inner.size, outer.size
+        inner_mean = float(inner.mean()) if inner_n else 0.0
+        outer_mean = float(outer.mean()) if outer_n else 0.0
+    else:
+        inner_n = outer_n = 0
+        inner_mean = outer_mean = 0.0
+    if inner_n > 100 and outer_n > 100:
+        ratio = float(outer_mean / inner_mean) if inner_mean > 0 else 1.0
+        if ratio < 0.7 or ratio > 1.4:
+            detected.append("Intensity inhomogeneity")
+            details["intensity_inhomogeneity"] = {
+                "detected": True,
+                "severity": "Moderate" if 0.6 < ratio < 1.6 else "Severe",
+                "ratio": ratio,
+                "description": "Significant signal intensity variation across the brain (bias field artifact)",
+                "impact": "May affect intensity-based measurements",
+            }
+        else:
+            details["intensity_inhomogeneity"] = {"detected": False, "ratio": ratio}
 
     for mod, name in SEQ_DISPLAY.items():
-        data = ctx.modalities[mod]
-        bg = ~brain & (data > 0)
-        if bg.sum() > 1000:
-            vals = data[bg]
-            cv = float(vals.std() / vals.mean()) if vals.mean() > 0 else 0.0
+        if arts is not None:
+            st = arts[f"bg_{mod}"]
+            bg_n, bg_mean, bg_std = st["count"], st["mean"], st["std"]
+        else:
+            data = ctx.modalities[mod]
+            bg = ~brain & (data > 0)
+            bg_n = int(bg.sum())
+            vals = data[bg] if bg_n else None
+            bg_mean = float(vals.mean()) if bg_n else 0.0
+            bg_std = float(vals.std()) if bg_n else 0.0
+        if bg_n > 1000:
+            cv = float(bg_std / bg_mean) if bg_mean > 0 else 0.0
             if cv > 0.5:
                 if "motion_ghosting" not in details:
                     detected.append("Possible motion artifact")
@@ -250,16 +269,26 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
                     details["motion_ghosting"]["affected_sequences"].append(name)
     details.setdefault("motion_ghosting", {"detected": False})
 
-    zero_clusters = (t1 == 0) & brain
-    if zero_clusters.sum() > 100:
-        mean_z = float(np.nonzero(zero_clusters)[2].mean())
-        brain_z = float(np.nonzero(brain)[2].mean())
+    if arts is not None:
+        pz, pb = arts["per_z_zero"], arts["per_z_brain"]
+        zero_count = int(pz.sum())
+        z_idx = np.arange(pz.size)
+        mean_z = float((z_idx * pz).sum() / pz.sum()) if zero_count else 0.0
+        brain_z = float((z_idx * pb).sum() / max(pb.sum(), 1))
+    else:
+        zero_clusters = (t1 == 0) & brain
+        zero_count = int(zero_clusters.sum())
+        mean_z = (
+            float(np.nonzero(zero_clusters)[2].mean()) if zero_count else 0.0
+        )
+        brain_z = float(np.nonzero(brain)[2].mean()) if brain.any() else 0.0
+    if zero_count > 100:
         if mean_z < brain_z * 0.5:
             detected.append("Susceptibility artifact")
             details["susceptibility"] = {
                 "detected": True,
                 "location": "Inferior brain (near skull base)",
-                "volume_mm3": float(zero_clusters.sum()),
+                "volume_mm3": float(zero_count),
                 "description": "Signal dropout in inferior brain, typical susceptibility artifact near air-bone interface",
                 "impact": "May affect assessment of inferior tumor components",
             }
@@ -272,13 +301,22 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
     else:
         details["susceptibility"] = {"detected": False}
 
-    m = 5
-    edge_signal = {
-        "x_min": bool(t1[:m].max() > 0),
-        "x_max": bool(t1[-m:].max() > 0),
-        "y_min": bool(t1[:, :m].max() > 0),
-        "y_max": bool(t1[:, -m:].max() > 0),
-    }
+    if arts is not None:
+        em = arts["edge_max"]
+        edge_signal = {
+            "x_min": bool(em[0] > 0),
+            "x_max": bool(em[1] > 0),
+            "y_min": bool(em[2] > 0),
+            "y_max": bool(em[3] > 0),
+        }
+    else:
+        m = 5
+        edge_signal = {
+            "x_min": bool(t1[:m].max() > 0),
+            "x_max": bool(t1[-m:].max() > 0),
+            "y_min": bool(t1[:, :m].max() > 0),
+            "y_max": bool(t1[:, -m:].max() > 0),
+        }
     if sum(edge_signal.values()) >= 3:
         detected.append("Possible wrap-around")
         details["wrap_around"] = {
@@ -291,16 +329,25 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
         details["wrap_around"] = {"detected": False}
 
     if ctx.seg.max() > 0:
-        tumor = ctx.tumor_masks["wt"]
-        edge = tumor & ~binary_erosion(tumor, iterations=2)
-        if edge.sum() > 100:
-            g = np.sqrt(
-                sobel(t1.astype(float), axis=0) ** 2
-                + sobel(t1.astype(float), axis=1) ** 2
-                + sobel(t1.astype(float), axis=2) ** 2
-            )
-            vals = g[edge]
-            cv = float(vals.std() / vals.mean()) if vals.mean() > 0 else 0.0
+        if arts is not None:
+            edge_count = arts["gibbs_edge_count"]
+            g_mean, g_std = arts["gibbs_grad_mean"], arts["gibbs_grad_std"]
+        else:
+            tumor = ctx.tumor_masks["wt"]
+            edge = tumor & ~binary_erosion(tumor, iterations=2)
+            edge_count = int(edge.sum())
+            if edge_count:
+                g = np.sqrt(
+                    sobel(t1.astype(float), axis=0) ** 2
+                    + sobel(t1.astype(float), axis=1) ** 2
+                    + sobel(t1.astype(float), axis=2) ** 2
+                )
+                vals = g[edge]
+                g_mean, g_std = float(vals.mean()), float(vals.std())
+            else:
+                g_mean = g_std = 0.0
+        if edge_count > 100:
+            cv = float(g_std / g_mean) if g_mean > 0 else 0.0
             if cv > 1.5:
                 detected.append("Possible Gibbs ringing")
                 details["gibbs_ringing"] = {

@@ -258,3 +258,77 @@ def test_step2_no_tumor_under_device_flag(monkeypatch):
     monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
     res = analyze_mass_effect(FeatureContext.from_arrays(mods, seg))
     assert res["midline_shift"]["severity"] == "No tumor detected"
+
+
+def test_artifact_stats_match_host():
+    """The artifact kernel reproduces the host passes: exact erosion-edge
+    / per-z / background counts and close sobel-gradient stats."""
+    from scipy.ndimage import binary_erosion, sobel
+
+    from braintpu.features.devstats import compute_artifact_stats
+
+    mods, seg = synth_tumor_blob(11)
+    t1 = mods["t1"]
+    wt = seg > 0
+    brain = brain_mask_from(t1)
+    dev = compute_artifact_stats(mods, brain, wt)
+
+    # bias-field shells (f32 center → shell membership can differ by a
+    # boundary voxel; means must agree closely)
+    coords = np.nonzero(brain)
+    center = np.array([c.mean() for c in coords])
+    dist = np.sqrt(sum((coords[i] - center[i]) ** 2 for i in range(3)))
+    inner = t1[brain][dist < dist.max() * 0.3]
+    outer = t1[brain][dist > dist.max() * 0.7]
+    assert abs(dev["inner_count"] - inner.size) <= 2
+    assert abs(dev["outer_count"] - outer.size) <= 2
+    np.testing.assert_allclose(dev["inner_mean"], inner.mean(), rtol=1e-3)
+    np.testing.assert_allclose(dev["outer_mean"], outer.mean(), rtol=1e-3)
+
+    for m, data in mods.items():
+        bg = ~brain & (data > 0)
+        st = dev[f"bg_{m}"]
+        assert st["count"] == int(bg.sum())
+        if st["count"]:
+            np.testing.assert_allclose(st["mean"], data[bg].mean(), rtol=1e-5)
+            np.testing.assert_allclose(st["std"], data[bg].std(), rtol=1e-4)
+
+    zc = (t1 == 0) & brain
+    np.testing.assert_array_equal(dev["per_z_zero"], zc.sum(axis=(0, 1)))
+    np.testing.assert_array_equal(dev["per_z_brain"], brain.sum(axis=(0, 1)))
+
+    m5 = 5
+    host_edges = [t1[:m5].max(), t1[-m5:].max(), t1[:, :m5].max(), t1[:, -m5:].max()]
+    np.testing.assert_allclose(dev["edge_max"], host_edges)
+
+    edge = wt & ~binary_erosion(wt, iterations=2)
+    assert dev["gibbs_edge_count"] == int(edge.sum())
+    g = np.sqrt(
+        sobel(t1.astype(float), axis=0) ** 2
+        + sobel(t1.astype(float), axis=1) ** 2
+        + sobel(t1.astype(float), axis=2) ** 2
+    )
+    np.testing.assert_allclose(dev["gibbs_grad_mean"], g[edge].mean(), rtol=1e-4)
+    np.testing.assert_allclose(dev["gibbs_grad_std"], g[edge].std(), rtol=1e-3)
+
+
+def test_step5_artifacts_identical_under_device_flag(monkeypatch):
+    """detect_artifacts decisions are unchanged when the device path is
+    on (counts exact, CV/ratio thresholds far from float noise)."""
+    from braintpu.features.step5_quality import detect_artifacts
+
+    mods, seg = synth_tumor_blob(13)
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    host = detect_artifacts(FeatureContext.from_arrays(mods, seg))
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev = detect_artifacts(FeatureContext.from_arrays(mods, seg))
+
+    assert dev["artifacts_detected"] == host["artifacts_detected"]
+    assert dev["severity"] == host["severity"]
+    for key in ("intensity_inhomogeneity", "motion_ghosting", "susceptibility",
+                "wrap_around", "gibbs_ringing"):
+        assert dev["details"][key]["detected"] == host["details"][key]["detected"], key
+    hr = host["details"]["intensity_inhomogeneity"].get("ratio")
+    dr = dev["details"]["intensity_inhomogeneity"].get("ratio")
+    if hr is not None:
+        np.testing.assert_allclose(dr, hr, rtol=1e-3)
