@@ -332,3 +332,31 @@ def test_step5_artifacts_identical_under_device_flag(monkeypatch):
     dr = dev["details"]["intensity_inhomogeneity"].get("ratio")
     if hr is not None:
         np.testing.assert_allclose(dr, hr, rtol=1e-3)
+
+
+def test_artifact_stats_empty_masks():
+    """Empty brain/tumor must produce zero counts (host logic then skips
+    every detector) — no NaNs or infs leak out of the kernel."""
+    from braintpu.features.devstats import compute_artifact_stats
+
+    shape = (16, 18, 14)
+    mods = {m: np.zeros(shape, np.float32) for m in ("t1", "t1ce", "t2", "flair")}
+    brain = np.zeros(shape, bool)
+    wt = np.zeros(shape, bool)
+    dev = compute_artifact_stats(mods, brain, wt)
+    assert dev["inner_count"] == 0 and dev["outer_count"] == 0
+    assert dev["gibbs_edge_count"] == 0
+    assert np.isfinite(dev["gibbs_grad_mean"]) and np.isfinite(dev["gibbs_grad_std"])
+    assert dev["per_z_brain"].sum() == 0
+    for m in mods:
+        assert dev[f"bg_{m}"]["count"] == 0
+
+
+def test_step5_artifacts_no_tumor_under_device_flag(monkeypatch):
+    from braintpu.features.step5_quality import detect_artifacts
+
+    mods, _ = synth_tumor_blob(17)
+    seg = np.zeros(mods["t1"].shape, np.int32)
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    res = detect_artifacts(FeatureContext.from_arrays(mods, seg))
+    assert res["details"]["gibbs_ringing"] == {"detected": False}
