@@ -110,6 +110,7 @@ class FeatureContext:
     _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
     _mass_stats: Optional[Dict[str, Any]] = None
     _artifact_stats: Optional[Dict[str, Any]] = None
+    _morph_stats: Optional[Dict[str, Any]] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":
@@ -207,6 +208,18 @@ class FeatureContext:
                 self.modalities, self.brain_mask("t1"), self.tumor_masks["wt"]
             )
         return self._artifact_stats
+
+    def morphology_stats(self) -> Dict[str, Any]:
+        """Step-4 border/margin device reductions (erosion surface count,
+        signed-EDT gradient stats, dilation-band T1ce means); cached per
+        case.  Only called on the ``BRAINTPU_DEVICE_FEATURES=1`` path."""
+        if self._morph_stats is None:
+            from .devstats import compute_morphology_stats
+
+            self._morph_stats = compute_morphology_stats(
+                self.modalities["t1ce"], self.tumor_masks["wt"]
+            )
+        return self._morph_stats
 
     def region_stats(self, region: str, modality: str) -> Dict:
         """Masked intensity summary for a tumor region on one sequence.

@@ -72,22 +72,36 @@ def calculate_elongation(mask: np.ndarray, voxel_dims) -> Tuple[float, List[floa
     return elongation, axes
 
 
-def analyze_border_regularity(mask: np.ndarray) -> Dict:
+def analyze_border_regularity(
+    mask: np.ndarray, ctx: FeatureContext | None = None
+) -> Dict:
     if mask.sum() == 0:
         return {"regularity_score": 0, "classification": "No tumor", "description": "No tumor detected"}
-    surface = mask & ~binary_erosion(mask)
-    if surface.sum() < 10:
+    if ctx is not None and ctx._use_device_stats():
+        # signed-EDT gradient stats from the fused device pass (exact
+        # separable squared-EDT + np.gradient semantics, devstats.py)
+        ms = ctx.morphology_stats()
+        surf_count = ms["surface_count"]
+        g_mean, g_std = ms["grad_mean"], ms["grad_std"]
+    else:
+        surface = mask & ~binary_erosion(mask)
+        surf_count = int(surface.sum())
+        if surf_count >= 10:
+            signed = distance_transform_edt(mask) - distance_transform_edt(~mask)
+            grads = np.gradient(signed)
+            grad_mag = np.sqrt(grads[0] ** 2 + grads[1] ** 2 + grads[2] ** 2)
+            surf_grad = grad_mag[surface]
+            g_mean, g_std = float(surf_grad.mean()), float(surf_grad.std())
+        else:
+            g_mean = g_std = 0.0
+    if surf_count < 10:
         return {
             "regularity_score": 1.0,
             "classification": "Too small to assess",
             "description": "Tumor too small for border analysis",
         }
-    signed = distance_transform_edt(mask) - distance_transform_edt(~mask)
-    grads = np.gradient(signed)
-    grad_mag = np.sqrt(grads[0] ** 2 + grads[1] ** 2 + grads[2] ** 2)
-    surf_grad = grad_mag[surface]
-    if surf_grad.std() > 0:
-        cv = surf_grad.std() / surf_grad.mean()
+    if g_std > 0:
+        cv = g_std / g_mean
         regularity = 1.0 / (1.0 + cv)
     else:
         regularity = 1.0
@@ -107,7 +121,7 @@ def analyze_border_regularity(mask: np.ndarray) -> Dict:
         "regularity_score": float(regularity),
         "classification": classification,
         "description": description,
-        "surface_voxel_count": int(surface.sum()),
+        "surface_voxel_count": surf_count,
         "concept": "contour_smoothness",
     }
 
@@ -117,24 +131,37 @@ def analyze_margin_definition(ctx: FeatureContext) -> Dict:
     wt = ctx.tumor_masks["wt"]
     if wt.sum() == 0:
         return {"margin_sharpness": 0, "classification": "No tumor", "description": "No tumor detected"}
-    dilated = binary_dilation(wt, iterations=5)
-    peritumoral = dilated & ~wt
-    if peritumoral.sum() == 0:
+    if ctx._use_device_stats():
+        ms = ctx.morphology_stats()
+        peri_n = ms["peri_count"]
+        tumor_mean, peri_mean = ms["wt_t1ce_mean"], ms["peri_t1ce_mean"]
+        inner_n, outer_n = ms["inner_count"], ms["outer_count"]
+        i_mean, i_std = ms["inner_mean"], ms["inner_std"]
+        o_mean, o_std = ms["outer_mean"], ms["outer_std"]
+    else:
+        dilated = binary_dilation(wt, iterations=5)
+        peritumoral = dilated & ~wt
+        peri_n = int(peritumoral.sum())
+        tumor_mean = float(t1ce[wt].mean())
+        peri_mean = float(t1ce[peritumoral].mean()) if peri_n else 0.0
+        inner = wt & ~binary_erosion(wt)
+        outer = binary_dilation(wt) & ~wt
+        iv, ov = t1ce[inner], t1ce[outer]
+        inner_n, outer_n = iv.size, ov.size
+        i_mean = float(iv.mean()) if inner_n else 0.0
+        i_std = float(iv.std()) if inner_n else 0.0
+        o_mean = float(ov.mean()) if outer_n else 0.0
+        o_std = float(ov.std()) if outer_n else 0.0
+    if peri_n == 0:
         return {
             "margin_sharpness": 0.5,
             "classification": "Could not assess",
             "description": "Insufficient peritumoral tissue for analysis",
         }
-    tumor_mean = float(t1ce[wt].mean())
-    peri_mean = float(t1ce[peritumoral].mean())
     contrast = abs(tumor_mean - peri_mean) / peri_mean if peri_mean > 0 else 0.0
-
-    inner = wt & ~binary_erosion(wt)
-    outer = binary_dilation(wt) & ~wt
-    iv, ov = t1ce[inner], t1ce[outer]
-    if iv.size > 0 and ov.size > 0:
-        border_gradient = abs(float(iv.mean()) - float(ov.mean()))
-        border_gradient_norm = border_gradient / (float(iv.std()) + float(ov.std()) + 1e-6)
+    if inner_n > 0 and outer_n > 0:
+        border_gradient = abs(i_mean - o_mean)
+        border_gradient_norm = border_gradient / (i_std + o_std + 1e-6)
     else:
         border_gradient_norm = 0.0
     sharpness = min(1.0, (contrast + border_gradient_norm) / 2)
@@ -310,7 +337,16 @@ def calculate_shape_descriptors(ctx: FeatureContext) -> Dict:
             "elongation_classification": "No tumor",
         }
     volume_mm3 = float(wt.sum() * ctx.voxel_volume_mm3)
-    surface = calculate_surface_area(wt, ctx.zooms)
+    if ctx._use_device_stats():
+        # erosion-surface count shared with the border kernel
+        avg_face = (
+            ctx.zooms[0] * ctx.zooms[1]
+            + ctx.zooms[1] * ctx.zooms[2]
+            + ctx.zooms[0] * ctx.zooms[2]
+        ) / 3
+        surface = float(ctx.morphology_stats()["surface_count"] * avg_face)
+    else:
+        surface = calculate_surface_area(wt, ctx.zooms)
     sphericity = calculate_sphericity(volume_mm3, surface)
     compactness = calculate_compactness(volume_mm3, surface)
     elongation, axes = calculate_elongation(wt, ctx.zooms)
@@ -400,7 +436,7 @@ def analyze_morphology(ctx: FeatureContext) -> Dict:
         "step": "Step 4 - Tumor morphology and margins",
         "voxel_info": ctx.voxel_info(),
         "shape_descriptors": calculate_shape_descriptors(ctx),
-        "border_regularity": analyze_border_regularity(ctx.tumor_masks["wt"]),
+        "border_regularity": analyze_border_regularity(ctx.tumor_masks["wt"], ctx),
         "margin_definition": analyze_margin_definition(ctx),
         "necrosis_pattern": analyze_necrosis_pattern(ctx),
         "cystic_solid_classification": analyze_cystic_vs_solid(ctx),

@@ -360,3 +360,94 @@ def test_step5_artifacts_no_tumor_under_device_flag(monkeypatch):
     monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
     res = detect_artifacts(FeatureContext.from_arrays(mods, seg))
     assert res["details"]["gibbs_ringing"] == {"detected": False}
+
+
+def test_device_edt_exact_vs_scipy():
+    """The separable min-plus squared-EDT is EXACT: d² terms are integers
+    below 2^24, so the f32 kernel matches scipy's f64 EDT bit-for-bit
+    after sqrt."""
+    import jax.numpy as jnp
+    from scipy.ndimage import distance_transform_edt
+
+    from braintpu.features.devstats import _edt_sq
+
+    rng = np.random.default_rng(3)
+    for shape in [(12, 15, 9), (31, 8, 17)]:
+        mask = rng.random(shape) > 0.7
+        mask[0, 0, 0] = False  # guarantee a background voxel
+        dev = np.sqrt(np.asarray(_edt_sq(jnp.asarray(mask))))
+        host = distance_transform_edt(mask)
+        np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-5)
+
+
+def test_morphology_stats_match_host():
+    from scipy.ndimage import (
+        binary_dilation,
+        binary_erosion,
+        distance_transform_edt,
+    )
+
+    from braintpu.features.devstats import compute_morphology_stats
+
+    mods, seg = synth_tumor_blob(19)
+    t1ce = mods["t1ce"]
+    wt = seg > 0
+    dev = compute_morphology_stats(t1ce, wt)
+
+    surface = wt & ~binary_erosion(wt)
+    assert dev["surface_count"] == int(surface.sum())
+    signed = distance_transform_edt(wt) - distance_transform_edt(~wt)
+    grads = np.gradient(signed)
+    gm = np.sqrt(grads[0] ** 2 + grads[1] ** 2 + grads[2] ** 2)[surface]
+    np.testing.assert_allclose(dev["grad_mean"], gm.mean(), rtol=1e-5)
+    np.testing.assert_allclose(dev["grad_std"], gm.std(), rtol=1e-4)
+
+    peri = binary_dilation(wt, iterations=5) & ~wt
+    outer = binary_dilation(wt) & ~wt
+    assert dev["peri_count"] == int(peri.sum())
+    assert dev["outer_count"] == int(outer.sum())
+    np.testing.assert_allclose(dev["wt_t1ce_mean"], t1ce[wt].mean(), rtol=1e-5)
+    np.testing.assert_allclose(dev["peri_t1ce_mean"], t1ce[peri].mean(), rtol=1e-5)
+    np.testing.assert_allclose(dev["outer_mean"], t1ce[outer].mean(), rtol=1e-5)
+    np.testing.assert_allclose(dev["outer_std"], t1ce[outer].std(), rtol=1e-4)
+    np.testing.assert_allclose(dev["inner_mean"], t1ce[surface].mean(), rtol=1e-5)
+
+
+def test_step4_identical_under_device_flag(monkeypatch):
+    from braintpu.features.step4_morphology import analyze_morphology
+
+    mods, seg = synth_tumor_blob(23)
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    host = analyze_morphology(FeatureContext.from_arrays(mods, seg))
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev = analyze_morphology(FeatureContext.from_arrays(mods, seg))
+
+    hb, db = host["border_regularity"], dev["border_regularity"]
+    np.testing.assert_allclose(db["regularity_score"], hb["regularity_score"], rtol=1e-4)
+    assert db["classification"] == hb["classification"]
+    assert db["surface_voxel_count"] == hb["surface_voxel_count"]
+
+    hm, dm = host["margin_definition"], dev["margin_definition"]
+    # contrast is a difference of close f32 means — absolute noise floor
+    np.testing.assert_allclose(
+        dm["margin_sharpness"], hm["margin_sharpness"], rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        dm["contrast_ratio"], hm["contrast_ratio"], rtol=1e-3, atol=1e-5
+    )
+    assert dm["classification"] == hm["classification"]
+
+    hs, ds = host["shape_descriptors"], dev["shape_descriptors"]
+    np.testing.assert_allclose(ds["surface_area_mm2"], hs["surface_area_mm2"], rtol=1e-6)
+    np.testing.assert_allclose(ds["sphericity"], hs["sphericity"], rtol=1e-6)
+
+
+def test_step4_no_tumor_under_device_flag(monkeypatch):
+    from braintpu.features.step4_morphology import analyze_morphology
+
+    mods, _ = synth_tumor_blob(29)
+    seg = np.zeros(mods["t1"].shape, np.int32)
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    res = analyze_morphology(FeatureContext.from_arrays(mods, seg))
+    assert res["border_regularity"]["classification"] == "No tumor"
+    assert res["margin_definition"]["classification"] == "No tumor"
