@@ -111,6 +111,7 @@ class FeatureContext:
     _mass_stats: Optional[Dict[str, Any]] = None
     _artifact_stats: Optional[Dict[str, Any]] = None
     _morph_stats: Optional[Dict[str, Any]] = None
+    _paren_stats: Optional[Dict[str, Any]] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":
@@ -220,6 +221,19 @@ class FeatureContext:
                 self.modalities["t1ce"], self.tumor_masks["wt"]
             )
         return self._morph_stats
+
+    def parenchyma_stats(self) -> Dict[str, Any]:
+        """Step-6 parenchyma device reductions (EDT depth field,
+        deep/cortical band stats); cached per case.  Only called on the
+        ``BRAINTPU_DEVICE_FEATURES=1`` path."""
+        if self._paren_stats is None:
+            from .devstats import compute_parenchyma_stats
+
+            self._paren_stats = compute_parenchyma_stats(
+                self.modalities["t1"], self.modalities["flair"],
+                self.brain_mask("t1"), self.tumor_masks["wt"],
+            )
+        return self._paren_stats
 
     def region_stats(self, region: str, modality: str) -> Dict:
         """Masked intensity summary for a tumor region on one sequence.

@@ -710,6 +710,61 @@ def compute_morphology_stats(
     return out
 
 
+@jax.jit
+def _parenchyma_kernel(
+    t1: jnp.ndarray, flair: jnp.ndarray, brain: jnp.ndarray, wt: jnp.ndarray
+):
+    """Step-6 parenchyma reductions (ref step6_normal_structures.py:188-289):
+    the brain depth field EDT(brain) — the dominant host pass of step 6 —
+    its masked 40th/60th percentiles (one shared sort), and the
+    deep-white-matter / cortical-band t1 and flair statistics.  The
+    ventricle mask itself needs connected-component labeling and stays
+    host-side."""
+    bd = jnp.sqrt(_edt_sq(brain))
+    flat = bd.ravel()
+    perm = jnp.argsort(flat)
+    sorted_vals = flat[perm]
+    cum = jnp.cumsum(brain.ravel()[perm].astype(jnp.int32))
+    nb = brain.sum().astype(jnp.int32)
+    thr40, thr60 = _masked_quantiles(sorted_vals, cum, nb, (0.40, 0.60))
+
+    normal = brain & ~wt
+    deep_wm = normal & (bd > thr60)
+    cortical = normal & (bd < thr40)
+    d_n, d_t1_mean, _ = _masked_mean_std(t1, deep_wm)
+    c_n, c_t1_mean, _ = _masked_mean_std(t1, cortical)
+    _, c_fl_mean, _ = _masked_mean_std(flair, cortical)
+
+    return {
+        "normal_count": normal.sum().astype(jnp.int32),
+        "brain_count": nb,
+        "deep_count": d_n, "deep_t1_mean": d_t1_mean,
+        "cortical_count": c_n, "cortical_t1_mean": c_t1_mean,
+        "cortical_flair_mean": c_fl_mean,
+    }
+
+
+def compute_parenchyma_stats(
+    t1: np.ndarray,
+    flair: np.ndarray,
+    brain_mask: np.ndarray,
+    wt_mask: np.ndarray,
+) -> Dict[str, float]:
+    """Host wrapper for the step-6 parenchyma reductions."""
+    raw = jax.device_get(
+        _parenchyma_kernel(
+            jnp.asarray(np.asarray(t1, np.float32)),
+            jnp.asarray(np.asarray(flair, np.float32)),
+            jnp.asarray(np.asarray(brain_mask, bool)),
+            jnp.asarray(np.asarray(wt_mask, bool)),
+        )
+    )
+    out = {k: float(v) for k, v in raw.items()}
+    for k in ("normal_count", "brain_count", "deep_count", "cortical_count"):
+        out[k] = int(raw[k])
+    return out
+
+
 def compute_quality_stats(
     modalities: Dict[str, np.ndarray], brain_mask: np.ndarray
 ) -> Dict[str, Dict[str, float]]:

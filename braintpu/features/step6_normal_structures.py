@@ -147,17 +147,31 @@ def analyze_parenchyma(ctx: FeatureContext) -> Dict:
         }
     v = ctx.voxel_volume_cm3
 
-    brain_dist = distance_transform_edt(brain)
-    deep_thr = np.percentile(brain_dist[brain], 60)
-    deep_wm = normal & (brain_dist > deep_thr)
-    cortical = normal & (brain_dist < np.percentile(brain_dist[brain], 40))
+    if ctx._use_device_stats():
+        # depth field + band stats from the fused device pass (EDT is the
+        # dominant host cost of step 6); ventricle CC stays host below
+        ps = ctx.parenchyma_stats()
+        deep_count, cortical_count = ps["deep_count"], ps["cortical_count"]
+        deep_t1_mean, cort_t1_mean = ps["deep_t1_mean"], ps["cortical_t1_mean"]
+        cort_flair_mean = ps["cortical_flair_mean"]
+        normal_count, brain_count = ps["normal_count"], ps["brain_count"]
+    else:
+        brain_dist = distance_transform_edt(brain)
+        deep_thr = np.percentile(brain_dist[brain], 60)
+        deep_wm = normal & (brain_dist > deep_thr)
+        cortical = normal & (brain_dist < np.percentile(brain_dist[brain], 40))
+        deep_count, cortical_count = int(deep_wm.sum()), int(cortical.sum())
+        deep_t1_mean = float(t1[deep_wm].mean()) if deep_count else 0.0
+        cort_t1_mean = float(t1[cortical].mean()) if cortical_count else 0.0
+        cort_flair_mean = float(flair[cortical].mean()) if cortical_count else 0.0
+        normal_count, brain_count = int(normal.sum()), int(brain.sum())
 
     ventricles, _ = identify_ventricles(ctx)
     pv = binary_dilation(ventricles, iterations=10) & normal & ~ventricles
 
-    if pv.sum() > 0 and cortical.sum() > 0:
+    if pv.sum() > 0 and cortical_count > 0:
         pv_mean = float(flair[pv].mean())
-        cort_mean = float(flair[cortical].mean())
+        cort_mean = cort_flair_mean
         pv_ratio = pv_mean / cort_mean if cort_mean > 0 else 1.0
         if pv_ratio > 1.3:
             wm_disease, wm_desc = True, (
@@ -172,9 +186,9 @@ def analyze_parenchyma(ctx: FeatureContext) -> Dict:
         pv_ratio, wm_disease = 1.0, False
         wm_desc = "Periventricular region could not be assessed"
 
-    if deep_wm.sum() > 100:
-        deep_t1 = float(t1[deep_wm].mean())
-        cort_t1 = float(t1[cortical].mean()) if cortical.sum() > 100 else deep_t1
+    if deep_count > 100:
+        deep_t1 = deep_t1_mean
+        cort_t1 = cort_t1_mean if cortical_count > 100 else deep_t1
         gw_ratio = deep_t1 / cort_t1 if cort_t1 > 0 else 1.0
         if gw_ratio > 1.1:
             gw, gw_note = "Preserved", "Normal gray-white matter differentiation"
@@ -188,8 +202,8 @@ def analyze_parenchyma(ctx: FeatureContext) -> Dict:
         gw, gw_ratio, gw_note = "Could not assess", 1.0, "Insufficient tissue for gray-white analysis"
 
     return {
-        "normal_brain_volume_cm3": float(normal.sum() * v),
-        "total_brain_volume_cm3": float(brain.sum() * v),
+        "normal_brain_volume_cm3": float(normal_count * v),
+        "total_brain_volume_cm3": float(brain_count * v),
         "periventricular_assessment": {
             "hyperintensity_ratio": float(pv_ratio),
             "white_matter_disease_present": wm_disease,

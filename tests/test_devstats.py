@@ -451,3 +451,60 @@ def test_step4_no_tumor_under_device_flag(monkeypatch):
     res = analyze_morphology(FeatureContext.from_arrays(mods, seg))
     assert res["border_regularity"]["classification"] == "No tumor"
     assert res["margin_definition"]["classification"] == "No tumor"
+
+
+def test_parenchyma_stats_match_host():
+    from scipy.ndimage import distance_transform_edt
+
+    from braintpu.features.devstats import compute_parenchyma_stats
+
+    mods, seg = synth_tumor_blob(31)
+    t1, flair = mods["t1"], mods["flair"]
+    wt = seg > 0
+    brain = brain_mask_from(t1)
+    dev = compute_parenchyma_stats(t1, flair, brain, wt)
+
+    normal = brain & ~wt
+    bd = distance_transform_edt(brain)
+    deep = normal & (bd > np.percentile(bd[brain], 60))
+    cort = normal & (bd < np.percentile(bd[brain], 40))
+    assert dev["normal_count"] == int(normal.sum())
+    assert dev["brain_count"] == int(brain.sum())
+    # f32 sqrt can flip voxels tied at the threshold: allow a hair's width
+    assert abs(dev["deep_count"] - int(deep.sum())) <= 3
+    assert abs(dev["cortical_count"] - int(cort.sum())) <= 3
+    np.testing.assert_allclose(dev["deep_t1_mean"], t1[deep].mean(), rtol=1e-3)
+    np.testing.assert_allclose(dev["cortical_t1_mean"], t1[cort].mean(), rtol=1e-3)
+    np.testing.assert_allclose(
+        dev["cortical_flair_mean"], flair[cort].mean(), rtol=1e-3
+    )
+
+
+def test_step6_identical_under_device_flag(monkeypatch):
+    from braintpu.features.step6_normal_structures import analyze_normal_structures
+
+    mods, seg = synth_tumor_blob(37)
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    host = analyze_normal_structures(FeatureContext.from_arrays(mods, seg))
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    dev = analyze_normal_structures(FeatureContext.from_arrays(mods, seg))
+
+    hp, dp = host["parenchyma"], dev["parenchyma"]
+    np.testing.assert_allclose(
+        dp["periventricular_assessment"]["hyperintensity_ratio"],
+        hp["periventricular_assessment"]["hyperintensity_ratio"],
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        dp["gray_white_differentiation"]["ratio"],
+        hp["gray_white_differentiation"]["ratio"],
+        rtol=1e-3,
+    )
+    assert (
+        dp["gray_white_differentiation"]["assessment"]
+        == hp["gray_white_differentiation"]["assessment"]
+    )
+    assert dp["overall_assessment"] == hp["overall_assessment"]
+    np.testing.assert_allclose(
+        dp["normal_brain_volume_cm3"], hp["normal_brain_volume_cm3"]
+    )
