@@ -112,6 +112,8 @@ class FeatureContext:
     _artifact_stats: Optional[Dict[str, Any]] = None
     _morph_stats: Optional[Dict[str, Any]] = None
     _paren_stats: Optional[Dict[str, Any]] = None
+    #: (ventricles, csf) host masks cached by step6.identify_ventricles
+    _ventricle_masks: Optional[Tuple[Any, Any]] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":

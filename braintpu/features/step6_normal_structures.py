@@ -32,7 +32,15 @@ __all__ = ["identify_ventricles", "analyze_normal_structures"]
 
 
 def identify_ventricles(ctx: FeatureContext) -> Tuple[np.ndarray, np.ndarray]:
-    """CSF/ventricle masks from multi-sequence criteria. Returns (ventricles, csf)."""
+    """CSF/ventricle masks from multi-sequence criteria. Returns (ventricles, csf).
+
+    Cached per context: both analyze_ventricular_system and
+    analyze_parenchyma need it, and the percentile + connected-component
+    pass is one of the heavier host computations in step 6.
+    """
+    cached = getattr(ctx, "_ventricle_masks", None)
+    if cached is not None:
+        return cached
     t1, t2, flair = ctx.modalities["t1"], ctx.modalities["t2"], ctx.modalities["flair"]
     brain = ctx.brain_mask("t1")
     tumor = ctx.tumor_masks["wt"]
@@ -57,6 +65,7 @@ def identify_ventricles(ctx: FeatureContext) -> Tuple[np.ndarray, np.ndarray]:
                 centroid_x = float(np.nonzero(comp)[0].mean())
                 if abs(centroid_x - center_x) < brain.shape[0] * 0.3:
                     ventricles |= comp
+    ctx._ventricle_masks = (ventricles, csf)
     return ventricles, csf
 
 
