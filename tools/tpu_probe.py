@@ -227,19 +227,65 @@ print(json.dumps({"probe": "int8:4096cube", "ok": ok, **out}))
 """
 
 
+_CHILD_FEATURES = r"""
+import json, sys, time
+import numpy as np, jax
+from braintpu.features.devstats import (
+    compute_case_stats, compute_mass_effect_stats, compute_artifact_stats,
+    compute_morphology_stats, compute_parenchyma_stats,
+)
+# production cropped-brain scale: are the device feature kernels worth
+# defaulting on through the dispatch tunnel?  (upload cost vs host math)
+rng = np.random.default_rng(0)
+shape = (180, 200, 150)
+mods = {m: np.abs(rng.normal(300 + 40 * i, 80, shape)).astype(np.float32)
+        for i, m in enumerate(("t1", "t1ce", "t2", "flair"))}
+seg = np.zeros(shape, np.int32)
+seg[60:100, 80:130, 60:100] = 2
+seg[70:90, 95:120, 70:90] = 1
+seg[75:85, 100:110, 75:85] = 3
+brain = mods["t1"] > 50
+wt = seg > 0
+out = {}
+for name, fn in (
+    ("case", lambda: compute_case_stats(mods, seg, brain)),
+    ("mass", lambda: compute_mass_effect_stats(mods["t1"], wt, brain)),
+    ("artifact", lambda: compute_artifact_stats(mods, brain, wt)),
+    ("morph", lambda: compute_morphology_stats(mods["t1ce"], wt)),
+    ("paren", lambda: compute_parenchyma_stats(
+        mods["t1"], mods["flair"], brain, wt)),
+):
+    t0 = time.time(); fn(); warm = time.time() - t0
+    t0 = time.time(); fn(); out[name + "_s"] = round(time.time() - t0, 3)
+    out[name + "_compile_s"] = round(warm, 1)
+print(json.dumps({"probe": "features:180x200x150", "ok": True, **out}))
+"""
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "what", choices=["relay", "stage", "upconv", "fullconv", "int8", "all"]
+        "what",
+        choices=["relay", "stage", "upconv", "fullconv", "int8", "features",
+                 "all"],
     )
     ap.add_argument("--timeout", type=float, default=420.0)
     ap.add_argument("--fused", action="store_true",
                     help="fullconv probes with BRAINTPU_FUSED_STAGES=1")
+    ap.add_argument(
+        "--watch", type=float, default=0.0, metavar="HOURS",
+        help="poll for the relay up to HOURS before starting; run the "
+        "probes as soon as it appears (one shot), so a brief tunnel "
+        "window is never missed",
+    )
     args = ap.parse_args()
 
-    if not relay_up():
-        print(json.dumps({"probe": "relay", "ok": False}))
-        return 2
+    deadline = time.time() + args.watch * 3600.0
+    while not relay_up():
+        if time.time() >= deadline:
+            print(json.dumps({"probe": "relay", "ok": False}))
+            return 2
+        time.sleep(30.0)
     print(json.dumps({"probe": "relay", "ok": True}))
     if args.what == "relay":
         return 0
@@ -261,6 +307,8 @@ def main() -> int:
                     break
     if args.what in ("int8", "all"):
         run_child(_CHILD_INT8, None, args.timeout)
+    if args.what in ("features", "all"):
+        run_child(_CHILD_FEATURES, None, max(args.timeout, 600.0))
     if args.what in ("fullconv", "all"):
         env = {"BRAINTPU_FUSED_STAGES": "1"} if args.fused else {}
         for which in ("bn", "gn"):
