@@ -42,45 +42,62 @@ _2021_TO_2025 = (0, 1, 2, 0, 3)  # label 3 unused in 2021 space
 _2025_TO_2021 = (0, 1, 2, 4)
 
 
-def remap_labels(seg, table) -> jnp.ndarray:
+def remap_labels(seg, table):
     """Remap integer labels through a lookup table (rounding floats first).
 
     ``table[i]`` is the output label for input label ``i``; labels outside the
     table map to 0.
+
+    Device arrays stay on device (one fused gather, jit/batch friendly).
+    Host arrays take a pure-numpy path and return numpy: a full-volume
+    device round-trip just to remap uint8 labels costs seconds through a
+    remote-dispatch TPU link (readback bandwidth), vs ~10 ms on host.
     """
-    lut = jnp.asarray(table, dtype=jnp.uint8)
-    seg = jnp.asarray(seg)
-    if jnp.issubdtype(seg.dtype, jnp.floating):
-        seg = jnp.round(seg)
-    idx = jnp.clip(seg.astype(jnp.int32), 0, lut.shape[0] - 1)
+    if isinstance(seg, jax.Array):
+        lut = jnp.asarray(table, dtype=jnp.uint8)
+        if jnp.issubdtype(seg.dtype, jnp.floating):
+            seg = jnp.round(seg)
+        idx = jnp.clip(seg.astype(jnp.int32), 0, lut.shape[0] - 1)
+        valid = (seg >= 0) & (seg < lut.shape[0])
+        return jnp.where(valid, lut[idx], 0).astype(jnp.uint8)
+    seg = np.asarray(seg)
+    if np.issubdtype(seg.dtype, np.floating):
+        seg = np.round(seg)
+    if seg.dtype == np.uint8:
+        # single-gather fast path: pad the table to every possible uint8 value
+        lut256 = np.zeros(256, np.uint8)
+        lut256[: len(table)] = table
+        return lut256[seg]
+    lut = np.asarray(table, np.uint8)
+    idx = np.clip(seg.astype(np.int32), 0, lut.shape[0] - 1)
     valid = (seg >= 0) & (seg < lut.shape[0])
-    return jnp.where(valid, lut[idx], 0).astype(jnp.uint8)
+    return np.where(valid, lut[idx], 0).astype(np.uint8)
 
 
-def internal_to_brats2025(seg) -> jnp.ndarray:
+def internal_to_brats2025(seg):
     """nnU-Net internal [0,1,2,3] → BraTS-2025 [0,1,2,3] (ET stays 3)."""
     return remap_labels(seg, _INTERNAL_TO_2025)
 
 
-def internal_to_brats2021(seg) -> jnp.ndarray:
+def internal_to_brats2021(seg):
     """nnU-Net internal [0,1,2,3] → BraTS-2021 [0,1,2,4] (ET becomes 4)."""
     return remap_labels(seg, _INTERNAL_TO_2021)
 
 
-def brats2025_to_internal(seg) -> jnp.ndarray:
+def brats2025_to_internal(seg):
     """BraTS-2025 [0,1,2,3] → nnU-Net internal (the remap is an involution:
     1 NCR ↔ 2 internal-NCR, 2 ED ↔ 1 internal-ED, ET stays 3)."""
     return remap_labels(seg, _INTERNAL_TO_2025)
 
 
-def brats2021_to_internal(seg) -> jnp.ndarray:
+def brats2021_to_internal(seg):
     """BraTS-2021 [0,1,2,4] → nnU-Net internal [0,1,2,3]."""
     return brats2025_to_internal(brats2021_to_brats2025(seg))
 
 
-def brats2021_to_brats2025(seg) -> jnp.ndarray:
+def brats2021_to_brats2025(seg):
     return remap_labels(seg, _2021_TO_2025)
 
 
-def brats2025_to_brats2021(seg) -> jnp.ndarray:
+def brats2025_to_brats2021(seg):
     return remap_labels(seg, _2025_TO_2021)

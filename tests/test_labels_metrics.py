@@ -122,3 +122,21 @@ def test_brats_to_internal_roundtrip():
     as2021 = np.asarray(internal_to_brats2021(seg))
     back21 = np.asarray(brats2021_to_internal(as2021))
     np.testing.assert_array_equal(back21, seg)
+
+
+def test_remap_host_and_device_paths_agree():
+    """numpy input stays on host (numpy out); device input stays device."""
+    rng = np.random.default_rng(3)
+    seg_u8 = rng.integers(0, 4, (11, 13, 9)).astype(np.uint8)
+    host = internal_to_brats2021(seg_u8)
+    assert isinstance(host, np.ndarray) and host.dtype == np.uint8
+    dev = internal_to_brats2021(jnp.asarray(seg_u8))
+    assert not isinstance(dev, np.ndarray)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+    # non-uint8 host dtypes (generic path) incl. out-of-range labels -> 0
+    seg_i32 = np.array([[0, 1, 2, 3, 7, -2]], dtype=np.int32)
+    np.testing.assert_array_equal(
+        internal_to_brats2021(seg_i32), [[0, 2, 1, 4, 0, 0]]
+    )
+    seg_f = seg_u8.astype(np.float32) + 0.4
+    np.testing.assert_array_equal(internal_to_brats2021(seg_f), host)

@@ -116,3 +116,25 @@ def test_resize_nearest_labels():
     out = np.asarray(resize_nearest(jnp.asarray(seg), (12, 12, 12)))
     assert set(np.unique(out)) == {0, 3}
     assert out[5, 5, 5] == 3
+
+
+def test_fill_holes_matches_scipy():
+    """fill_holes (one labeling pass) == scipy binary_fill_holes exactly."""
+    from scipy import ndimage as ndi
+
+    from braintpu.pre.preprocess import fill_holes
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        mask = rng.random((24, 20, 17)) > 0.62
+        np.testing.assert_array_equal(
+            fill_holes(mask), ndi.binary_fill_holes(mask)
+        )
+    # deterministic shapes: nested shell, border-touching cavity, all-False/True
+    shell = np.zeros((16, 16, 16), bool)
+    shell[2:14, 2:14, 2:14] = True
+    shell[5:11, 5:11, 5:11] = False  # interior hole -> filled
+    open_cavity = shell.copy()
+    open_cavity[5:11, 5:11, 0:11] = False  # tunnel to the border -> kept open
+    for m in (shell, open_cavity, np.zeros((5, 5, 5), bool), np.ones((5, 5, 5), bool)):
+        np.testing.assert_array_equal(fill_holes(m), ndi.binary_fill_holes(m))
