@@ -19,7 +19,6 @@ from __future__ import annotations
 import gzip
 import os
 import re
-import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -97,8 +96,16 @@ def rename_brats2025_folder(folder: os.PathLike, dry_run: bool = False) -> List[
             continue
         dst = folder / new_name
         if needs_gz:
-            with open(entry, "rb") as f_in, gzip.open(dst, "wb") as f_out:
-                shutil.copyfileobj(f_in, f_out)
+            payload = entry.read_bytes()
+            try:
+                # parallel multi-member gzip (native runtime); ~35 MB per
+                # bare .nii volume makes the single-threaded path noticeable
+                from ..native import write_gz
+
+                write_gz(dst, payload)
+            except (IOError, ImportError):
+                with gzip.open(dst, "wb") as f_out:
+                    f_out.write(payload)
             entry.unlink()
         else:
             entry.rename(dst)

@@ -31,7 +31,7 @@ from typing import Optional, Tuple, Union
 
 import numpy as np
 
-__all__ = ["NiftiImage", "load", "save", "NiftiError"]
+__all__ = ["NiftiImage", "load", "load_f32", "save", "NiftiError"]
 
 
 class NiftiError(ValueError):
@@ -322,6 +322,18 @@ def _build_header(
     return bytes(hdr)
 
 
+def load_f32(path) -> Tuple[np.ndarray, np.ndarray, Tuple[float, ...]]:
+    """Load as ``(float32 data, affine, zooms)`` via the native decoder
+    (parallel zlib inflate) when available, else the pure-Python codec."""
+    try:
+        from ..native import read_nifti_f32
+
+        return read_nifti_f32(path)
+    except Exception:
+        img = load(path)
+        return img.get_fdata(dtype=np.float32), img.affine, img.get_zooms()
+
+
 def save(
     img_or_data: Union[NiftiImage, np.ndarray],
     path: Union[str, os.PathLike],
@@ -353,6 +365,15 @@ def save(
     path = os.fspath(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if path.endswith(".gz"):
+        try:
+            # parallel multi-member gzip via the native runtime (~Nx faster
+            # on multi-MB volumes; byte-deterministic fixed 4 MB split)
+            from ..native import write_gz
+
+            write_gz(path, payload, level=4)
+            return
+        except (IOError, ImportError):
+            pass
         # mtime=0 for deterministic bytes
         buf = _io.BytesIO()
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0, compresslevel=4) as gz:

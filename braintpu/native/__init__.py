@@ -17,7 +17,13 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["build_native", "native_available", "read_nifti_f32", "read_batch_f32"]
+__all__ = [
+    "build_native",
+    "native_available",
+    "read_nifti_f32",
+    "read_batch_f32",
+    "write_gz",
+]
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "nifti_native.cpp"
@@ -38,7 +44,14 @@ _ERRORS = {
 def build_native(force: bool = False) -> bool:
     """Compile the shared library with g++ (idempotent); True on success."""
     global _build_failed
-    if _LIB.exists() and not force:
+    if (
+        _LIB.exists()
+        and not force
+        # stale check: rebuild whenever the source is newer than the library
+        # (dlopen caches by path, so rebuilding after a load is unreliable —
+        # always rebuild BEFORE the first CDLL)
+        and _LIB.stat().st_mtime >= _SRC.stat().st_mtime
+    ):
         return True
     try:
         subprocess.run(
@@ -71,7 +84,7 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() and not build_native():
+        if not build_native():  # no-op when the library is fresh
             return None
         try:
             lib = ctypes.CDLL(str(_LIB))
@@ -95,6 +108,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.nifti_write_gz.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -138,6 +158,23 @@ def read_nifti_f32(path) -> Tuple[np.ndarray, np.ndarray, Tuple[float, ...]]:
     if rc != 0:
         raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
     return flat.reshape(shape, order="F"), affine, zooms
+
+
+def write_gz(path, payload: bytes, level: int = 4) -> None:
+    """Parallel gzip-compress ``payload`` to ``path`` (multi-member stream).
+
+    Fixed 4 MB chunks, each deflated on its own thread as an independent
+    gzip member — valid RFC-1952, readable by every gzip reader, and
+    byte-deterministic (the split depends only on the payload length).
+    Raises IOError when the native library is unavailable; callers fall
+    back to Python ``gzip``.
+    """
+    lib = _load()
+    if lib is None:
+        raise IOError("native library unavailable")
+    rc = lib.nifti_write_gz(os.fspath(path).encode(), payload, len(payload), level, 0)
+    if rc != 0:
+        raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
 
 
 def read_batch_f32(paths: Sequence) -> List[np.ndarray]:

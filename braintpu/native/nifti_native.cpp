@@ -197,6 +197,67 @@ int nifti_read_header(const char* path, int64_t* out_dims, int32_t* out_datatype
   return OK;
 }
 
+// Parallel gzip writer: split the payload into `nthreads` chunks and deflate
+// each as an INDEPENDENT gzip member, concatenated in order.  Multi-member
+// gzip is valid RFC-1952 (readers — zlib gzread, Python gzip, nibabel —
+// concatenate members), so this trades a few bytes of framing for near-linear
+// compression speedup.  Deterministic output: zlib's fixed gzip header
+// (MTIME=0) and a FIXED 4 MB chunk split that depends only on `len` — the
+// same payload produces the same bytes on any machine (nthreads is ignored
+// for splitting; one thread per chunk, chunk count bounded by payload size).
+int nifti_write_gz(const char* path, const unsigned char* data, int64_t len,
+                   int level, int nthreads) {
+  (void)nthreads;
+  if (level < 1 || level > 9) level = 4;
+  const int64_t chunk = 4 << 20;
+  int64_t n_chunks = (len + chunk - 1) / chunk;
+  if (n_chunks < 1) n_chunks = 1;
+  std::vector<std::vector<unsigned char>> outs(static_cast<size_t>(n_chunks));
+  std::vector<int> rcs(static_cast<size_t>(n_chunks), OK);
+  std::vector<std::thread> threads;
+  for (int64_t i = 0; i < n_chunks; ++i) {
+    threads.emplace_back([&, i] {
+      int64_t lo = i * chunk;
+      int64_t hi = lo + chunk < len ? lo + chunk : len;
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      // windowBits 15+16 selects the gzip wrapper
+      if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) {
+        rcs[i] = ERR_GZIP;
+        return;
+      }
+      auto& out = outs[i];
+      out.resize(deflateBound(&zs, static_cast<uLong>(hi - lo)) + 32);
+      zs.next_in = const_cast<unsigned char*>(data + lo);
+      zs.avail_in = static_cast<uInt>(hi - lo);
+      zs.next_out = out.data();
+      zs.avail_out = static_cast<uInt>(out.size());
+      int zrc = deflate(&zs, Z_FINISH);
+      if (zrc != Z_STREAM_END) {
+        rcs[i] = ERR_GZIP;
+        deflateEnd(&zs);
+        return;
+      }
+      out.resize(zs.total_out);
+      deflateEnd(&zs);
+    });
+  }
+  for (auto& t : threads) t.join();
+  for (int rc : rcs)
+    if (rc != OK) return rc;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return ERR_OPEN;
+  for (auto& out : outs) {
+    if (!out.empty() && std::fwrite(out.data(), 1, out.size(), f) != out.size()) {
+      std::fclose(f);
+      return ERR_OPEN;
+    }
+  }
+  if (std::fclose(f) != 0) return ERR_OPEN;
+  return OK;
+}
+
 int nifti_read_f32(const char* path, float* out, int64_t capacity) {
   std::vector<unsigned char> raw;
   int rc = read_all(path, raw);

@@ -137,3 +137,32 @@ def test_native_rejects_bitpix_dtype_mismatch(tmp_path):
         assert out[0].shape == (4, 4, 4)
     except (ValueError, RuntimeError, OSError):
         pass  # explicit rejection is the expected outcome
+
+
+def test_native_write_gz_roundtrip(tmp_path):
+    """Parallel multi-member gzip: readable, deterministic, spans chunks."""
+    gzip = pytest.importorskip("gzip")
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    # > 4 MB so the payload spans multiple gzip members
+    payload = rng.integers(0, 256, 9 << 20, dtype=np.uint8).tobytes()
+    p = tmp_path / "multi.gz"
+    native.write_gz(p, payload)
+    with gzip.open(p, "rb") as f:
+        assert f.read() == payload
+    first = p.read_bytes()
+    native.write_gz(p, payload)
+    assert p.read_bytes() == first  # byte-deterministic
+    native.write_gz(p, b"")
+    with gzip.open(p, "rb") as f:
+        assert f.read() == b""
+
+
+def test_save_uses_native_writer_and_python_reads_it(tmp_path):
+    """nifti.save routes .gz through the native writer; load round-trips."""
+    vol = np.arange(5 << 18, dtype=np.float32).reshape(64, 64, -1)
+    p = tmp_path / "vol.nii.gz"
+    nifti.save(vol, p)
+    img = nifti.load(p)
+    np.testing.assert_array_equal(img.get_fdata(np.float32), vol)
