@@ -141,6 +141,7 @@ class FeatureContext:
         zooms=(1.0, 1.0, 1.0),
         case_id: str = "case",
         affine: Optional[np.ndarray] = None,
+        modality_files: Optional[Dict[str, str]] = None,
     ) -> "FeatureContext":
         return cls(
             case_id=case_id,
@@ -148,6 +149,7 @@ class FeatureContext:
             seg=np.round(np.asarray(seg)).astype(np.int32),
             affine=affine if affine is not None else np.eye(4),
             zooms=tuple(float(z) for z in zooms),
+            modality_files=modality_files or {},
         )
 
     # -- derived, cached ---------------------------------------------------

@@ -36,7 +36,7 @@ from ..features import FeatureContext, run_all_steps
 from ..features.context import NumpyJSONEncoder
 from ..infer.engine import InferenceEngine
 from ..io import nifti
-from ..io.brats import find_cases, rename_brats2025_folder
+from ..io.brats import MODALITIES, find_cases, load_case_volumes, rename_brats2025_folder
 from ..labels.convert import (
     brats2021_to_brats2025,
     brats2025_to_brats2021,
@@ -157,14 +157,19 @@ class Pipeline:
             result.journal_fh = open(out / "events.jsonl", "a")
             self._emit(result, "renaming", "ok", renamed=len(renamed), case_id=case.case_id)
 
-            # stage 2: segmentation (ensemble sliding-window on device)
+            # stage 2: segmentation (ensemble sliding-window on device).
+            # Decode the four modalities ONCE here; the same arrays feed the
+            # feature-extraction context in stage 5 (the reference decodes
+            # every NIfTI again per step script, run_all.py:392-500 — and
+            # even the round-1 orchestrator re-decoded all four for stage 5).
             self._emit(result, "segmenting", "start")
             seg_path = out / f"{case.case_id}.nii.gz"
+            loaded = load_case_volumes(case)
             for attempt in range(self.config.segment_retries + 1):
                 try:
                     if self.config.fault_hook:
                         self.config.fault_hook("segmenting")
-                    seg, info = self.engine.predict_case(case, seg_path)
+                    seg, info = self.engine.predict_case(case, seg_path, loaded=loaded)
                     break
                 except Exception as e:
                     if attempt >= self.config.segment_retries:
@@ -186,7 +191,7 @@ class Pipeline:
             # (honors config.save_brats_convention: "brats2025" ET=3 or
             # "brats2021" ET=4; ref convert_labels_to_brats.py:34-55)
             self._emit(result, "converting", "start")
-            _, affine, _ = nifti.load_header(seg_path)
+            data, affine, zooms = loaded
             want = self.config.save_brats_convention
             have = self.engine.output_convention
             if have == "internal":
@@ -212,9 +217,7 @@ class Pipeline:
             # dataset vintage or the configured save convention.
             if self.config.evaluate_if_gt and case.seg_path is not None:
                 self._emit(result, "evaluating", "start")
-                gt = np.round(
-                    nifti.load(case.seg_path).get_fdata(dtype=np.float32)
-                ).astype(np.int32)
+                gt = np.round(nifti.load_f32(case.seg_path)[0]).astype(np.int32)
                 gt_eval = np.asarray(brats2021_to_brats2025(gt)).astype(np.int32)
                 pred_eval = np.asarray(brats2021_to_brats2025(seg_brats)).astype(np.int32)
                 metrics = evaluate_segmentation(pred_eval, gt_eval)
@@ -230,7 +233,16 @@ class Pipeline:
             # stage 5: feature extraction (6 steps, shared context, BraTS labels)
             self._emit(result, "extracting", "start")
             fe_out = out / "feature_extraction"
-            ctx = FeatureContext.load(case_folder, brats_path)
+            ctx = FeatureContext.from_arrays(
+                modalities={m: data[i] for i, m in enumerate(MODALITIES)},
+                seg=seg_brats,
+                zooms=zooms[:3],
+                case_id=case.case_id,
+                affine=affine,
+                modality_files={
+                    m: str(p.name) for m, p in case.modality_paths.items()
+                },
+            )
             features = run_all_steps(
                 case_folder,
                 brats_path,
