@@ -95,6 +95,65 @@ def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
     raise SystemExit(2)
 
 
+def _bench_batched(args, engine, data, jax) -> int:
+    """Multi-case throughput: N synthetic cases on disk → cases/min per chip.
+
+    Exercises the full production path — parallel NIfTI decode, prefetch
+    overlap, bucketed fixed-shape batching, batched ensemble forward —
+    not just the device program.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from braintpu.io import nifti
+    from braintpu.io.brats import find_cases
+
+    n_cases = max(args.cases, 2 * args.batch_size)
+    root = Path(tempfile.mkdtemp(prefix="braintpu_bench_"))
+    try:
+        for i in range(n_cases):
+            d = root / f"BraTS-BEN-{i:05d}-000"
+            d.mkdir()
+            for ch, m in enumerate(("t1", "t1ce", "t2", "flair")):
+                nifti.save(data[ch], d / f"BraTS-BEN-{i:05d}-000_{m}.nii.gz")
+        cases = find_cases(root)
+        assert len(cases) == n_cases, (len(cases), n_cases)
+
+        # warm-up: compile the batched program on the first batch_size cases
+        t0 = time.perf_counter()
+        engine.predict_cases_batched(cases[: args.batch_size], batch_size=args.batch_size)
+        warm = time.perf_counter() - t0
+        print(f"# batched warm-up (incl. compile): {warm:.1f}s", file=sys.stderr)
+
+        t0 = time.perf_counter()
+        results = engine.predict_cases_batched(cases, batch_size=args.batch_size)
+        total = time.perf_counter() - t0
+        assert len(results) == n_cases
+        cases_per_min = 60.0 * n_cases / total
+        baseline_cpm = 60.0 / 330.0  # reference: ~330 s/case, serial
+        out = {
+            "metric": "brats_cases_per_min_per_chip",
+            "value": round(cases_per_min, 2),
+            "unit": "cases/min",
+            "vs_baseline": round(cases_per_min / baseline_cpm, 1),
+            "detail": {
+                "models": args.models,
+                "folds": args.folds,
+                "tta": not args.no_tta,
+                "n_cases": n_cases,
+                "batch_size": args.batch_size,
+                "seconds_per_case": round(total / n_cases, 3),
+                "warmup_s": round(warm, 1),
+                "device": str(jax.devices()[0]),
+            },
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -104,12 +163,19 @@ def main() -> int:
     ap.add_argument("--cases", type=int, default=2)
     ap.add_argument(
         "--mode",
-        choices=["sliding", "fullconv"],
+        choices=["sliding", "fullconv", "batched"],
         default="fullconv",
         help="fullconv (default): whole-volume fully-convolutional "
         "production mode (infer/fullconv.py; label maps agree with the "
         "sliding recipe on >99.7%% of voxels in randomized tests); "
-        "sliding: the canonical bit-parity nnU-Net sliding-window recipe",
+        "sliding: the canonical bit-parity nnU-Net sliding-window recipe; "
+        "batched: multi-case fullconv throughput (cases/min per chip, "
+        "BASELINE throughput config — NIfTI decode overlapped with device "
+        "compute via CasePrefetcher)",
+    )
+    ap.add_argument(
+        "--batch-size", type=int, default=4,
+        help="cases per device batch in --mode batched",
     )
     args = ap.parse_args()
     if args.quick:
@@ -134,9 +200,13 @@ def main() -> int:
             init_params(cfg, jax.random.PRNGKey(i * 10 + f)) for f in range(args.folds)
         ]
         bundles.append(ModelBundle.from_folds(cfg, folds))
-    engine = InferenceEngine(models=bundles, tta=not args.no_tta, mode=args.mode)
+    mode = "fullconv" if args.mode == "batched" else args.mode
+    engine = InferenceEngine(models=bundles, tta=not args.no_tta, mode=mode)
 
     data = synthetic_case()
+
+    if args.mode == "batched":
+        return _bench_batched(args, engine, data, jax)
 
     # Warm-up: triggers all compilations.
     t0 = time.perf_counter()
