@@ -91,6 +91,13 @@ def load_engine(args):
             )
         mesh = make_mesh(devs[: args.dp_devices], data=args.dp_devices)
 
+    spatial = bool(getattr(args, "spatial_shard", False))
+    if spatial:
+        if mesh is None:
+            raise SystemExit("--spatial-shard requires --dp-devices N (N > 1)")
+        if (getattr(args, "mode", None) or "sliding") != "fullconv":
+            raise SystemExit("--spatial-shard requires --mode fullconv")
+
     return InferenceEngine(
         models=bundles,
         tta=not args.no_tta,
@@ -99,6 +106,7 @@ def load_engine(args):
         output_convention=getattr(args, "convention", None) or "internal",
         mode=getattr(args, "mode", None) or "sliding",
         mesh=mesh,
+        spatial_shard=spatial,
     )
 
 
@@ -565,6 +573,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--dp-devices", type=int, default=0,
         help="shard each --batch-cases batch case-wise across this many "
         "devices (data-parallel mesh; fullconv mode only)",
+    )
+    p.add_argument(
+        "--spatial-shard", action="store_true",
+        help="with --dp-devices N and --mode fullconv: shard each single "
+        "case's X axis across the mesh (GSPMD halo-exchange partitioning "
+        "— per-chip memory and single-case latency instead of throughput)",
     )
     p.add_argument(
         "--warmup", action="store_true",

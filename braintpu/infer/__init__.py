@@ -1,7 +1,12 @@
 """Inference engine: sliding-window + TTA + fold/model ensembling."""
 
 from .engine import InferenceEngine, ModelBundle, calculate_volumes, uncrop_labels
-from .fullconv import fullconv_predict, fullconv_predict_sharded, predict_probs_fullconv
+from .fullconv import (
+    fullconv_predict,
+    fullconv_predict_sharded,
+    fullconv_predict_spatial,
+    predict_probs_fullconv,
+)
 from .gaussian import gaussian_importance_map, patch_grid, sliding_window_starts
 from .sliding_window import (
     default_mirror_chunk,
@@ -19,6 +24,7 @@ __all__ = [
     "uncrop_labels",
     "fullconv_predict",
     "fullconv_predict_sharded",
+    "fullconv_predict_spatial",
     "predict_probs_fullconv",
     "gaussian_importance_map",
     "patch_grid",

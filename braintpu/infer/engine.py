@@ -116,8 +116,17 @@ class InferenceEngine:
     #: shards each case batch over it (case-level data parallelism; GSPMD
     #: partitions the batch-parallel fullconv program, no collectives on
     #: the forward path — SURVEY.md §2.2 DP row).  Single-case calls are
-    #: unaffected.
+    #: unaffected unless ``spatial_shard`` is set.
     mesh: Optional[Any] = None
+    #: with ``mesh`` and ``mode="fullconv"``: shard each SINGLE case's X
+    #: axis across the mesh (GSPMD halo-exchange partitioning,
+    #: infer.fullconv.fullconv_predict_spatial) — cuts per-chip activation
+    #: memory and single-case latency instead of batch throughput.  The
+    #: X extent is padded up to a multiple of (mesh size × 2**num_pool)
+    #: and sliced back; like fullconv's bucket padding, the extra
+    #: background border shifts values near the volume edge (background
+    #: on real crops) — the sharding itself is exact (tested).
+    spatial_shard: bool = False
 
     def warmup(
         self,
@@ -171,7 +180,9 @@ class InferenceEngine:
         vol = jnp.asarray(pre.data)  # one H2D transfer, shared across models
         per_model_probs = []
         for m in self.models:
-            if self.mode == "fullconv":
+            if self.mode == "fullconv" and self.spatial_shard and self.mesh is not None:
+                probs = self._spatial_fullconv(vol, m)
+            elif self.mode == "fullconv":
                 probs = predict_probs_fullconv(
                     m.params_stacked, vol, m.cfg, tta=self.tta, folded=m.folded
                 )
@@ -226,6 +237,30 @@ class InferenceEngine:
         if self.output_convention == "brats2021":
             return np.asarray(internal_to_brats2021(full))
         return full
+
+    def _spatial_fullconv(self, vol_cxyz, m):
+        """Single-case spatially-sharded fullconv for one model bundle.
+
+        Pads X up to a multiple of (mesh_size × 2**num_pool) at the high
+        end so shard boundaries stay pool-aligned, then slices the rows
+        back off.  The contract is "fullconv of the padded volume": the
+        extra zero border influences values within the receptive field of
+        the high-X edge exactly like a larger fullconv bucket would.
+        """
+        from .fullconv import fullconv_predict_spatial
+
+        n = self.mesh.shape["data"]
+        div = 2**m.cfg.num_pool
+        x = jnp.moveaxis(vol_cxyz, 0, -1)  # (X, Y, Z, C)
+        X = x.shape[0]
+        target = -(-X // (n * div)) * n * div
+        if target != X:
+            x = jnp.pad(x, ((0, target - X), (0, 0), (0, 0), (0, 0)))
+        probs = fullconv_predict_spatial(
+            m.params_stacked, x, m.cfg, self.mesh, axis="data",
+            num_mirror=8 if self.tta else 1, folded=m.folded,
+        )
+        return probs[:X]
 
     def _mesh_replicated_params(self):
         """Fold weights replicated onto the mesh (cached): committed

@@ -49,6 +49,7 @@ from .sliding_window import MIRROR_COMBOS, _apply_flips, mirror_flag_groups
 __all__ = [
     "fullconv_predict",
     "fullconv_predict_sharded",
+    "fullconv_predict_spatial",
     "predict_probs_fullconv",
 ]
 
@@ -178,6 +179,62 @@ def fullconv_predict_sharded(
 
     probs = jax.jit(fwd)(params_stacked, volume, flag_groups)
     return probs / (num_folds * 8)
+
+
+def fullconv_predict_spatial(
+    params_stacked: Dict[str, Any],
+    volume: jnp.ndarray,
+    cfg: UNetConfig,
+    mesh,
+    axis: str = "data",
+    num_mirror: int = 8,
+    folded: bool = False,
+) -> jnp.ndarray:
+    """Whole-volume ensemble with the volume SPATIALLY sharded over a mesh.
+
+    The context-parallel analog for a single huge case (SURVEY.md §5
+    "long-context"): the X axis of the (X, Y, Z, C) volume is partitioned
+    across ``mesh.shape[axis]`` devices and the forward is jitted with that
+    sharding — GSPMD then partitions every conv spatially, inserting the
+    1-voxel halo exchanges for 3×3×3 convs and the cross-device reductions
+    for whole-volume GroupNorm statistics automatically (the scaling-book
+    recipe: pick a mesh, annotate shardings, let XLA place collectives on
+    ICI).  Activation memory per chip drops ~1/n, so volumes that exceed
+    one chip's HBM in fullconv mode still run whole-volume instead of
+    falling back to sliding windows.
+
+    Complements (not composes with) ``fullconv_predict_sharded``: that one
+    shards the 8 independent mirror orientations (throughput), this one
+    shards a single forward's spatial extent (memory + single-case
+    latency).  Every shard keeps all pool stages aligned:
+    ``X % (n * 2**num_pool) == 0`` is required so shard boundaries land on
+    pool-grid boundaries at every depth.
+
+    Returns replicated (X, Y, Z, K) probabilities on host-convertible form.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if cfg.axial_attention:
+        raise ValueError("fullconv is incompatible with the axial variant")
+    n = mesh.shape[axis]
+    div = 2**cfg.num_pool
+    X, Y, Z, _ = volume.shape
+    if any(s % div for s in (X, Y, Z)):
+        raise ValueError(f"volume {(X, Y, Z)} must be a multiple of {div}")
+    if X % (n * div):
+        raise ValueError(
+            f"X={X} must be a multiple of mesh axis {axis}={n} × {div} "
+            f"(pad the bucket to {-(-X // (n * div)) * n * div})"
+        )
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params_stacked, rep)
+    vol = jax.device_put(volume, NamedSharding(mesh, P(axis)))
+    # same jitted program as the single-device path: the input sharding is
+    # what turns it into a spatially-partitioned SPMD program; the result
+    # is fetched replicated
+    probs = fullconv_predict(params, vol, cfg, num_mirror=num_mirror, folded=folded)
+    return jax.device_put(probs, rep)
 
 
 def predict_probs_fullconv(

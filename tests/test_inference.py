@@ -374,3 +374,99 @@ def test_predict_cases_batched_matches_per_case(tmp_path):
     assert len(sharded) == 2
     for (seg_b, _), (seg_m, _) in zip(batched, sharded):
         np.testing.assert_array_equal(seg_b, seg_m)
+
+
+def test_fullconv_spatial_sharding_matches_single_device():
+    """GSPMD spatial partitioning (X axis over the mesh) must reproduce the
+    single-device whole-volume forward — for both folded-BN (pure conv:
+    halo exchange only) and GroupNorm (whole-volume stats become
+    cross-device reductions)."""
+    from braintpu.infer import fullconv_predict, fullconv_predict_spatial
+    from braintpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+    mesh = make_mesh(jax.devices()[:4], data=4)
+    rng = np.random.default_rng(11)
+    # X = 32 = 4 shards x 2**num_pool x 2
+    vol = jnp.asarray(rng.normal(size=(32, 16, 16, 4)).astype(np.float32))
+    for norm in ("batch", "group"):
+        cfg = tiny_cfg(norm)
+        stacked = stack_folds(
+            [init_params(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+        )
+        for num_mirror in (1, 8):
+            ref = np.asarray(
+                fullconv_predict(stacked, vol, cfg, num_mirror=num_mirror)
+            )
+            got = np.asarray(
+                fullconv_predict_spatial(
+                    stacked, vol, cfg, mesh, num_mirror=num_mirror
+                )
+            )
+            np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fullconv_spatial_alignment_guard():
+    from braintpu.infer import fullconv_predict_spatial
+    from braintpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+    mesh = make_mesh(jax.devices()[:4], data=4)
+    cfg = tiny_cfg()
+    stacked = stack_folds([init_params(cfg, jax.random.PRNGKey(0))])
+    # X=24 is conv-divisible (div=4) but not by 4 shards x div = 16
+    bad = jnp.zeros((24, 16, 16, 4), jnp.float32)
+    with pytest.raises(ValueError, match="mesh axis"):
+        fullconv_predict_spatial(stacked, bad, cfg, mesh)
+
+
+def test_engine_spatial_shard_matches_plain_fullconv():
+    """spatial_shard engine == plain fullconv engine, incl. the X padding
+    path (crop extent not divisible by mesh x pool grid)."""
+    from braintpu.infer import InferenceEngine, ModelBundle
+    from braintpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 (virtual) devices")
+    cfg = tiny_cfg()
+    folds = [init_params(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+    bundle = ModelBundle.from_folds(cfg, folds)
+    rng = np.random.default_rng(5)
+    data = np.zeros((4, 30, 24, 20), np.float32)
+    data[:, 2:25, 3:21, 2:18] = rng.normal(
+        500, 60, (4, 23, 18, 16)
+    ).astype(np.float32)
+    from braintpu.infer import predict_probs_fullconv
+    from braintpu.pre import preprocess_case
+
+    mesh = make_mesh(jax.devices()[:4], data=4)
+    sharded = InferenceEngine(
+        models=[bundle], mode="fullconv", tta=False, et_min_voxels=0,
+        mesh=mesh, spatial_shard=True,
+    )
+    # the helper pads X to the mesh x pool grid and slices it back; its
+    # contract is "fullconv of the padded volume" (extra background border
+    # — same class of effect as fullconv's bucket padding), so compare
+    # against the single-device forward of the SAME padded input
+    pre = preprocess_case(data, patch_size=(4, 4, 4), pad_multiple=4)
+    vol = jnp.asarray(pre.data)  # (C, X, Y, Z)
+    X = vol.shape[1]
+    assert X % (4 * 4)  # X not mesh-aligned → the padding path is exercised
+    target = -(-X // 16) * 16
+    xpad = jnp.moveaxis(vol, 0, -1)
+    xpad = jnp.pad(xpad, ((0, target - X), (0, 0), (0, 0), (0, 0)))
+    from braintpu.infer import fullconv_predict
+
+    ref = np.asarray(
+        fullconv_predict(bundle.params_stacked, xpad, cfg, num_mirror=1,
+                         folded=bundle.folded)
+    )[:X]
+    got = np.asarray(sharded._spatial_fullconv(vol, bundle))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # and the full engine path runs end-to-end, labels in range
+    seg_s, _ = sharded.predict_case_array(data)
+    assert seg_s.shape == data.shape[1:]
+    assert set(np.unique(seg_s)) <= {0, 1, 2, 3}
