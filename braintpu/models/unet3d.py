@@ -620,12 +620,13 @@ def _upconv(x, w, compute_dtype):
             pallas_upconv_enabled,
             upconv2x,
             upconv2x_supported,
+            upconv_strategy,
         )
 
         # Opt-in fused dot+interleave kernel (PERF.md item 4): removes the
         # three whole-tensor shuffle passes; pending TPU compile probe.
         if pallas_upconv_enabled() and upconv2x_supported(x.shape, co):
-            return upconv2x(x, w).astype(compute_dtype)
+            return upconv2x(x, w, strategy=upconv_strategy()).astype(compute_dtype)
     wm = w.reshape(ci, kd * kh * kw * co).astype(compute_dtype)
     y = jnp.einsum(
         "ndhwc,ck->ndhwk", x.astype(compute_dtype), wm, preferred_element_type=jnp.float32

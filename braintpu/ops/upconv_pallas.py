@@ -150,3 +150,15 @@ def upconv2x(
 
 def pallas_upconv_enabled() -> bool:
     return os.environ.get("BRAINTPU_PALLAS_UPCONV", "0") == "1"
+
+
+def upconv_strategy() -> str:
+    """Interleave strategy for the integrated path.
+
+    ``BRAINTPU_UPCONV_STRATEGY`` ∈ {reshape, select} — both are exact
+    (tests/test_upconv_kernel.py); which compiles clean/faster on a given
+    Mosaic toolchain is decided by ``tools/tpu_probe.py upconv`` and wired
+    in by ``tools/auto_capture.py``.
+    """
+    s = os.environ.get("BRAINTPU_UPCONV_STRATEGY", "reshape")
+    return s if s in ("reshape", "select") else "reshape"
