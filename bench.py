@@ -95,6 +95,38 @@ def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
     raise SystemExit(2)
 
 
+def _apply_tuned_flags() -> None:
+    """Apply opt-in kernel flags that a prior tools/auto_capture.py run
+    PROVED on real TPU (compile + exact-arithmetic parity + speed probes).
+
+    The Pallas fast paths (fused stage kernel, fused upconv) default to
+    off because an unvalidated Mosaic compile can wedge the shared remote
+    compile service in this environment; auto_capture records the flags
+    that passed its probes in tools/capture_summary.json, and this picks
+    them up so unattended bench runs use the fastest *validated* config.
+    Explicit env settings and BRAINTPU_BENCH_NO_TUNED=1 take precedence.
+    """
+    import os
+
+    if os.environ.get("BRAINTPU_BENCH_NO_TUNED") == "1":
+        return
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "capture_summary.json")
+    try:
+        with open(path) as f:
+            flags = json.load(f).get("flags") or {}
+    except (OSError, ValueError):
+        return
+    applied = {}
+    for k, v in flags.items():
+        if k.startswith("BRAINTPU_") and k not in os.environ:
+            os.environ[k] = str(v)
+            applied[k] = str(v)
+    if applied:
+        print(f"# applying TPU-validated kernel flags: {applied}",
+              file=sys.stderr)
+
+
 def _bench_batched(args, engine, data, jax) -> int:
     """Multi-case throughput: N synthetic cases on disk → cases/min per chip.
 
@@ -182,6 +214,7 @@ def main() -> int:
         args.models, args.folds = 1, 1
         args.no_tta = True
 
+    _apply_tuned_flags()
     _preflight_tunnel()
 
     import jax
