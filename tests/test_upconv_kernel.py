@@ -48,6 +48,67 @@ def test_upconv_kernel_exact(strategy, N, D, H, W, ci, co):
     )
 
 
+def test_plan_band_decision_space():
+    """_plan_band picks the largest H-band that divides H and fits VMEM,
+    shrinking under lane pressure and refusing impossible shapes."""
+    from braintpu.ops.upconv_pallas import _VMEM_BUDGET, _plan_band
+
+    # small planes: largest divisor band wins
+    assert _plan_band(64, 16, 8, 8) == 64
+    assert _plan_band(40, 16, 8, 8) == 8   # 40 = 8·5: only 8 divides
+    assert _plan_band(48, 16, 8, 8) == 16  # 64 ∤ 48, 32 ∤ 48
+    # H=12 has no admissible band (none of 64/32/16/8 divides)
+    assert _plan_band(12, 16, 8, 8) is None
+    # production decoder shapes stay plannable
+    assert _plan_band(64, 64, 64, 32) is not None      # patch l1
+    assert _plan_band(96, 80, 64, 32) is not None      # bucket l0
+    # wide channels force smaller bands before giving up
+    wide = _plan_band(64, 128, 128, 64)
+    assert wide is not None and wide < 64
+    # the planner honors the budget exactly: replaying its arithmetic for
+    # the chosen band must fit, and the next band up must not
+    from braintpu.ops.stage_pallas import _pad_lanes
+
+    def cost(ch, W, ci, co):
+        return (
+            ch * W * _pad_lanes(ci) * 2
+            + ch * W * _pad_lanes(8 * co) * 4
+            + 2 * 2 * ch * 2 * W * _pad_lanes(co) * 2
+            + ci * _pad_lanes(8 * co) * 2
+        )
+
+    assert cost(wide, 128, 128, 64) <= _VMEM_BUDGET
+    assert cost(wide * 2, 128, 128, 64) > _VMEM_BUDGET
+
+
+@pytest.mark.parametrize("strategy", ["reshape", "select"])
+def test_upconv_exact_production_band_shapes(strategy):
+    """Exactness at (scaled-down) decoder geometry where H needs multiple
+    bands AND W is irregular — the BlockSpec/grid interplay the production
+    shapes exercise."""
+    rng = np.random.default_rng(11)
+    N, D, H, W, ci, co = 1, 3, 96, 20, 64, 32
+    assert upconv2x_supported((N, D, H, W, ci), co)
+    x = _int_vals(rng, (N, D, H, W, ci)).astype(jnp.bfloat16)
+    w = _pow2(rng, (ci, 2, 2, 2, co))
+    ref = u3._upconv(x, w, jnp.float32)
+    got = upconv2x(x, w, strategy=strategy, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_upconv_strategy_env(monkeypatch):
+    from braintpu.ops.upconv_pallas import upconv_strategy
+
+    monkeypatch.delenv("BRAINTPU_UPCONV_STRATEGY", raising=False)
+    assert upconv_strategy() == "reshape"
+    monkeypatch.setenv("BRAINTPU_UPCONV_STRATEGY", "select")
+    assert upconv_strategy() == "select"
+    monkeypatch.setenv("BRAINTPU_UPCONV_STRATEGY", "bogus")
+    assert upconv_strategy() == "reshape"
+
+
 def test_upconv_gating(monkeypatch):
     """The Pallas path engages only when opted in AND on TPU; the default
     _upconv lowering is unchanged otherwise."""
