@@ -148,6 +148,31 @@ def probe_upconv(timeout_s: float) -> dict:
     return out
 
 
+def decide_flags(stage: dict, upconv: dict) -> dict:
+    """Probe results → the opt-in env flags they justify.
+
+    Fused stages require exact-arithmetic parity ON TPU plus every
+    single-volume production shape compiling and running; the batched
+    (sliding-window TTA) flag additionally requires the tta-batch shapes.
+    The upconv flag carries the faster exact strategy, if any.
+    """
+    single = [n for n in stage["shapes"] if not n.startswith("tta-")]
+    batched = [n for n in stage["shapes"] if n.startswith("tta-")]
+    fused_ok = (stage["parity"] and single
+                and all(stage["shapes"][n] for n in single))
+    fused_batched_ok = (fused_ok and batched
+                        and all(stage["shapes"][n] for n in batched))
+    flags = {}
+    if fused_ok:
+        flags["BRAINTPU_FUSED_STAGES"] = "1"
+    if fused_batched_ok:
+        flags["BRAINTPU_FUSED_BATCHED"] = "1"
+    if upconv.get("best"):
+        flags["BRAINTPU_PALLAS_UPCONV"] = "1"
+        flags["BRAINTPU_UPCONV_STRATEGY"] = upconv["best"]
+    return flags
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--watch", type=float, default=0.0, metavar="HOURS")
@@ -187,25 +212,9 @@ def main() -> int:
     _log({"step": "upconv-probe-summary", **upconv})
 
     # ---- Phase 3: flag decision + fused re-benches ---------------------
-    single = [n for n in stage["shapes"]
-              if not n.startswith("tta-")]
-    batched = [n for n in stage["shapes"] if n.startswith("tta-")]
-    fused_ok = (stage["parity"] and single
-                and all(stage["shapes"][n] for n in single))
-    fused_batched_ok = (fused_ok and batched
-                        and all(stage["shapes"][n] for n in batched))
-
-    flags = {}
-    if fused_ok:
-        flags["BRAINTPU_FUSED_STAGES"] = "1"
-    if fused_batched_ok:
-        flags["BRAINTPU_FUSED_BATCHED"] = "1"
-    if upconv["best"]:
-        flags["BRAINTPU_PALLAS_UPCONV"] = "1"
-        flags["BRAINTPU_UPCONV_STRATEGY"] = upconv["best"]
+    flags = decide_flags(stage, upconv)
     summary["flags"] = flags
-    _log({"step": "flag-decision", "flags": flags,
-          "fused_ok": fused_ok, "fused_batched_ok": fused_batched_ok})
+    _log({"step": "flag-decision", "flags": flags})
 
     if flags:
         summary["fused_fullconv"] = run_bench(
