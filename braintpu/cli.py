@@ -193,16 +193,34 @@ def cmd_segment(args):
         raise SystemExit(f"no complete BraTS case under {args.input}")
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
+    # decide the execution path ONCE so the mode check fires before any
+    # multi-minute warmup compile and warmup warms the program the run
+    # will actually use (batched programs only run with >1 case)
+    use_batched = bool(getattr(args, "batch_cases", 0)) and len(cases) > 1
+    if use_batched and engine.mode != "fullconv":
+        raise SystemExit("--batch-cases requires --mode fullconv")
+    if (
+        engine.mesh is not None
+        and not engine.spatial_shard
+        and not use_batched
+    ):
+        print(
+            "# warning: --dp-devices builds a device mesh, but this run "
+            "takes the per-case path (single case or no --batch-cases) "
+            "which does not use it; add --batch-cases N with multiple "
+            "cases, or --spatial-shard, to engage the mesh"
+        )
     if getattr(args, "warmup", False):
-        # warm the program the run will actually use (batched vs per-case)
-        secs = engine.warmup(batch_size=getattr(args, "batch_cases", 0))
+        secs = engine.warmup(batch_size=args.batch_cases if use_batched else 0)
         print(f"# warmup compile: {secs:.1f}s")
     with trace_ctx:
-        return _run_segment(args, engine, cases, out)
+        return _run_segment(args, engine, cases, out, use_batched)
 
 
-def _run_segment(args, engine, cases, out):
-    if getattr(args, "batch_cases", 0) and len(cases) > 1:
+def _run_segment(args, engine, cases, out, use_batched=None):
+    if use_batched is None:
+        use_batched = bool(getattr(args, "batch_cases", 0)) and len(cases) > 1
+    if use_batched:
         if engine.mode != "fullconv":
             raise SystemExit("--batch-cases requires --mode fullconv")
         results = engine.predict_cases_batched(

@@ -179,9 +179,9 @@ class InferenceEngine:
         t1 = time.perf_counter()
         vol = jnp.asarray(pre.data)  # one H2D transfer, shared across models
         per_model_probs = []
-        for m in self.models:
+        for mi, m in enumerate(self.models):
             if self.mode == "fullconv" and self.spatial_shard and self.mesh is not None:
-                probs = self._spatial_fullconv(vol, m)
+                probs = self._spatial_fullconv(vol, m, mi)
             elif self.mode == "fullconv":
                 probs = predict_probs_fullconv(
                     m.params_stacked, vol, m.cfg, tta=self.tta, folded=m.folded
@@ -238,7 +238,7 @@ class InferenceEngine:
             return np.asarray(internal_to_brats2021(full))
         return full
 
-    def _spatial_fullconv(self, vol_cxyz, m):
+    def _spatial_fullconv(self, vol_cxyz, m, mi: int):
         """Single-case spatially-sharded fullconv for one model bundle.
 
         Pads X up to a multiple of (mesh_size × 2**num_pool) at the high
@@ -256,9 +256,12 @@ class InferenceEngine:
         target = -(-X // (n * div)) * n * div
         if target != X:
             x = jnp.pad(x, ((0, target - X), (0, 0), (0, 0), (0, 0)))
+        # reuse the cached mesh-replicated fold weights: re-broadcasting
+        # hundreds of MB per case through jax.device_put is pure overhead
+        # on the latency-sensitive single-case path
         probs = fullconv_predict_spatial(
-            m.params_stacked, x, m.cfg, self.mesh, axis="data",
-            num_mirror=8 if self.tta else 1, folded=m.folded,
+            self._mesh_replicated_params()[mi], x, m.cfg, self.mesh,
+            axis="data", num_mirror=8 if self.tta else 1, folded=m.folded,
         )
         return probs[:X]
 

@@ -128,6 +128,9 @@ def test_run_bench_parses_and_logs(ac, monkeypatch):
     cmd, env = fake.calls[0]
     assert "--mode" in cmd and "sliding" in cmd
     assert env["BRAINTPU_FUSED_STAGES"] == "1"
+    # a stale capture_summary.json must never leak extra flags into a
+    # bench child — this run's flags are explicit
+    assert env["BRAINTPU_BENCH_NO_TUNED"] == "1"
     logged = [json.loads(ln) for ln in open(ac.RESULTS)]
     assert logged[-1]["step"] == "bench-x" and logged[-1]["ok"]
 

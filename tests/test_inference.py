@@ -463,7 +463,7 @@ def test_engine_spatial_shard_matches_plain_fullconv():
         fullconv_predict(bundle.params_stacked, xpad, cfg, num_mirror=1,
                          folded=bundle.folded)
     )[:X]
-    got = np.asarray(sharded._spatial_fullconv(vol, bundle))
+    got = np.asarray(sharded._spatial_fullconv(vol, bundle, 0))
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
     # and the full engine path runs end-to-end, labels in range

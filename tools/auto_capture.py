@@ -77,6 +77,11 @@ def run_bench(name: str, extra_args, env_extra, timeout_s: float) -> dict:
         _log(rec)
         return rec
     env = dict(os.environ)
+    # This tool decides flags EXPLICITLY per phase; a stale
+    # capture_summary.json from a previous run must never leak extra
+    # kernel flags into a bench child (bench.py's _apply_tuned_flags
+    # would re-enable kernels the CURRENT probes may just have rejected).
+    env["BRAINTPU_BENCH_NO_TUNED"] = "1"
     env.update(env_extra or {})
     # bench.py's own preflight already polls 5 min; that is enough here.
     t0 = time.time()
