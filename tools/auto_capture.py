@@ -237,12 +237,15 @@ def main() -> int:
         tpu_probe.run_child(tpu_probe._CHILD_INT8, None, args.probe_timeout)
         tpu_probe.run_child(
             tpu_probe._CHILD_FEATURES, None, max(args.probe_timeout, 600.0))
-        # per-model trace-grade timings for the PERF table
+        # per-model trace-grade timings for the PERF table, with
+        # profiler traces for per-op attribution (kernel decisions)
+        trace_env = {"BRAINTPU_PROBE_TRACE_DIR":
+                     os.path.join(REPO, "tools", "traces")}
         for which in ("bn", "gn"):
             for mirrors in (1, 8):
                 tpu_probe.run_child(
                     tpu_probe._CHILD_FULLCONV, [which, mirrors],
-                    900.0, flags or safe_env)
+                    900.0, {**(flags or safe_env), **trace_env})
 
     summary["finished"] = time.time()
 

@@ -155,16 +155,37 @@ t0 = time.time()
 probs = fullconv_predict(stacked, vol, cfg, num_mirror=mirrors, folded=folded)
 jax.block_until_ready(probs)
 warm = time.time() - t0
+import contextlib, os
+trace_root = os.environ.get("BRAINTPU_PROBE_TRACE_DIR")
+trace_dir = None
+ctx = contextlib.nullcontext()
+if trace_root:
+    fused = os.environ.get("BRAINTPU_FUSED_STAGES", "0")
+    trace_dir = os.path.join(trace_root, f"fullconv_{which}_m{mirrors}_fused{fused}")
+    ctx = jax.profiler.trace(trace_dir)
 times = []
-for _ in range(3):
-    t0 = time.time()
-    probs = fullconv_predict(stacked, vol, cfg, num_mirror=mirrors, folded=folded)
-    jax.block_until_ready(probs)
-    times.append(time.time() - t0)
-print(json.dumps({"probe": f"fullconv:{which}:m{mirrors}", "ok": True,
-                  "warm_s": round(warm, 1),
-                  "steady_s": round(float(np.median(times)), 3),
-                  "fused": __import__("os").environ.get("BRAINTPU_FUSED_STAGES", "0")}))
+with ctx:
+    for _ in range(3):
+        t0 = time.time()
+        probs = fullconv_predict(stacked, vol, cfg, num_mirror=mirrors, folded=folded)
+        jax.block_until_ready(probs)
+        times.append(time.time() - t0)
+rec = {"probe": f"fullconv:{which}:m{mirrors}", "ok": True,
+       "warm_s": round(warm, 1),
+       "steady_s": round(float(np.median(times)), 3),
+       "fused": os.environ.get("BRAINTPU_FUSED_STAGES", "0")}
+if trace_dir:
+    rec["trace_dir"] = trace_dir  # analyze: braintpu profile-report <dir>
+    try:
+        from braintpu.utils.xprof import aggregate_trace, format_table, latest_xplane
+        xp = latest_xplane(trace_dir)
+        if xp:
+            top = format_table(aggregate_trace(xp), top=12)
+            for line in top.splitlines():
+                print("#", line, file=sys.stderr)
+    except Exception as e:  # trace parsing is best-effort
+        print(f"# trace parse failed: {e}", file=sys.stderr)
+print(json.dumps(rec))
 """
 
 
@@ -188,6 +209,10 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
                 line = ln
         if line:
             rec = json.loads(line)
+            # keep diagnostic output (e.g. the fullconv probe's per-op
+            # trace table) in the session log
+            if p.stderr and p.stderr.strip():
+                rec["stderr_tail"] = p.stderr[-2000:]
         else:
             rec = {"probe": str(arg), "ok": False, "rc": p.returncode,
                    "stderr": (p.stderr or "")[-400:]}
