@@ -95,6 +95,46 @@ def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
     raise SystemExit(2)
 
 
+def _arm_watchdog(total_s: float):
+    """Guarantee the driver a parsable result line even if the device hangs.
+
+    A wedged remote compile service (see PERF.md) blocks jax calls
+    indefinitely and is uninterruptible from the main thread; this timer
+    thread prints the machine-readable failure line and hard-exits so a
+    hung bench degrades to an explicit error instead of a driver timeout
+    that loses the JSON. Disarm with BRAINTPU_BENCH_WATCHDOG=0.
+    """
+    import os
+    import threading
+
+    total_s = float(os.environ.get("BRAINTPU_BENCH_WATCHDOG", total_s))
+    if total_s <= 0:
+        return None
+
+    def boom():
+        print(
+            json.dumps(
+                {
+                    "metric": "brats_case_e2e_seconds",
+                    "value": -1.0,
+                    "unit": "s/case",
+                    "vs_baseline": 0.0,
+                    "detail": {
+                        "error": f"watchdog: bench exceeded {total_s:.0f}s "
+                        "(device hang / wedged compile service)"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(total_s, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _apply_tuned_flags() -> None:
     """Apply opt-in kernel flags that a prior tools/auto_capture.py run
     PROVED on real TPU (compile + exact-arithmetic parity + speed probes).
@@ -216,6 +256,7 @@ def main() -> int:
 
     _apply_tuned_flags()
     _preflight_tunnel()
+    watchdog = _arm_watchdog(1800.0)
 
     import jax
 
@@ -239,7 +280,10 @@ def main() -> int:
     data = synthetic_case()
 
     if args.mode == "batched":
-        return _bench_batched(args, engine, data, jax)
+        rc = _bench_batched(args, engine, data, jax)
+        if watchdog:
+            watchdog.cancel()
+        return rc
 
     # Warm-up: triggers all compilations.
     t0 = time.perf_counter()
@@ -256,6 +300,8 @@ def main() -> int:
         seg, info = engine.predict_case_array(data)
         times.append(time.perf_counter() - t0)
     per_case = float(np.median(times))
+    if watchdog:
+        watchdog.cancel()
     print(f"# steady-state times: {times}", file=sys.stderr)
 
     # Reference: full segmentation stage ~5-6 min on CPU → 330 s midpoint.
