@@ -146,25 +146,9 @@ def _apply_tuned_flags() -> None:
     them up so unattended bench runs use the fastest *validated* config.
     Explicit env settings and BRAINTPU_BENCH_NO_TUNED=1 take precedence.
     """
-    import os
+    from braintpu.utils.tuned import apply_validated_flags  # jax-free
 
-    if os.environ.get("BRAINTPU_BENCH_NO_TUNED") == "1":
-        return
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "capture_summary.json")
-    try:
-        with open(path) as f:
-            flags = json.load(f).get("flags") or {}
-    except (OSError, ValueError):
-        return
-    applied = {}
-    for k, v in flags.items():
-        if k.startswith("BRAINTPU_") and k not in os.environ:
-            os.environ[k] = str(v)
-            applied[k] = str(v)
-    if applied:
-        print(f"# applying TPU-validated kernel flags: {applied}",
-              file=sys.stderr)
+    apply_validated_flags(verbose=True)
 
 
 def _bench_batched(args, engine, data, jax) -> int:

@@ -728,8 +728,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .utils.compcache import enable_compilation_cache
+    from .utils.tuned import apply_validated_flags
 
     enable_compilation_cache()  # warm restarts skip the ~60s XLA compile
+    # hardware-validated Pallas flags recorded by tools/auto_capture.py;
+    # must happen before the first jit trace (explicit env always wins)
+    apply_validated_flags(verbose=True)
     return args.fn(args)
 
 
