@@ -106,3 +106,77 @@ def test_negative_determinant_affine_roundtrip(tmp_path):
     path.write_bytes(bytes(raw))
     img2 = nifti.load(path)
     np.testing.assert_allclose(img2.affine, affine, atol=1e-4)
+
+
+def test_roundtrip_fuzz(tmp_path):
+    """Randomized shape × dtype × affine × compression round-trips.
+
+    Catches layout/stride/padding mistakes the fixed-shape tests can't:
+    singleton axes, 4D volumes, rotated/sheared affines, both writers
+    (native parallel-gzip and the Python fallback pick per extension).
+    """
+    rng = np.random.default_rng(42)
+    dtypes = [np.float32, np.int16, np.uint8, np.float64, np.int32]
+    for trial in range(25):
+        ndim = int(rng.integers(3, 5))
+        shape = tuple(int(rng.integers(1, 14)) for _ in range(ndim))
+        dtype = dtypes[trial % len(dtypes)]
+        if np.issubdtype(dtype, np.floating):
+            data = rng.normal(0, 50, shape).astype(dtype)
+        else:
+            info = np.iinfo(dtype)
+            data = rng.integers(
+                max(info.min, -1000), min(info.max, 1000), shape
+            ).astype(dtype)
+        # random invertible affine: rotation-ish block + shear + translation
+        A = rng.normal(0, 1, (3, 3)) * 0.3 + np.diag(rng.uniform(0.5, 2.0, 3))
+        if abs(np.linalg.det(A)) < 1e-2:
+            A = A + np.eye(3)
+        affine = np.eye(4)
+        affine[:3, :3] = A
+        affine[:3, 3] = rng.uniform(-100, 100, 3)
+        gz = bool(trial % 2)
+        path = tmp_path / f"f{trial}{'.nii.gz' if gz else '.nii'}"
+        nifti.save(data, path, affine=affine)
+        img = nifti.load(path)
+        assert img.shape == shape
+        np.testing.assert_array_equal(np.asarray(img.dataobj), data)
+        np.testing.assert_allclose(img.affine, affine, atol=1e-4)
+        zooms = np.sqrt((affine[:3, :3] ** 2).sum(axis=0))[: min(ndim, 3)]
+        np.testing.assert_allclose(img.get_zooms()[: len(zooms)], zooms,
+                                   rtol=1e-4)
+
+
+def test_big_endian_read(tmp_path):
+    """Files written by big-endian tools (dim[0] byte-swapped) must load."""
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    path = tmp_path / "le.nii"
+    nifti.save(data, path, affine=np.eye(4))
+    raw = bytearray(path.read_bytes())
+    hdr = np.frombuffer(bytes(raw[:348]), dtype=np.uint8).copy()
+    # byte-swap every multi-byte header field by re-encoding through numpy:
+    # reinterpret the little-endian header as the struct layout and swap
+    import struct as _s
+
+    def swap(fmt, off):
+        n = _s.calcsize("<" + fmt)
+        vals = _s.unpack("<" + fmt, bytes(raw[off:off + n]))
+        raw[off:off + n] = _s.pack(">" + fmt, *vals)
+
+    swap("i", 0)            # sizeof_hdr
+    swap("8h", 40)          # dim
+    swap("2h", 70)          # datatype, bitpix
+    swap("8f", 76)          # pixdim
+    swap("f", 108)          # vox_offset
+    swap("f", 112)          # scl_slope
+    swap("f", 116)          # scl_inter
+    swap("3h", 252)         # qform, sform codes... (qform_code at 252)
+    swap("6f", 256)         # quatern b,c,d + qoffset x,y,z
+    swap("12f", 280)        # srow
+    body = bytes(raw[352:])
+    swapped_body = np.frombuffer(body, dtype="<i2").astype(">i2").tobytes()
+    path2 = tmp_path / "be.nii"
+    path2.write_bytes(bytes(raw[:352]) + swapped_body)
+    img = nifti.load(path2)
+    assert img.shape == data.shape
+    np.testing.assert_array_equal(np.asarray(img.dataobj), data)
