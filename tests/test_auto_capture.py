@@ -214,6 +214,49 @@ def test_main_phase_ordering_and_summary(ac, monkeypatch):
     assert summary["best"]["sliding_s_per_case"] == 6.0
 
 
+def test_main_yields_to_foreign_bench(ac, monkeypatch):
+    """When the round driver's bench.py appears, the capture stops starting
+    new steps, finalizes the summary, and exits 0 (TPU freed)."""
+    calls = {"n": 0}
+
+    def fake_bench(cmd, **kw):
+        calls["n"] += 1
+
+        class P:
+            returncode = 0
+            stdout = json.dumps({"metric": "m", "value": 11.0,
+                                 "unit": "s/case", "vs_baseline": 1.0}) + "\n"
+            stderr = ""
+        return P()
+
+    monkeypatch.setattr(ac.subprocess, "run", fake_bench)
+    # foreign bench appears after the first safe bench completes
+    monkeypatch.setattr(
+        ac, "_foreign_bench_running", lambda: calls["n"] >= 1
+    )
+    monkeypatch.setattr(sys, "argv", ["auto_capture.py"])
+    assert ac.main() == 0
+    assert calls["n"] == 1  # second safe bench never started
+    summary = json.load(open(ac.SUMMARY))
+    assert summary["yielded_to_driver"] is True
+
+
+def test_foreign_bench_detection_ignores_own_children(ac):
+    """A bench.py THIS process spawned (ppid == us, like the capture's own
+    bench children) must not trigger the yield; the scan only fires on
+    processes with a different parent (the round driver's)."""
+    p = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(10)", "bench.py"],
+    )
+    try:
+        # our direct child carries 'bench.py' in its cmdline but has
+        # ppid == os.getpid(), so it is not foreign
+        assert ac._foreign_bench_running() is False
+    finally:
+        p.kill()
+        p.wait()
+
+
 def test_main_relay_never_up(ac, monkeypatch, capsys):
     monkeypatch.setattr(ac, "relay_up", lambda *a, **k: False)
     monkeypatch.setattr(sys, "argv", ["auto_capture.py"])

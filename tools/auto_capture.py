@@ -70,8 +70,49 @@ def _wait_relay(budget_s: float) -> bool:
     return True
 
 
+def _foreign_bench_running() -> bool:
+    """Is a bench.py WE didn't spawn running on this box?
+
+    Only one process can hold the TPU; when the round driver launches its
+    own `python bench.py`, this capture must stop starting new steps so
+    the driver's capture (the one that counts) isn't blocked behind ours.
+    """
+    me = os.getpid()
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+                with open(f"/proc/{pid}/stat") as f:
+                    ppid = int(f.read().split()[3])
+            except OSError:
+                continue
+            if "bench.py" in cmd and ppid != me:
+                return True
+    except OSError:
+        pass
+    return False
+
+
+def _should_abort() -> bool:
+    if _foreign_bench_running():
+        _log({"step": "yield", "ok": False,
+              "reason": "foreign bench.py detected (round driver?) — "
+                        "stopping to free the TPU"})
+        return True
+    return False
+
+
+class _Yield(Exception):
+    """Stop the capture: the round driver wants the TPU."""
+
+
 def run_bench(name: str, extra_args, env_extra, timeout_s: float) -> dict:
     """Run bench.py in a subprocess; parse its one JSON result line."""
+    if _should_abort():
+        raise _Yield
     if not _wait_relay(RESUME_WAIT_S):
         rec = {"step": name, "ok": False, "error": "relay down, gave up"}
         _log(rec)
@@ -123,6 +164,8 @@ def probe_stage(timeout_s: float) -> dict:
         out["hang"] = True
         return out
     for spec in tpu_probe.STAGE_SHAPES:
+        if _should_abort():
+            raise _Yield
         rec = tpu_probe.run_child(tpu_probe._CHILD_STAGE, spec, timeout_s)
         out["shapes"][spec[0]] = bool(rec.get("ok"))
         if "error" in rec:  # possible Mosaic hang — stop escalating
@@ -139,6 +182,8 @@ def probe_upconv(timeout_s: float) -> dict:
             return out
         ok, worst = True, 0.0
         for spec in tpu_probe.UPCONV_SHAPES:
+            if _should_abort():
+                raise _Yield
             rec = tpu_probe.run_child(
                 tpu_probe._CHILD_UPCONV, list(spec) + [strategy], timeout_s
             )
@@ -194,6 +239,19 @@ def main() -> int:
 
     summary: dict = {"started": time.time(), "flags": {}}
 
+    try:
+        return _capture(args, summary)
+    except _Yield:
+        summary["yielded_to_driver"] = True
+        summary["finished"] = time.time()
+        with open(SUMMARY, "w") as f:
+            json.dump(summary, f, indent=1, default=str)
+        _log({"step": "done-early", "reason": "yielded to driver bench",
+              "flags": summary.get("flags", {})})
+        return 0
+
+
+def _capture(args, summary) -> int:
     # ---- Phase 1: SAFE captures (validated XLA lowerings, kernels off) --
     safe_env = {"BRAINTPU_FUSED_STAGES": "0", "BRAINTPU_PALLAS_UPCONV": "0",
                 "BRAINTPU_FUSED_BATCHED": "0"}
