@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the pure-math foundation.
+
+The example-based golden tests pin the reference arithmetic
+(SURVEY.md §2.3); these pin the *invariants* that must hold for every
+input — the class of bug a fixed example can miss (off-by-one crops,
+label-table non-bijectivity, Dice edge cases).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+from braintpu.labels.convert import (
+    brats2021_to_internal,
+    brats2025_to_internal,
+    internal_to_brats2021,
+    internal_to_brats2025,
+)
+from braintpu.metrics.segmentation import evaluate_pair
+from braintpu.infer.engine import uncrop_labels
+from braintpu.pre.preprocess import crop_to_nonzero, zscore_masked
+
+SMALL = dict(max_examples=25, deadline=None)
+
+seg_arrays = hnp.arrays(
+    np.int16, hnp.array_shapes(min_dims=3, max_dims=3, min_side=1, max_side=9),
+    elements=st.integers(0, 3),
+)
+
+
+@given(seg_arrays)
+@settings(**SMALL)
+def test_label_remaps_are_bijective_on_internal(seg):
+    np.testing.assert_array_equal(
+        brats2025_to_internal(internal_to_brats2025(seg)), seg
+    )
+    np.testing.assert_array_equal(
+        brats2021_to_internal(internal_to_brats2021(seg)), seg
+    )
+
+
+@given(seg_arrays)
+@settings(**SMALL)
+def test_remap_preserves_background_and_foreground(seg):
+    for out in (internal_to_brats2025(seg), internal_to_brats2021(seg)):
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out == 0, np.asarray(seg) == 0)
+
+
+@given(seg_arrays)
+@settings(**SMALL)
+def test_dice_self_is_perfect(seg):
+    """pred == gt ⇒ Dice 1 (or the defined no-positives convention)."""
+    m = evaluate_pair(seg, seg, 1)
+    has_label = bool((seg == 1).any())
+    if has_label:
+        assert abs(m.dice - 1.0) < 1e-6
+        assert abs(m.iou - 1.0) < 1e-6
+    assert m.fp == 0 and m.fn == 0
+
+
+@given(seg_arrays, seg_arrays.map(lambda a: a))
+@settings(**SMALL)
+def test_dice_symmetry_and_bounds(a, b):
+    """Dice is symmetric in (pred, gt) and within [0, 1]."""
+    if a.shape != b.shape:
+        b = np.resize(b, a.shape)
+    m_ab = evaluate_pair(a, b, 1)
+    m_ba = evaluate_pair(b, a, 1)
+    assert abs(m_ab.dice - m_ba.dice) < 1e-6
+    assert 0.0 <= m_ab.dice <= 1.0
+    # sensitivity/specificity swap under argument exchange: TP symmetric,
+    # FP↔FN
+    assert m_ab.fp == m_ba.fn and m_ab.fn == m_ba.fp
+
+
+@given(
+    hnp.arrays(
+        np.float32,
+        st.tuples(st.just(2), st.integers(3, 10), st.integers(3, 10),
+                  st.integers(3, 10)),
+        elements=st.floats(0, 100, width=32),
+    )
+)
+@settings(**SMALL)
+def test_crop_uncrop_roundtrip(data):
+    """crop_to_nonzero ∘ uncrop restores every foreground voxel; the crop
+    box is tight (touching faces contain nonzero) or the full volume."""
+    cropped, mask, info = crop_to_nonzero(data)
+    assert cropped.shape[1:] == info.cropped_shape
+    labels = (cropped[0] > data.mean()).astype(np.uint8)
+    full = uncrop_labels(labels, info)
+    assert full.shape == data.shape[1:]
+    # every painted voxel survives the round trip at its original site
+    np.testing.assert_array_equal(full[info.slices], labels)
+    outside = np.ones(data.shape[1:], bool)
+    outside[info.slices] = False
+    assert (full[outside] == 0).all()
+    if (data != 0).any():
+        nz = np.asarray(cropped != 0).any(axis=0)
+        for ax in range(3):
+            first = [slice(None)] * 3
+            last = [slice(None)] * 3
+            first[ax] = 0
+            last[ax] = nz.shape[ax] - 1
+            assert nz[tuple(first)].any(), f"loose crop low on axis {ax}"
+            assert nz[tuple(last)].any(), f"loose crop high on axis {ax}"
+
+
+@given(
+    hnp.arrays(
+        np.float32, st.tuples(st.integers(4, 12), st.integers(4, 12),
+                              st.integers(4, 12)),
+        elements=st.floats(-50, 150, width=32),
+    )
+)
+@settings(**SMALL)
+def test_zscore_masked_invariants(data):
+    """Inside-mask values are standardized per channel (mean≈0, std≈1 when
+    nonconstant) and background is forced to exactly 0."""
+    stack = data[None]  # (C=1, X, Y, Z) — the preprocessing layout
+    mask = data > data.mean()
+    if mask.sum() < 8:
+        return
+    out = np.asarray(zscore_masked(stack, mask))[0]
+    mask = np.asarray(mask)
+    inside = out[mask]
+    vals = data[mask].astype(np.float64)
+    # near-constant masked data amplifies f32 rounding through
+    # /(std + 1e-8) (reference nnU-Net semantics do the same) — the
+    # standardization invariant only holds when std is non-degenerate
+    if vals.std() > 1e-3 * (1.0 + abs(vals.mean())):
+        assert abs(float(inside.mean())) < 1e-2
+        assert abs(float(inside.std()) - 1.0) < 1e-2
+    assert (out[~mask] == 0).all()
