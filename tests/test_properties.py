@@ -134,3 +134,73 @@ def test_zscore_masked_invariants(data):
         assert abs(float(inside.mean())) < 1e-2
         assert abs(float(inside.std()) - 1.0) < 1e-2
     assert (out[~mask] == 0).all()
+
+
+@given(
+    st.tuples(st.integers(8, 40), st.integers(8, 40), st.integers(8, 40)),
+    st.tuples(st.integers(4, 16), st.integers(4, 16), st.integers(4, 16)),
+    st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+@settings(**SMALL)
+def test_patch_grid_covers_volume(image_size, patch_size, step):
+    """Every voxel is covered by ≥1 patch; all patches are in-bounds; the
+    first patch starts at 0 and the last ends exactly at the volume edge
+    (nnU-Net's stretched-step formula)."""
+    from braintpu.infer.gaussian import patch_grid, sliding_window_starts
+
+    patch_size = tuple(min(p, s) for p, s in zip(patch_size, image_size))
+    grid = patch_grid(image_size, patch_size, step)
+    covered = np.zeros(image_size, bool)
+    for x, y, z in grid:
+        assert x >= 0 and y >= 0 and z >= 0
+        assert x + patch_size[0] <= image_size[0]
+        assert y + patch_size[1] <= image_size[1]
+        assert z + patch_size[2] <= image_size[2]
+        covered[x:x + patch_size[0], y:y + patch_size[1], z:z + patch_size[2]] = True
+    assert covered.all()
+    for starts, size, patch in zip(
+        sliding_window_starts(image_size, patch_size, step),
+        image_size, patch_size,
+    ):
+        assert starts[0] == 0
+        assert starts[-1] + patch == size
+
+
+@given(st.tuples(st.integers(4, 24), st.integers(4, 24), st.integers(4, 24)))
+@settings(**SMALL)
+def test_gaussian_map_properties(patch):
+    """Strictly positive, peak 1 at the center voxel, symmetric under the
+    same flips mirror-TTA uses (even axes reflect around s//2 pairing)."""
+    from braintpu.infer.gaussian import gaussian_importance_map
+
+    g = gaussian_importance_map(patch)
+    assert g.shape == patch
+    assert (g > 0).all()
+    c = tuple(s // 2 for s in patch)
+    assert g[c] == g.max() == np.float32(1.0)
+    # monotone non-increasing along each axis ray from the center
+    for ax in range(3):
+        line = g[tuple(c[:ax]) + (slice(None),) + tuple(c[ax + 1:])]
+        right = line[c[ax]:]
+        left = line[:c[ax] + 1][::-1]
+        assert (np.diff(right) <= 1e-7).all()
+        assert (np.diff(left) <= 1e-7).all()
+
+
+@given(
+    hnp.arrays(np.float32, st.tuples(st.just(2), st.integers(2, 6),
+                                     st.integers(2, 6), st.integers(2, 6),
+                                     st.just(3)),
+               elements=st.floats(-10, 10, width=32)),
+    st.tuples(st.booleans(), st.booleans(), st.booleans()),
+)
+@settings(**SMALL)
+def test_apply_flips_is_involution(x, flags):
+    """_apply_flips is its own inverse — the TTA unflip is exact."""
+    import jax.numpy as jnp
+
+    from braintpu.infer.sliding_window import _apply_flips
+
+    f = jnp.asarray(np.tile(np.array(flags, dtype=bool), (x.shape[0], 1)))
+    y = _apply_flips(_apply_flips(jnp.asarray(x), f), f)
+    np.testing.assert_array_equal(np.asarray(y), x)
