@@ -304,3 +304,41 @@ def test_report_governance_holds_for_any_summary(summary):
                 for comp in governance.ALLOWED_COMPOUND_WORDS
             ), f"banned word {banned!r} in report: ...{ctx}..."
     assert "FINDINGS" in report and "IMPRESSION" in report
+
+
+@given(
+    st.sampled_from(__import__("braintpu.rag.assistant",
+                               fromlist=["BLOCKED_KEYWORDS"]).BLOCKED_KEYWORDS),
+    st.text(
+        alphabet=st.characters(codec="ascii",
+                               categories=("Lu", "Ll", "Nd", "Zs")),
+        max_size=40,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_rag_gate_blocks_every_keyword_everywhere(keyword, noise, upper):
+    """Any query containing a blocked keyword — any casing, any
+    surrounding text — is refused BEFORE retrieval or LLM contact."""
+    from braintpu.rag.assistant import (
+        REFUSAL_CLINICAL,
+        RagAssistant,
+        is_clinical_query,
+    )
+
+    q = f"{noise} {keyword.upper() if upper else keyword} {noise[::-1]}"
+    assert is_clinical_query(q)
+
+    class ExplodingStore:
+        def retrieve(self, *a, **k):
+            raise AssertionError("retrieval reached for a clinical query")
+
+    class ExplodingClient:
+        def generate(self, *a, **k):
+            raise AssertionError("LLM reached for a clinical query")
+
+    assistant = RagAssistant.__new__(RagAssistant)
+    assistant.store = ExplodingStore()
+    assistant.client = ExplodingClient()
+    assistant.top_k = 2
+    assert assistant.answer_query(q, "report text") == REFUSAL_CLINICAL
