@@ -29,6 +29,9 @@ def ac(tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "RESULTS", str(tmp_path / "results.jsonl"))
     monkeypatch.setattr(mod, "SUMMARY", str(tmp_path / "summary.json"))
     monkeypatch.setattr(mod, "relay_up", lambda *a, **k: True)
+    # liveness is proven by a real jax child in production; stub it here
+    # so main()-level tests don't spawn interpreters
+    monkeypatch.setattr(mod, "_device_live", lambda *a, **k: True)
     mod.RESUME_WAIT_S = 0.1
     return mod
 
@@ -261,3 +264,23 @@ def test_main_relay_never_up(ac, monkeypatch, capsys):
     monkeypatch.setattr(ac, "relay_up", lambda *a, **k: False)
     monkeypatch.setattr(sys, "argv", ["auto_capture.py"])
     assert ac.main() == 2
+
+
+def test_main_waits_out_dead_backend(ac, monkeypatch):
+    """Relay ports open but device never answers: no capture step may
+    start, and main gives up with rc 2 at the watch deadline."""
+    monkeypatch.setattr(ac, "_device_live", lambda *a, **k: False)
+    clock = {"t": 0.0}
+    monkeypatch.setattr(ac.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(
+        ac.time, "sleep", lambda s: clock.__setitem__("t", clock["t"] + s)
+    )
+    started = []
+    monkeypatch.setattr(
+        ac.subprocess, "run",
+        lambda *a, **k: started.append(a) or (_ for _ in ()).throw(
+            AssertionError("bench started with dead backend")),
+    )
+    monkeypatch.setattr(sys, "argv", ["auto_capture.py"])
+    assert ac.main() == 2
+    assert not started

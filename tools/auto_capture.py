@@ -109,6 +109,32 @@ class _Yield(Exception):
     """Stop the capture: the round driver wants the TPU."""
 
 
+def _device_live(timeout_s: float = 240.0) -> bool:
+    """TCP listeners are necessary but not sufficient: a half-attached
+    relay (pump without orchestrator backend) or a wedged remote compile
+    service accepts connections yet hangs every jax call.  A tiny cached
+    matmul in a killable child is the authoritative liveness signal."""
+    rec = tpu_probe.run_child(tpu_probe._CHILD_SMOKE, None, timeout_s)
+    return bool(rec.get("ok"))
+
+
+def _wait_device(budget_s: float) -> bool:
+    """Wait until the relay is up AND a jax op actually completes."""
+    deadline = time.monotonic() + budget_s
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        if not _wait_relay(remaining):
+            return False
+        if _device_live():
+            return True
+        _log({"step": "smoke-retry", "ok": False,
+              "reason": "relay ports open but device not answering; "
+                        "retrying in 5 min"})
+        time.sleep(300.0)
+
+
 def run_bench(name: str, extra_args, env_extra, timeout_s: float) -> dict:
     """Run bench.py in a subprocess; parse its one JSON result line."""
     if _should_abort():
@@ -232,10 +258,10 @@ def main() -> int:
                     help="skip phase 1 (safe benches already captured)")
     args = ap.parse_args()
 
-    if not _wait_relay(max(args.watch * 3600.0, 1.0)):
+    if not _wait_device(max(args.watch * 3600.0, 1.0)):
         _log({"step": "relay", "ok": False})
         return 2
-    _log({"step": "relay", "ok": True})
+    _log({"step": "relay", "ok": True, "device_live": True})
 
     summary: dict = {"started": time.time(), "flags": {}}
 

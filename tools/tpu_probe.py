@@ -84,6 +84,21 @@ print(json.dumps({"probe": f"stage:{name}", "ok": ok,
                   "tflops": round(flops / run_s / 1e12, 1)}))
 """
 
+_CHILD_SMOKE = r"""
+import json, time
+import jax, jax.numpy as jnp
+# tiny CACHED matmul: the recommended liveness probe for both a
+# half-attached relay (listeners up, dead backend) and a wedged remote
+# compile service — either one hangs here and the child gets killed.
+t0 = time.time()
+x = jnp.ones((128, 128), jnp.bfloat16)
+y = jnp.dot(x, x)
+jax.block_until_ready(y)
+print(json.dumps({"probe": "smoke", "ok": bool(float(y[0, 0]) == 128.0),
+                  "seconds": round(time.time() - t0, 1),
+                  "device": str(jax.devices()[0])}))
+"""
+
 _CHILD_STAGE_PARITY = r"""
 import json, sys
 import numpy as np, jax.numpy as jnp
@@ -291,8 +306,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "what",
-        choices=["relay", "stage", "upconv", "fullconv", "int8", "features",
-                 "all"],
+        choices=["relay", "smoke", "stage", "upconv", "fullconv", "int8",
+                 "features", "all"],
     )
     ap.add_argument("--timeout", type=float, default=420.0)
     ap.add_argument("--fused", action="store_true",
@@ -316,6 +331,12 @@ def main() -> int:
         return 0
 
     ok = True
+    if args.what in ("smoke", "all"):
+        rec = run_child(_CHILD_SMOKE, None, min(args.timeout, 240.0))
+        if args.what == "smoke":
+            return 0 if rec.get("ok") else 1
+        if not rec.get("ok"):
+            return 1  # device not live — don't escalate to real probes
     if args.what in ("stage", "all"):
         run_child(_CHILD_STAGE_PARITY, None, args.timeout)
         for spec in STAGE_SHAPES:
