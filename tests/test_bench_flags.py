@@ -111,3 +111,17 @@ def test_watchdog_fires_and_cancels(bench, monkeypatch):
     monkeypatch.setenv("BRAINTPU_BENCH_WATCHDOG", "30")
     t = bench._arm_watchdog(999.0)
     t.cancel()
+
+
+def test_find_summary_search_order(monkeypatch, tmp_path):
+    from braintpu.utils import tuned
+
+    # explicit env wins over everything
+    p = tmp_path / "explicit.json"
+    p.write_text("{}")
+    monkeypatch.setenv("BRAINTPU_TUNED_FLAGS_FILE", str(p))
+    assert tuned.find_summary() == str(p)
+    # non-existent explicit path falls through to the repo layout
+    monkeypatch.setenv("BRAINTPU_TUNED_FLAGS_FILE", str(tmp_path / "nope"))
+    found = tuned.find_summary()
+    assert found is None or found.endswith("capture_summary.json")
