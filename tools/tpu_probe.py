@@ -246,24 +246,53 @@ _CHILD_INT8 = r"""
 import json, sys, time
 import numpy as np, jax, jax.numpy as jnp
 from braintpu.ops.int8_probe import int8_matmul, xla_int8_matmul
-M = K = N = 4096
 rng = np.random.default_rng(0)
-x = jnp.asarray(rng.integers(-127, 128, (M, K)).astype(np.int8))
-y = jnp.asarray(rng.integers(-127, 128, (K, N)).astype(np.int8))
-flops = 2 * M * K * N
-out = {}
-for name, fn in (("pallas", lambda: int8_matmul(x, y)),
-                 ("xla", lambda: xla_int8_matmul(x, y))):
-    r = fn(); jax.block_until_ready(r)  # compile
-    reps = 50
-    t0 = time.time()
-    for _ in range(reps):
+
+def bench(M, K, N, bm, bn, bk, label):
+    # one call must be >=100 ms device time or tunnel timing lies
+    # (axon-tunnel gotchas): run R GEMMs inside ONE jitted fori_loop,
+    # serialized by a scalar dependency on the accumulator (loop-invariant
+    # code motion would hoist a truly constant dot out of the loop).
+    flops = 2 * M * K * N
+    R = max(4, min(20000, int(6e12 // flops) + 1))
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)).astype(np.int8))
+    y = jnp.asarray(rng.integers(-127, 128, (K, N)).astype(np.int8))
+    out = {}
+
+    def loop_with(dot):
+        def body(i, acc):
+            yv = y + (acc[0, 0] % 2).astype(jnp.int8)  # tiny K*N dependency
+            return acc + dot(x, yv)
+        return jax.jit(lambda: jax.lax.fori_loop(
+            0, R, body, jnp.zeros((M, N), jnp.int32)))
+
+    fns = {
+        "pallas": loop_with(lambda a, b: int8_matmul(a, b, bm=bm, bn=bn, bk=bk)),
+        "xla": loop_with(xla_int8_matmul),
+    }
+    for name, fn in fns.items():
+        r = fn(); jax.block_until_ready(r)  # compile
+        t0 = time.time()
         r = fn()
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / reps
-    out[name + "_tops"] = round(flops / dt / 1e12, 1)
-ok = bool(jnp.array_equal(int8_matmul(x, y), xla_int8_matmul(x, y)))
-print(json.dumps({"probe": "int8:4096cube", "ok": ok, **out}))
+        jax.block_until_ready(r)
+        dt = (time.time() - t0) / R
+        out[name + "_tops"] = round(flops / dt / 1e12, 1)
+    ok = bool(jnp.array_equal(int8_matmul(x, y, bm=bm, bn=bn, bk=bk),
+                              xla_int8_matmul(x, y)))
+    print(json.dumps({"probe": f"int8:{label}", "ok": ok, "loop_reps": R,
+                      **out}), flush=True)
+
+# square peak-rate probe
+bench(4096, 4096, 4096, 512, 512, 512, "4096cube")
+# REAL stage-GEMM shapes (rows = RS*W per chunk; K = 9*ci im2col;
+# N = 3*co tap-merged; both padded to lane tiles): decides whether an
+# int8 conv path could beat bf16 at the shapes that actually matter.
+# l0 BN (ci=co=32 @ W=192, RS=16): (3072, 288) x (288, 96)
+bench(3072, 384, 128, 128, 128, 128, "stage-l0-bn")
+# l0 GN concat (ci=128, co=64 @ W=192): (3072, 1152) x (1152, 192)
+bench(3072, 1152, 256, 128, 256, 384, "stage-l0-gn-concat")
+# l1 (ci=co=128 @ W=96, RS=16): (1536, 1152) x (1152, 384)
+bench(1536, 1152, 384, 128, 384, 384, "stage-l1")
 """
 
 
