@@ -40,6 +40,7 @@ STAGE_SHAPES = [
     ("bucket-l1-gn", 1, 80, 96, 80, 128, 128, True),
     ("patch-l0-bn", 1, 128, 128, 128, 32, 32, True),
     ("bucket-l0-gn64", 1, 160, 192, 160, 64, 64, True),
+    ("bucket-l0-bn-concat", 1, 160, 192, 160, 64, 32, True),  # BN decoder [up|skip]
     ("bucket-l0-concat", 1, 160, 192, 160, 128, 64, True),
     # batched sliding-window TTA shapes (per-sample stats path)
     ("tta-batch8-bn-l0", 8, 128, 128, 128, 32, 32, False),
