@@ -151,7 +151,7 @@ def _apply_tuned_flags() -> None:
     apply_validated_flags(verbose=True)
 
 
-def _bench_batched(args, engine, data, jax) -> int:
+def _bench_batched(args, engine, data, jax, watchdog=None) -> int:
     """Multi-case throughput: N synthetic cases on disk → cases/min per chip.
 
     Exercises the full production path — parallel NIfTI decode, prefetch
@@ -187,6 +187,11 @@ def _bench_batched(args, engine, data, jax) -> int:
         total = time.perf_counter() - t0
         assert len(results) == n_cases
         cases_per_min = 60.0 * n_cases / total
+        # disarm BEFORE printing: a timer firing between the success line
+        # and main()'s cancel would append a failure line after it, and
+        # last-JSON-line parsers would flip a completed bench to failed
+        if watchdog:
+            watchdog.cancel()
         baseline_cpm = 60.0 / 330.0  # reference: ~330 s/case, serial
         out = {
             "metric": "brats_cases_per_min_per_chip",
@@ -264,7 +269,7 @@ def main() -> int:
     data = synthetic_case()
 
     if args.mode == "batched":
-        rc = _bench_batched(args, engine, data, jax)
+        rc = _bench_batched(args, engine, data, jax, watchdog=watchdog)
         if watchdog:
             watchdog.cancel()
         return rc

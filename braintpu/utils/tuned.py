@@ -32,14 +32,19 @@ __all__ = ["apply_validated_flags", "find_summary"]
 
 def find_summary() -> Optional[str]:
     explicit = os.environ.get("BRAINTPU_TUNED_FLAGS_FILE")
-    candidates = [explicit] if explicit else []
+    if explicit:
+        # an explicit path is an explicit choice: never fall through to a
+        # stale repo/home record that could re-enable kernels the operator
+        # tried to pin away from
+        return explicit if os.path.isfile(explicit) else None
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    candidates.append(os.path.join(pkg_root, "tools", "capture_summary.json"))
-    candidates.append(os.path.expanduser(
-        "~/.cache/braintpu/capture_summary.json"))
+    candidates = [
+        os.path.join(pkg_root, "tools", "capture_summary.json"),
+        os.path.expanduser("~/.cache/braintpu/capture_summary.json"),
+    ]
     for c in candidates:
-        if c and os.path.isfile(c):
+        if os.path.isfile(c):
             return c
     return None
 

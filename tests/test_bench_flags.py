@@ -50,6 +50,11 @@ def test_tuned_flags_applied(bench, monkeypatch, tmp_path):
         # only BRAINTPU_* keys may be applied from the summary
         assert "NOT_A_BRAINTPU_FLAG" not in os.environ
     finally:
+        # _apply_tuned_flags mutates os.environ directly and monkeypatch
+        # records nothing for vars that were absent — scrub the applied
+        # flags so later tests don't silently run under a tuned config
+        os.environ.pop("BRAINTPU_FUSED_STAGES", None)
+        os.environ.pop("BRAINTPU_UPCONV_STRATEGY", None)
         if existed:
             open(summary, "w").write(backup)
         else:
@@ -121,7 +126,11 @@ def test_find_summary_search_order(monkeypatch, tmp_path):
     p.write_text("{}")
     monkeypatch.setenv("BRAINTPU_TUNED_FLAGS_FILE", str(p))
     assert tuned.find_summary() == str(p)
-    # non-existent explicit path falls through to the repo layout
+    # a non-existent explicit path is honored, NOT silently replaced by a
+    # stale repo/home record (which could re-enable pinned-away kernels)
     monkeypatch.setenv("BRAINTPU_TUNED_FLAGS_FILE", str(tmp_path / "nope"))
+    assert tuned.find_summary() is None
+    # without the env var the repo/home caches are searched
+    monkeypatch.delenv("BRAINTPU_TUNED_FLAGS_FILE")
     found = tuned.find_summary()
     assert found is None or found.endswith("capture_summary.json")

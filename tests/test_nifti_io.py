@@ -170,7 +170,7 @@ def test_big_endian_read(tmp_path):
     swap("f", 108)          # vox_offset
     swap("f", 112)          # scl_slope
     swap("f", 116)          # scl_inter
-    swap("3h", 252)         # qform, sform codes... (qform_code at 252)
+    swap("2h", 252)         # qform_code, sform_code (2 shorts at 252)
     swap("6f", 256)         # quatern b,c,d + qoffset x,y,z
     swap("12f", 280)        # srow
     body = bytes(raw[352:])

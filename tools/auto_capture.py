@@ -86,8 +86,11 @@ def _foreign_bench_running() -> bool:
                 with open(f"/proc/{pid}/cmdline", "rb") as f:
                     cmd = f.read().decode(errors="replace")
                 with open(f"/proc/{pid}/stat") as f:
-                    ppid = int(f.read().split()[3])
-            except OSError:
+                    # comm (field 2) may contain spaces — parse after the
+                    # last ')' so e.g. 'tmux: server' can't shift fields
+                    stat_rest = f.read().rsplit(")", 1)[-1].split()
+                    ppid = int(stat_rest[1])  # state, ppid, ...
+            except (OSError, ValueError, IndexError):
                 continue
             if "bench.py" in cmd and ppid != me:
                 return True
@@ -149,6 +152,10 @@ def run_bench(name: str, extra_args, env_extra, timeout_s: float) -> dict:
     # kernel flags into a bench child (bench.py's _apply_tuned_flags
     # would re-enable kernels the CURRENT probes may just have rejected).
     env["BRAINTPU_BENCH_NO_TUNED"] = "1"
+    # align bench.py's internal hang watchdog with THIS step's budget —
+    # its 1800 s default would kill a healthy-but-slow run we explicitly
+    # granted a longer timeout (sliding/batched get +1200 s)
+    env.setdefault("BRAINTPU_BENCH_WATCHDOG", str(max(timeout_s - 120.0, 60.0)))
     env.update(env_extra or {})
     # bench.py's own preflight already polls 5 min; that is enough here.
     t0 = time.time()
@@ -317,19 +324,24 @@ def _capture(args, summary) -> int:
                 args.bench_timeout + 1200)
 
     # ---- Phase 4: low-priority probes ----------------------------------
+    # every step re-checks for a foreign bench.py: this phase can hold the
+    # TPU for ~1 h and the yield guarantee must cover it too
+    phase4 = [(tpu_probe._CHILD_INT8, None, args.probe_timeout, None),
+              (tpu_probe._CHILD_FEATURES, None,
+               max(args.probe_timeout, 600.0), None)]
+    # per-model trace-grade timings for the PERF table, with profiler
+    # traces for per-op attribution (kernel decisions)
+    trace_env = {"BRAINTPU_PROBE_TRACE_DIR":
+                 os.path.join(REPO, "tools", "traces")}
+    for which in ("bn", "gn"):
+        for mirrors in (1, 8):
+            phase4.append((tpu_probe._CHILD_FULLCONV, [which, mirrors],
+                           900.0, {**(flags or safe_env), **trace_env}))
     if _wait_relay(60.0):
-        tpu_probe.run_child(tpu_probe._CHILD_INT8, None, args.probe_timeout)
-        tpu_probe.run_child(
-            tpu_probe._CHILD_FEATURES, None, max(args.probe_timeout, 600.0))
-        # per-model trace-grade timings for the PERF table, with
-        # profiler traces for per-op attribution (kernel decisions)
-        trace_env = {"BRAINTPU_PROBE_TRACE_DIR":
-                     os.path.join(REPO, "tools", "traces")}
-        for which in ("bn", "gn"):
-            for mirrors in (1, 8):
-                tpu_probe.run_child(
-                    tpu_probe._CHILD_FULLCONV, [which, mirrors],
-                    900.0, {**(flags or safe_env), **trace_env})
+        for code, parg, tmo, penv in phase4:
+            if _should_abort():
+                raise _Yield
+            tpu_probe.run_child(code, parg, tmo, penv)
 
     summary["finished"] = time.time()
 

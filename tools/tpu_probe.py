@@ -218,13 +218,9 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
             [sys.executable, "-c", code, json.dumps(arg)],
             cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
         )
-        line = None
-        for ln in (p.stdout or "").splitlines():
-            ln = ln.strip()
-            if ln.startswith("{"):
-                line = ln
-        if line:
-            rec = json.loads(line)
+        recs = _json_lines(p.stdout)
+        if recs:
+            rec = recs[-1]
             # keep diagnostic output (e.g. the fullconv probe's per-op
             # trace table) in the session log
             if p.stderr and p.stderr.strip():
@@ -232,15 +228,36 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
         else:
             rec = {"probe": str(arg), "ok": False, "rc": p.returncode,
                    "stderr": (p.stderr or "")[-400:]}
-    except subprocess.TimeoutExpired:
+            recs = [rec]
+    except subprocess.TimeoutExpired as e:
+        # salvage any result lines the child flushed before the hang —
+        # multi-shape probes (int8) print one record per shape
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        recs = _json_lines(out)
         rec = {"probe": str(arg), "ok": False,
                "error": f"TIMEOUT after {timeout}s (possible Mosaic hang — "
                         "do NOT retry the same shape; fix offline)"}
+        recs.append(rec)
     rec["wall_s"] = round(time.time() - t0, 1)
     with open(LOG, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+        for r in recs:  # every record, not just the last
+            f.write(json.dumps(r) + "\n")
     print(json.dumps(rec), flush=True)
     return rec
+
+
+def _json_lines(stdout) -> list:
+    recs = []
+    for ln in (stdout or "").splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                recs.append(json.loads(ln))
+            except ValueError:
+                pass
+    return recs
 
 
 _CHILD_INT8 = r"""
