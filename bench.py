@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -266,7 +267,14 @@ def main() -> int:
     mode = "fullconv" if args.mode == "batched" else args.mode
     engine = InferenceEngine(models=bundles, tta=not args.no_tta, mode=mode)
 
-    data = synthetic_case()
+    # BRAINTPU_BENCH_SHAPE="80,96,80" shrinks the synthetic case so every
+    # mode can be end-to-end drilled on CPU before a TPU window spends
+    # real tunnel time on it; production default is the BraTS geometry
+    shape_env = os.environ.get("BRAINTPU_BENCH_SHAPE")
+    if shape_env:
+        data = synthetic_case(tuple(int(s) for s in shape_env.split(",")))
+    else:
+        data = synthetic_case()
 
     if args.mode == "batched":
         rc = _bench_batched(args, engine, data, jax, watchdog=watchdog)
