@@ -98,6 +98,34 @@ def test_fused_forward_matches_reference_path(norm, folded, monkeypatch):
     assert d <= 0.03 * scale, (d, scale)
 
 
+@pytest.mark.parametrize(
+    "cfg,folded",
+    [(u3.MODEL1_BN, True), (u3.MODEL2_GN_LARGE, False)],
+    ids=["model1-bn-folded", "model2-gn-large"],
+)
+def test_fused_forward_production_topology(cfg, folded, monkeypatch):
+    """Fused path at the REAL topologies (5 pools, base 32/64, channel
+    widths to 320/640-lane decoder concats) on a 32^3 volume: every stage
+    shape the flagship models emit goes through the tile planner and the
+    deferred-norm dataflow, not just the toy 2-pool config above.
+
+    Retires the risk that a channel-width edge case (e.g. the ci>64 tap
+    accumulation or a (CH, RS) plan at bottleneck H=W=1) only surfaces on
+    first TPU run. ~80 s interpret-mode on CPU for both params together.
+    """
+    params = u3.init_params(cfg, jax.random.PRNGKey(0))
+    if folded:
+        params = u3.fold_batchnorm(params, cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 4)).astype(np.float32))
+    ref = u3.apply_unet(params, x, cfg, folded=folded)
+    monkeypatch.setattr(u3, "_on_tpu", lambda: True)
+    got = u3._apply_unet_fused(params, x, cfg, folded)
+    scale = float(jnp.max(jnp.abs(ref)))
+    d = float(jnp.max(jnp.abs(got - ref)))
+    assert d <= 0.03 * scale, (d, scale)
+
+
 def test_conv_stage_exact_batched_folded():
     """N > 1 without stats (the folded-BN sliding-window TTA batch case):
     per-sample grid walks must not bleed accumulator state across n."""
