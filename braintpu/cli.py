@@ -199,6 +199,11 @@ def cmd_segment(args):
     use_batched = bool(getattr(args, "batch_cases", 0)) and len(cases) > 1
     if use_batched and engine.mode != "fullconv":
         raise SystemExit("--batch-cases requires --mode fullconv")
+    if use_batched and engine.spatial_shard:
+        raise SystemExit(
+            "--batch-cases and --spatial-shard are mutually exclusive: "
+            "batching is case-data-parallel (one whole volume per chip), "
+            "spatial sharding splits ONE volume across chips. Drop one.")
     if (
         engine.mesh is not None
         and not engine.spatial_shard

@@ -238,6 +238,13 @@ class InferenceEngine:
             return np.asarray(internal_to_brats2021(full))
         return full
 
+    def _case_volumes(self, seg, zooms) -> dict:
+        """Per-region volumes (cm³) of an output-convention segmentation."""
+        voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
+        et_label = 4 if self.output_convention == "brats2021" else 3
+        conv = "internal" if self.output_convention == "internal" else "brats"
+        return calculate_volumes(seg, voxel_cm3, et_label, conv)
+
     def _spatial_fullconv(self, vol_cxyz, m, mi: int):
         """Single-case spatially-sharded fullconv for one model bundle.
 
@@ -352,6 +359,17 @@ class InferenceEngine:
         """
         if self.mode != "fullconv":
             raise ValueError("predict_cases_batched requires mode='fullconv'")
+        if self.spatial_shard:
+            # spatial sharding exists so ONE case's activations can exceed a
+            # single chip (halo-exchange partitioning of the volume); the
+            # batched runner instead placed a full unsharded volume per chip
+            # — silently changing that contract invites an HBM OOM
+            raise ValueError(
+                "predict_cases_batched is case-data-parallel and incompatible "
+                "with spatial_shard=True: batching places one whole volume "
+                "per chip, which defeats the reason to shard spatially. Use "
+                "per-case predict_case calls for spatially-sharded inference, "
+                "or spatial_shard=False for batched throughput.")
         div = max(2**m.cfg.num_pool for m in self.models)
         if max_pending is None:
             # pending cases are DEVICE-resident (preprocess returns device
@@ -386,16 +404,11 @@ class InferenceEngine:
                         [p[bi] for p in per_model], pre
                     )
                     out = self._to_output_convention(seg_internal, pre)
-                    voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
-                    et_label = 4 if self.output_convention == "brats2021" else 3
-                    conv = (
-                        "internal" if self.output_convention == "internal" else "brats"
-                    )
                     info = {
                         "case_id": case.case_id,
                         "batch_seconds": batch_s,
                         "batch_size": len(chunk),
-                        "volumes_cm3": calculate_volumes(out, voxel_cm3, et_label, conv),
+                        "volumes_cm3": self._case_volumes(out, zooms),
                     }
                     if output_dir is not None:
                         path = Path(output_dir) / f"{case.case_id}.nii.gz"
@@ -435,10 +448,7 @@ class InferenceEngine:
         """
         data, affine, zooms = loaded if loaded is not None else load_case_volumes(case)
         seg, info = self.predict_case_array(data)
-        voxel_cm3 = float(np.prod(zooms[:3])) / 1000.0
-        et_label = 4 if self.output_convention == "brats2021" else 3
-        conv = "internal" if self.output_convention == "internal" else "brats"
-        info["volumes_cm3"] = calculate_volumes(seg, voxel_cm3, et_label, conv)
+        info["volumes_cm3"] = self._case_volumes(seg, zooms)
         info["case_id"] = case.case_id
         if output_path is not None:
             nifti.save(seg.astype(np.uint8), output_path, affine=affine)

@@ -510,16 +510,31 @@ def _choose_impl(shape, kernel, stride, co) -> str:
     return "decomp2d"
 
 
-def _conv3d(x, w, b, stride, compute_dtype, conv_impl="decomp2d"):
+def _conv3d(x, w, b, stride, compute_dtype, conv_impl="decomp2d",
+            negative_slope=None):
+    """Dispatch one 3-D conv.  ``negative_slope`` fuses a LeakyReLU into
+    the output: the Pallas kernel folds it into its epilogue (XLA cannot
+    fuse past a custom call); the XLA lowerings get a trailing
+    ``jnp.where`` that XLA fuses into the conv output itself."""
     if conv_impl == "auto":
         conv_impl = _choose_impl(x.shape, w.shape[:3], stride, w.shape[4])
     if conv_impl == "pallas":
-        return _conv3d_pallas(x, w, b, stride, compute_dtype)
+        return _conv3d_pallas(x, w, b, stride, compute_dtype, negative_slope)
     if conv_impl == "merged2d":
-        return _conv3d_merged2d(x, w, b, stride, compute_dtype)
-    if conv_impl == "decomp2d":
-        return _conv3d_decomp2d(x, w, b, stride, compute_dtype)
-    return _conv3d_xla(x, w, b, stride, compute_dtype)
+        y = _conv3d_merged2d(x, w, b, stride, compute_dtype)
+    elif conv_impl == "decomp2d":
+        y = _conv3d_decomp2d(x, w, b, stride, compute_dtype)
+    elif conv_impl == "xla3d":
+        y = _conv3d_xla(x, w, b, stride, compute_dtype)
+    else:
+        # a typo'd impl must not silently dispatch the ~1.7x-slower (and
+        # compile-hazardous on TPU) native Conv3D path
+        raise ValueError(
+            f"unknown conv_impl {conv_impl!r}: expected 'auto', 'decomp2d', "
+            "'merged2d', 'pallas' or 'xla3d'")
+    if negative_slope is not None:
+        y = jnp.where(y >= 0, y, y * negative_slope)
+    return y
 
 
 def _spatial_group_stats(x, g: int):
@@ -596,11 +611,15 @@ def _norm(x, block, cfg: UNetConfig, train: bool, batch_stats: Optional[dict] = 
 
 def _block_apply(x, block, cfg: UNetConfig, stride=(1, 1, 1), train=False, folded=False):
     """Conv → Norm → LeakyReLU.  Returns (y, new_stats)."""
-    y = _conv3d(x, block["w"], block["b"], stride, cfg.compute_dtype, cfg.conv_impl)
     if folded:
-        new_stats = None
-    else:
-        y, new_stats = _norm(y, block, cfg, train)
+        # folded-BN: no norm between conv and activation, so the LeakyReLU
+        # rides the conv epilogue (saves one full-tensor HBM pass when the
+        # layer dispatches to the Pallas kernel)
+        y = _conv3d(x, block["w"], block["b"], stride, cfg.compute_dtype,
+                    cfg.conv_impl, negative_slope=cfg.negative_slope)
+        return y.astype(cfg.compute_dtype), None
+    y = _conv3d(x, block["w"], block["b"], stride, cfg.compute_dtype, cfg.conv_impl)
+    y, new_stats = _norm(y, block, cfg, train)
     y = jnp.where(y >= 0, y, y * cfg.negative_slope)
     return y.astype(cfg.compute_dtype), new_stats
 
@@ -713,10 +732,13 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
     ci = int(w.shape[3])
     N, D, H, W, _ = h.shape
     g = cfg.group_norm_groups if cfg.norm == "group" else co
+    ci1 = int(h.shape[4])
     kernel_ok = (
         stride == (1, 1, 1)
         and tuple(w.shape[:3]) == (3, 3, 3)
-        and conv_stage_supported((N, D, H, W, ci), co)
+        # decoder concats keep the two inputs in separate halo buffers,
+        # each 128-lane padded — the planner must see the split
+        and conv_stage_supported((N, D, H, W, ci1), co, ci2=ci - ci1)
     )
     if kernel_ok:
         k1 = dict(in1_affine=False, in1_slope=None)

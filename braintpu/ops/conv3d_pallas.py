@@ -70,15 +70,7 @@ def pallas_conv_supported(
     return True
 
 
-def _shift_w(a: jnp.ndarray, kx: int) -> jnp.ndarray:
-    """Zero-padded shift along the W axis for in-plane tap ``kx``."""
-    CH, W, ci = a.shape
-    z = jnp.zeros((CH, 1, ci), a.dtype)
-    if kx == 0:
-        return jnp.concatenate([z, a[:, : W - 1]], axis=1)
-    if kx == 2:
-        return jnp.concatenate([a[:, 1:], z], axis=1)
-    return a
+from .stage_pallas import _shift_w  # one W-tap shift rule across kernels
 
 
 def _kernel(

@@ -54,12 +54,27 @@ def _pad_lanes(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def plan_stage_tiles(H: int, W: int, ci: int, co: int) -> Optional[Tuple[int, int]]:
-    """(CH, RS): H-band height and row sub-chunk, or None if nothing fits."""
+def plan_stage_tiles(
+    H: int, W: int, ci: int, co: int,
+    ci_split: Optional[Tuple[int, int]] = None,
+) -> Optional[Tuple[int, int]]:
+    """(CH, RS): H-band height and row sub-chunk, or None if nothing fits.
+
+    ``ci_split=(ci1, ci2)`` is the two-input (decoder concat) form: the
+    halo bands live in SEPARATE scratch buffers, each padded to 128 lanes
+    on its own — e.g. ci1=ci2=32 really occupies pad(32)+pad(32)=256
+    lanes, not pad(64)=128, and a planner that counts the combined ci
+    would approve CH values that blow its own budget on the largest
+    decoder stages.
+    """
+    if ci_split is not None:
+        lanes_in = _pad_lanes(ci_split[0]) + _pad_lanes(ci_split[1])
+    else:
+        lanes_in = _pad_lanes(ci)
     for ch in (64, 32, 16, 8):
         if ch > H or H % ch:
             continue
-        inb = 2 * min(ch + 2, H) * W * _pad_lanes(ci) * 2  # double-buffered halo band
+        inb = 2 * min(ch + 2, H) * W * lanes_in * 2  # double-buffered halo band(s)
         outb = 2 * ch * W * _pad_lanes(co) * 2
         acc = 2 * ch * W * _pad_lanes(co) * 4
         wm = 9 * ci * _pad_lanes(3 * co) * 2
@@ -76,11 +91,15 @@ def plan_stage_tiles(H: int, W: int, ci: int, co: int) -> Optional[Tuple[int, in
     return None
 
 
-def conv_stage_supported(shape: Tuple[int, ...], co: int) -> bool:
-    N, D, H, W, ci = shape
-    if ci % 8 or co % 8 or D < 3 or H < 8 or W < 8:
+def conv_stage_supported(shape: Tuple[int, ...], co: int, ci2: int = 0) -> bool:
+    """``shape`` is the FIRST input's shape; ``ci2`` the optional second
+    (decoder-concat) input's channels.  Weights see ci1+ci2."""
+    N, D, H, W, ci1 = shape
+    ci = ci1 + ci2
+    if ci1 % 8 or ci2 % 8 or co % 8 or D < 3 or H < 8 or W < 8:
         return False
-    return plan_stage_tiles(H, W, ci, co) is not None
+    split = (ci1, ci2) if ci2 else None
+    return plan_stage_tiles(H, W, ci, co, ci_split=split) is not None
 
 
 def _shift_w(a: jnp.ndarray, kx: int) -> jnp.ndarray:
@@ -361,7 +380,8 @@ def conv_stage(
     ci2 = ci - ci1
     two = x2 is not None
     assert (ci2 > 0) == two
-    plan = plan_stage_tiles(H, W, ci, co)
+    plan = plan_stage_tiles(H, W, ci, co,
+                            ci_split=(ci1, ci2) if two else None)
     assert plan is not None, "use conv_stage_supported before calling"
     CH, RS = plan
 
@@ -418,7 +438,12 @@ def conv_stage(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, CHP, W, ci1), jnp.bfloat16),
-            pltpu.VMEM((2, CHP, W, ci2b), jnp.bfloat16),
+            # single-input calls never touch buf2 (two_inputs is a static
+            # bool), so the dummy is minimal — a full-band (2, CHP, W, 8)
+            # dummy would pad its 8 lanes to 128 and silently pin ~6.5 MB
+            # of dead VMEM at the 192-scale stages
+            pltpu.VMEM((2, CHP, W, ci2b) if two else (2, 1, 1, 8),
+                       jnp.bfloat16),
             pltpu.VMEM((2, CH * W, co), jnp.float32),
             pltpu.VMEM((2, co), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),

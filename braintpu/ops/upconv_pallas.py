@@ -55,10 +55,13 @@ def _plan_band(H: int, W: int, ci: int, co: int):
     for ch in (64, 32, 16, 8):
         if ch > H or H % ch:
             continue
-        inb = ch * W * _pad_lanes(ci) * 2
+        # in/out/weight blocks are Pallas-pipelined => Mosaic allocates TWO
+        # buffers of each (grid-step double-buffering); the leading 2 on
+        # outb's block is its kd dim, not the double-buffer
+        inb = 2 * ch * W * _pad_lanes(ci) * 2
         dot = ch * W * _pad_lanes(8 * co) * 4
-        outb = 2 * 2 * ch * 2 * W * _pad_lanes(co) * 2
-        wm = ci * _pad_lanes(8 * co) * 2
+        outb = 2 * (2 * 2 * ch * 2 * W * _pad_lanes(co) * 2)
+        wm = 2 * ci * _pad_lanes(8 * co) * 2
         if inb + dot + outb + wm <= _VMEM_BUDGET:
             return ch
     return None
@@ -142,6 +145,10 @@ def upconv2x(
         out_shape=jax.ShapeDtypeStruct((N, 2 * D, 2 * H, 2 * W, co), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # headroom above the planner's working-set estimate (interleave
+            # transients); without this Mosaic falls back to its default
+            # limit and may refuse bands the planner approved
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), wm.astype(jnp.bfloat16))

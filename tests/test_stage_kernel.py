@@ -339,11 +339,11 @@ def test_fused_fallback_boundary(monkeypatch):
     real_supported = stage_pallas.conv_stage_supported
     rejected = []
 
-    def selective(shape, co):
+    def selective(shape, co, ci2=0):
         if co == 16:
             rejected.append(shape)
             return False
-        return real_supported(shape, co)
+        return real_supported(shape, co, ci2=ci2)
 
     monkeypatch.setattr(stage_pallas, "conv_stage_supported", selective)
     got = u3._apply_unet_fused(params, x, cfg, folded=False)

@@ -70,11 +70,13 @@ def test_plan_band_decision_space():
     from braintpu.ops.stage_pallas import _pad_lanes
 
     def cost(ch, W, ci, co):
+        # pipelined in/out/weight blocks are double-buffered (leading 2s);
+        # the dot intermediate is a single transient
         return (
-            ch * W * _pad_lanes(ci) * 2
+            2 * ch * W * _pad_lanes(ci) * 2
             + ch * W * _pad_lanes(8 * co) * 4
-            + 2 * 2 * ch * 2 * W * _pad_lanes(co) * 2
-            + ci * _pad_lanes(8 * co) * 2
+            + 2 * (2 * 2 * ch * 2 * W * _pad_lanes(co) * 2)
+            + 2 * ci * _pad_lanes(8 * co) * 2
         )
 
     assert cost(wide, 128, 128, 64) <= _VMEM_BUDGET

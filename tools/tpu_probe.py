@@ -30,21 +30,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "tools", "tpu_probe_results.jsonl")
 
-#: (name, D, H, W, ci, co, stats) — smallest first; production shapes from
-#: the 192×192×160 fullconv bucket and the 128³ sliding patch.
-#: (name, N, D, H, W, ci, co, stats)
+#: (name, N, D, H, W, ci, co, stats, ci2) — smallest first; production
+#: shapes from the 192×192×160 fullconv bucket and the 128³ sliding patch.
+#: ci2 > 0 probes the two-input decoder-concat form the production fused
+#: path actually emits (separate halo buffers, per-buffer lane padding).
 STAGE_SHAPES = [
-    ("tiny-smoke", 1, 8, 16, 16, 8, 8, True),
-    ("patch-l2", 1, 32, 32, 32, 256, 256, True),
-    ("patch-l1", 1, 64, 64, 64, 128, 128, True),
-    ("bucket-l1-gn", 1, 80, 96, 80, 128, 128, True),
-    ("patch-l0-bn", 1, 128, 128, 128, 32, 32, True),
-    ("bucket-l0-gn64", 1, 160, 192, 160, 64, 64, True),
-    ("bucket-l0-bn-concat", 1, 160, 192, 160, 64, 32, True),  # BN decoder [up|skip]
-    ("bucket-l0-concat", 1, 160, 192, 160, 128, 64, True),
+    ("tiny-smoke", 1, 8, 16, 16, 8, 8, True, 0),
+    ("patch-l2", 1, 32, 32, 32, 256, 256, True, 0),
+    ("patch-l1", 1, 64, 64, 64, 128, 128, True, 0),
+    ("bucket-l1-gn", 1, 80, 96, 80, 128, 128, True, 0),
+    ("patch-l0-bn", 1, 128, 128, 128, 32, 32, True, 0),
+    ("bucket-l0-gn64", 1, 160, 192, 160, 64, 64, True, 0),
+    ("bucket-l0-bn-concat", 1, 160, 192, 160, 64, 32, True, 32),  # BN decoder [up|skip]
+    ("bucket-l0-concat", 1, 160, 192, 160, 128, 64, True, 64),
     # batched sliding-window TTA shapes (per-sample stats path)
-    ("tta-batch8-bn-l0", 8, 128, 128, 128, 32, 32, False),
-    ("tta-batch8-gn-l1", 8, 64, 64, 64, 128, 128, True),
+    ("tta-batch8-bn-l0", 8, 128, 128, 128, 32, 32, False, 0),
+    ("tta-batch8-gn-l1", 8, 64, 64, 64, 128, 128, True, 0),
 ]
 
 UPCONV_SHAPES = [
@@ -57,23 +58,29 @@ _CHILD_STAGE = r"""
 import json, sys, time
 import numpy as np, jax, jax.numpy as jnp
 from braintpu.ops.stage_pallas import conv_stage, conv_stage_supported
-name, N, D, H, W, ci, co, stats = json.loads(sys.argv[1])
-shape = (N, D, H, W, ci)
-if not conv_stage_supported(shape, co):
+spec = json.loads(sys.argv[1])
+name, N, D, H, W, ci, co, stats = spec[:8]
+ci2 = spec[8] if len(spec) > 8 else 0
+ci1 = ci - ci2
+shape = (N, D, H, W, ci1)
+if not conv_stage_supported(shape, co, ci2=ci2):
     print(json.dumps({"probe": f"stage:{name}", "ok": False,
                       "skip": "unsupported shape"}))
     sys.exit(0)
 rng = np.random.default_rng(0)
 x = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(jnp.bfloat16)
+x2 = None
+if ci2:
+    x2 = jnp.asarray(rng.normal(size=(N, D, H, W, ci2)).astype(np.float32)).astype(jnp.bfloat16)
 w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32)) * 0.05
 b = jnp.zeros((co,), jnp.float32)
 t0 = time.time()
-out = conv_stage(x, w, b, out_slope=0.01, stats=stats)
+out = conv_stage(x, w, b, x2=x2, out_slope=0.01, stats=stats)
 jax.block_until_ready(out)
 compile_s = time.time() - t0
 t0 = time.time()
 for _ in range(3):
-    out = conv_stage(x, w, b, out_slope=0.01, stats=stats)
+    out = conv_stage(x, w, b, x2=x2, out_slope=0.01, stats=stats)
 jax.block_until_ready(out)
 run_s = (time.time() - t0) / 3
 y = out[0] if stats else out
