@@ -223,27 +223,29 @@ class CasePrefetcher:
     """
 
     def __init__(self, cases: Sequence[BratsCase], depth: int = 1):
-        import concurrent.futures as cf
-
         self._cases = list(cases)
-        self._pool = cf.ThreadPoolExecutor(max_workers=max(1, depth))
         self._depth = max(1, depth)
 
     def __iter__(self):
         import collections
+        import concurrent.futures as cf
 
+        # one pool per iteration: the prefetcher stays reusable (epoch 2,
+        # retry after an early break) instead of raising 'cannot schedule
+        # new futures after shutdown' on the second pass
+        pool = cf.ThreadPoolExecutor(max_workers=self._depth)
         pending = collections.deque()
         idx = 0
         try:
             while idx < len(self._cases) or pending:
                 while idx < len(self._cases) and len(pending) <= self._depth:
                     case = self._cases[idx]
-                    pending.append((case, self._pool.submit(load_case_volumes, case)))
+                    pending.append((case, pool.submit(load_case_volumes, case)))
                     idx += 1
                 case, fut = pending.popleft()
                 yield case, fut.result()
         finally:
-            self._pool.shutdown(wait=False, cancel_futures=True)
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self):
         return len(self._cases)

@@ -359,7 +359,10 @@ def save(
 
     data = np.ascontiguousarray(data.T).T  # ensure Fortran-contiguous view semantics
     hdr = _build_header(data, affine, descrip, scl_slope, scl_inter)
-    body = data.astype(data.dtype.newbyteorder("="), copy=False).tobytes(order="F")
+    # the header is packed little-endian ('<' struct formats) — the body
+    # must match explicitly, not follow the host ('=' would write corrupt
+    # files on a big-endian host)
+    body = data.astype(data.dtype.newbyteorder("<"), copy=False).tobytes(order="F")
     payload = hdr + b"\x00\x00\x00\x00" + body
 
     path = os.fspath(path)

@@ -97,6 +97,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.nifti_read_f32.argtypes = [
             ctypes.c_char_p,
@@ -129,11 +130,20 @@ def _read_header(lib, path) -> Tuple[Tuple[int, ...], np.ndarray, Tuple[float, .
     dtype = ctypes.c_int32()
     affine = (ctypes.c_float * 12)()
     zooms = (ctypes.c_float * 3)()
+    sform = ctypes.c_int32()
     rc = lib.nifti_read_header(
-        os.fspath(path).encode(), dims, ctypes.byref(dtype), affine, zooms
+        os.fspath(path).encode(), dims, ctypes.byref(dtype), affine, zooms,
+        ctypes.byref(sform),
     )
     if rc != 0:
         raise IOError(f"{path}: {_ERRORS.get(rc, rc)}")
+    if int(sform.value) <= 0:
+        # qform-only file: srow is undefined (often all zeros) — a zero 3x3
+        # affine would silently corrupt output orientation downstream.
+        # Raise so callers take the pure-Python codec, which reconstructs
+        # the affine from the quaternion/pixdim fields.
+        raise IOError(
+            f"{path}: sform_code=0 (qform-only) — native affine unsupported")
     ndim = dims[0]
     shape = tuple(int(dims[i]) for i in range(1, 1 + ndim))
     aff = np.eye(4, dtype=np.float64)

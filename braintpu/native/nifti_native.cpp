@@ -8,7 +8,8 @@
 //
 // C ABI (ctypes-friendly):
 //   nifti_read_header(path, int64 out[8 dims], int32* datatype,
-//                     float out_affine[12], float out_zooms[3]) -> 0/err
+//                     float out_affine[12], float out_zooms[3],
+//                     int32* sform_code) -> 0/err
 //   nifti_read_f32(path, float* out, int64 capacity)            -> 0/err
 //   nifti_read_batch_f32(paths[], n, float* outs[], caps[])     -> 0/err
 //
@@ -177,7 +178,8 @@ int decode_f32(const std::vector<unsigned char>& raw, float* out, int64_t capaci
 extern "C" {
 
 int nifti_read_header(const char* path, int64_t* out_dims, int32_t* out_datatype,
-                      float* out_affine, float* out_zooms) {
+                      float* out_affine, float* out_zooms,
+                      int32_t* out_sform_code) {
   // Header-only: inflate just the first 352 bytes instead of the whole file
   // (read_all would decompress the full multi-MB payload twice per batch
   // read — once here and once in nifti_read_batch_f32).
@@ -192,7 +194,10 @@ int nifti_read_header(const char* path, int64_t* out_dims, int32_t* out_datatype
   if (rc != OK) return rc;
   for (int i = 0; i < 8; ++i) out_dims[i] = h.dim[i];
   *out_datatype = h.datatype;
+  // srow is only meaningful when sform_code > 0 (NIfTI-1 §3); the caller
+  // must fall back to the qform/pixdim affine path otherwise
   for (int i = 0; i < 12; ++i) out_affine[i] = h.srow[i];
+  *out_sform_code = h.sform_code;
   for (int i = 0; i < 3; ++i) out_zooms[i] = h.pixdim[i + 1] < 0 ? -h.pixdim[i + 1] : h.pixdim[i + 1];
   return OK;
 }

@@ -2,7 +2,9 @@
 
 from .distributed import (
     DataParallelPatchRunner,
+    make_fold_parallel_forward,
     make_sharded_train_step,
+    pad_folds_for_axis,
     shard_train_state,
 )
 from .mesh import (
@@ -15,7 +17,9 @@ from .mesh import (
 
 __all__ = [
     "DataParallelPatchRunner",
+    "make_fold_parallel_forward",
     "make_sharded_train_step",
+    "pad_folds_for_axis",
     "shard_train_state",
     "batch_sharding",
     "make_mesh",

@@ -30,6 +30,7 @@ __all__ = [
     "make_sharded_train_step",
     "DataParallelPatchRunner",
     "make_fold_parallel_forward",
+    "pad_folds_for_axis",
 ]
 
 
@@ -161,15 +162,23 @@ def make_sharded_train_step(
         "step": replicated(mesh),
     }
 
-    def step_fn(state, batch):
-        return train_step(state, batch, cfg, tc)
+    def step_fn(state, batch, key):
+        return train_step(state, batch, cfg, tc, rng=key)
 
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
-        in_shardings=(state_shardings, batch_sh),
+        # key is replicated host PRNG data (or None) — leave unspecified
+        in_shardings=(state_shardings, batch_sh, None),
         out_shardings=(state_shardings, metrics_sh),
         donate_argnums=(0,),
     )
+
+    def wrapped(state, batch, key=None):
+        # matches trainer.fit's step_fn contract (state, batch, key) while
+        # keeping existing 2-arg callers working
+        return jitted(state, batch, key)
+
+    return wrapped
 
 
 class DataParallelPatchRunner:

@@ -102,15 +102,28 @@ def param_shardings(
     def conv_block(block):
         return _shard_block(block, mesh, model_size, min_ch)
 
-    return {
+    def rep_tree(subtree):
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), subtree)
+
+    def decoder_stage(stage):
+        sh = {
+            "up": _shard_block(stage["up"], mesh, model_size, min_ch),
+            "blocks": [conv_block(b) for b in stage["blocks"]],
+        }
+        # replicate anything else the stage carries (seg heads, the axial
+        # 'attn' blocks, …) — the sharding tree must mirror the param tree
+        # exactly or device_put fails with a structure mismatch
+        for k in stage:
+            if k not in sh:
+                sh[k] = rep_tree(stage[k])
+        return sh
+
+    out = {
         "encoder": [[conv_block(b) for b in stage] for stage in params["encoder"]],
         "bottleneck": [conv_block(b) for b in params["bottleneck"]],
-        "decoder": [
-            {
-                "up": _shard_block(stage["up"], mesh, model_size, min_ch),
-                "blocks": [conv_block(b) for b in stage["blocks"]],
-                "seg": {"w": replicated(mesh)},
-            }
-            for stage in params["decoder"]
-        ],
+        "decoder": [decoder_stage(stage) for stage in params["decoder"]],
     }
+    for k in params:  # e.g. 'encoder_attn' in the full axial family
+        if k not in out:
+            out[k] = rep_tree(params[k])
+    return out

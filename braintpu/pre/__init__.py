@@ -8,6 +8,7 @@ from .preprocess import (
     pad_to_patch,
     preprocess_case,
     zscore_masked,
+    zscore_masked_np,
 )
 from .resample import resize_nearest, resize_trilinear
 
@@ -19,6 +20,7 @@ __all__ = [
     "pad_to_patch",
     "preprocess_case",
     "zscore_masked",
+    "zscore_masked_np",
     "resize_nearest",
     "resize_trilinear",
 ]

@@ -121,6 +121,23 @@ def zscore_masked(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return (data - mean) / (std + 1e-8) * m
 
 
+def zscore_masked_np(data: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Host-side :func:`zscore_masked` (same arithmetic, numpy).
+
+    For callers that need the result on host anyway (the training data
+    loader): avoids a device round-trip plus one XLA compilation per
+    unique crop shape.
+    """
+    data = np.asarray(data, dtype=np.float32)
+    m = np.asarray(mask, dtype=np.float32)[None]
+    n = np.maximum(m.sum(axis=(1, 2, 3), keepdims=True), 1.0)
+    masked = data * m
+    mean = masked.sum(axis=(1, 2, 3), keepdims=True) / n
+    var = (((data - mean) * m) ** 2).sum(axis=(1, 2, 3), keepdims=True) / n
+    std = np.sqrt(var)
+    return (data - mean) / (std + 1e-8) * m
+
+
 def pad_to_patch(
     data: np.ndarray | jnp.ndarray,
     patch_size: Sequence[int],
@@ -144,7 +161,13 @@ def pad_to_patch(
     lo = diff // 2
     hi = diff - lo
     pads = [(0, 0)] + [(int(l), int(h)) for l, h in zip(lo, hi)]
-    padded = jnp.pad(jnp.asarray(data), pads, mode=mode)
+    if isinstance(data, np.ndarray):
+        # host-side pad: a device jnp.pad would compile one tiny program
+        # per unique crop bbox (every case differs); np.pad costs one
+        # memcpy and the result transfers as a single bucket-shaped array
+        padded = jnp.asarray(np.pad(data, pads, mode=mode))
+    else:
+        padded = jnp.pad(data, pads, mode=mode)
     undo = tuple(slice(int(l), int(l + s)) for l, s in zip(lo, spatial))
     return padded, undo
 
@@ -174,6 +197,14 @@ def preprocess_case(
     inference mode).
     """
     cropped, mask, info = crop_to_nonzero(np.asarray(data, dtype=np.float32))
-    norm = zscore_masked(jnp.asarray(cropped), jnp.asarray(mask))
-    padded, undo = pad_to_patch(norm, patch_size, multiple=pad_multiple)
-    return PreprocessResult(padded, undo, info, affine, zooms)
+    # pad BEFORE the jitted z-score: every case has a distinct brain bbox,
+    # so normalizing the cropped array would compile one XLA program per
+    # case; on the padded array there is exactly one compilation per
+    # bucket shape.  Identical values: padded voxels are outside the mask,
+    # so the masked statistics are unchanged and the output is forced to 0
+    # there — exactly what padding after normalization produced.
+    padded_raw, undo = pad_to_patch(cropped, patch_size, multiple=pad_multiple)
+    padded_mask, _ = pad_to_patch(
+        mask[None].astype(np.float32), patch_size, multiple=pad_multiple)
+    norm = zscore_masked(padded_raw, padded_mask[0])
+    return PreprocessResult(norm, undo, info, affine, zooms)

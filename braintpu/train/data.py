@@ -23,7 +23,7 @@ from ..io.brats import BratsCase, find_cases, load_case_volumes
 from ..io import nifti
 from .augment import AugmentConfig
 from ..labels import brats2021_to_internal, brats2025_to_internal
-from ..pre.preprocess import crop_to_nonzero, zscore_masked
+from ..pre.preprocess import crop_to_nonzero, zscore_masked_np
 
 __all__ = ["PatchSampler", "load_training_case"]
 
@@ -49,7 +49,9 @@ def load_training_case(case: BratsCase) -> Tuple[np.ndarray, np.ndarray]:
         seg = np.asarray(brats2025_to_internal(seg)).astype(np.int32)
     data, mask, info = crop_to_nonzero(data)
     seg_c = seg[info.slices]
-    data = np.asarray(zscore_masked(data, mask))
+    # host z-score: the result is consumed by the host-side patch sampler,
+    # and the jitted variant would compile once per unique case bbox
+    data = zscore_masked_np(data, mask)
     return data.astype(np.float32), seg_c.astype(np.int32)
 
 

@@ -26,8 +26,15 @@ __all__ = [
     "deep_supervision_loss",
 ]
 
-#: BraTS-2025-space region definitions: WT={1,2,3}, TC={1,3}, ET={3}.
-REGION_LABELS: Tuple[Tuple[int, ...], ...] = ((1, 2, 3), (1, 3), (3,))
+#: Region definitions in the INTERNAL nnU-Net label space the training
+#: pipeline feeds (data.py converts GT to 1=ED, 2=NCR, 3=ET before the
+#: loss): WT={1,2,3}, TC=NCR+ET={2,3}, ET={3}.  These must match the
+#: inference painting (region_probs_to_labels channel k → internal label
+#: k+1): the TC sigmoid channel is painted as internal 2 (NCR), so it must
+#: be supervised on the internal-space tumor core.  (In BraTS-2025 space
+#: the same regions read WT={1,2,3}, TC={1,3}, ET={3} — that spelling on
+#: internal labels would train TC on edema+ET.)
+REGION_LABELS: Tuple[Tuple[int, ...], ...] = ((1, 2, 3), (2, 3), (3,))
 
 
 def labels_to_region_targets(labels: jnp.ndarray, regions=REGION_LABELS) -> jnp.ndarray:

@@ -176,11 +176,19 @@ def fit(
             if restored is not None:
                 state = restored
     if step_fn is None:
-        jitted = jax.jit(partial(train_step, cfg=cfg, tc=tc))
-        step_fn = lambda st, b, key: jitted(st, b, rng=key)
+        # call the already-jitted train_step directly: re-wrapping it in an
+        # outer jax.jit would discard its donate_argnames buffer donation
+        # and double peak HBM for params + optimizer state
+        step_fn = lambda st, b, key: train_step(st, b, cfg, tc, rng=key)
     try:
         it = iter(batches)
-        while int(state.step) < num_steps:
+        # host-side step counter (seeded from the restored checkpoint):
+        # reading int(state.step) every iteration would block on the
+        # device result each step and serialize dispatch against host-side
+        # batch prep.  (on_metrics still syncs per step when provided —
+        # pass None for maximum throughput.)
+        step = int(state.step)
+        while step < num_steps:
             try:
                 batch = next(it)
             except StopIteration:
@@ -189,11 +197,12 @@ def fit(
             if rng is not None:
                 rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, batch, key)
+            step += 1
             if on_metrics is not None:
                 on_metrics({k: float(v) for k, v in metrics.items()})
-            if mgr is not None and int(state.step) % checkpoint_every == 0:
+            if mgr is not None and step % checkpoint_every == 0:
                 mgr.save(state)
-        if mgr is not None and mgr.latest_step() != int(state.step):
+        if mgr is not None and mgr.latest_step() != step:
             mgr.save(state)
     finally:
         if mgr is not None:

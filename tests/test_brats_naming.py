@@ -100,3 +100,26 @@ def test_case_prefetcher_yields_all_cases(tmp_path):
         np.testing.assert_array_equal(data, ref)
         seen.append(case.case_id)
     assert seen == [c.case_id for c in cases]
+
+
+def test_case_prefetcher_reusable(tmp_path):
+    """A prefetcher can be iterated more than once (epoch 2, retry after an
+    early break) — the decode pool is per-iteration, not per-object."""
+    import numpy as np
+
+    from braintpu.io import nifti
+    from braintpu.io.brats import CasePrefetcher, find_cases
+
+    aff = np.eye(4)
+    rng = np.random.default_rng(1)
+    for k in range(2):
+        d = tmp_path / f"BraTS-GLI-0881{k}-000"
+        d.mkdir()
+        for mod in ["t1", "t1ce", "t2", "flair"]:
+            nifti.save(rng.normal(size=(5, 6, 7)).astype(np.float32),
+                       d / f"BraTS-GLI-0881{k}-000_{mod}.nii.gz", affine=aff)
+    pf = CasePrefetcher(find_cases(tmp_path), depth=2)
+    first = next(iter(pf))  # partial consumption (break after one case)
+    assert first[1][0].shape == (4, 5, 6, 7)
+    seen = [case.case_id for case, _ in pf]  # full second pass must work
+    assert len(seen) == 2

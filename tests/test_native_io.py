@@ -166,3 +166,26 @@ def test_save_uses_native_writer_and_python_reads_it(tmp_path):
     nifti.save(vol, p)
     img = nifti.load(p)
     np.testing.assert_array_equal(img.get_fdata(np.float32), vol)
+
+
+@requires_native
+def test_native_qform_only_falls_back_to_python_affine(tmp_path):
+    """sform_code=0 files carry their affine in the quaternion fields; the
+    native header reader must NOT hand back the (zero/garbage) srow — it
+    raises, and load_f32 falls back to the Python codec's qform affine."""
+    path, data, affine = _write_vol(tmp_path, "qonly", gz=False)
+    raw = bytearray(path.read_bytes())
+    import struct as _s
+
+    raw[254:256] = _s.pack("<h", 0)          # sform_code = 0
+    raw[280:328] = b"\x00" * 48              # srow zeroed (undefined)
+    path.write_bytes(bytes(raw))
+
+    with pytest.raises(IOError):
+        native.read_nifti_f32(path)
+
+    got, aff, zooms = nifti.load_f32(path)
+    np.testing.assert_allclose(got, data, rtol=1e-6)
+    # the python codec reconstructs the affine from qform; rotation+offset
+    # must match the original sform affine
+    np.testing.assert_allclose(aff, affine, atol=1e-4)

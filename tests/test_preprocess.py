@@ -138,3 +138,31 @@ def test_fill_holes_matches_scipy():
     open_cavity[5:11, 5:11, 0:11] = False  # tunnel to the border -> kept open
     for m in (shell, open_cavity, np.zeros((5, 5, 5), bool), np.ones((5, 5, 5), bool)):
         np.testing.assert_array_equal(fill_holes(m), ndi.binary_fill_holes(m))
+
+
+def test_zscore_masked_np_matches_jitted():
+    """Host variant (used by the training loader) computes the identical
+    masked z-score as the jitted device version."""
+    from braintpu.pre.preprocess import zscore_masked_np
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(40, 9, (4, 7, 6, 5)).astype(np.float32)
+    mask = rng.random((7, 6, 5)) > 0.4
+    a = np.asarray(zscore_masked(jnp.asarray(data), jnp.asarray(mask)))
+    b = zscore_masked_np(data, mask)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_preprocess_case_normalizes_like_crop_order():
+    """Padding before the masked z-score (one compile per bucket) must give
+    the same values as normalizing the crop then padding (the old order)."""
+    data, brain = _stack_with_brain()
+    res = preprocess_case(data, patch_size=(16, 16, 16))
+    cropped, mask, _ = crop_to_nonzero(np.asarray(data, np.float32))
+    ref = np.asarray(zscore_masked(jnp.asarray(cropped), jnp.asarray(mask)))
+    got = np.asarray(res.data)[(slice(None),) + res.undo_slices]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # padding region is exactly zero
+    total = np.zeros(res.data.shape, np.float32)
+    total[(slice(None),) + res.undo_slices] = got
+    np.testing.assert_array_equal(np.asarray(res.data), total)

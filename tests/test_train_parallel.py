@@ -50,10 +50,13 @@ def make_batch(n=2, size=16, seed=0):
 
 
 def test_region_targets():
+    # INTERNAL label space (what data.py feeds): 1=ED, 2=NCR, 3=ET.
+    # TC = NCR+ET = {2,3}; matches region_probs_to_labels painting where
+    # the TC channel is drawn as internal label 2.
     labels = jnp.asarray([[0, 1, 2, 3]])
     t = np.asarray(labels_to_region_targets(labels))
     np.testing.assert_array_equal(t[0, :, 0], [0, 1, 1, 1])  # WT
-    np.testing.assert_array_equal(t[0, :, 1], [0, 1, 0, 1])  # TC
+    np.testing.assert_array_equal(t[0, :, 1], [0, 0, 1, 1])  # TC
     np.testing.assert_array_equal(t[0, :, 2], [0, 0, 0, 1])  # ET
 
 
@@ -371,3 +374,38 @@ def test_augment_patch_properties():
                              seed=0, augment=AugmentConfig())
             b = next(iter(s))
             assert b["image"].shape == (1, 16, 16, 16, 4)
+
+
+def test_param_shardings_axial_tree_matches():
+    """Sharding trees must mirror axial param trees exactly (attn and
+    encoder_attn subtrees replicated) or device_put structure-mismatches."""
+    mesh = make_mesh(data=4, model=2)
+    for mode in ("decoder", "full"):
+        cfg = tiny_cfg(axial_attention=True, axial_mode=mode,
+                       attn_heads=1, attn_dim_head=4)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        sh = param_shardings(params, cfg, mesh)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(sh))
+        placed = jax.device_put(params, sh)  # would raise on mismatch
+        assert jax.tree_util.tree_structure(placed) == jax.tree_util.tree_structure(params)
+
+
+def test_fit_with_sharded_step_fn():
+    """fit()'s documented sharded-training path: step_fn from
+    make_sharded_train_step must accept fit's (state, batch, key) calls."""
+    from braintpu.train.trainer import fit
+
+    cfg = tiny_cfg()
+    tc = TrainConfig(base_lr=1e-3, max_steps=100)
+    mesh = make_mesh(data=4, model=1)
+    state = create_train_state(init_params(cfg, jax.random.PRNGKey(0)), tc)
+    state, shardings = shard_train_state(state, cfg, mesh)
+    step_fn = make_sharded_train_step(mesh, cfg, tc, shardings)
+    batches = (make_batch(n=4, seed=s) for s in range(3))
+    losses = []
+    state = fit(state, batches, num_steps=3, cfg=cfg, tc=tc,
+                step_fn=step_fn, rng=jax.random.PRNGKey(9),
+                on_metrics=lambda m: losses.append(m["loss"]))
+    assert int(state.step) == 3
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
