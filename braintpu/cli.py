@@ -265,10 +265,17 @@ def cmd_convert_labels(args):
 
 def cmd_evaluate(args):
     from .io import nifti
+    from .labels import normalize_to_brats2025
     from .metrics import evaluate_segmentation
 
     pred = np.round(nifti.load(args.pred).get_fdata(dtype=np.float32)).astype(np.int32)
     gt = np.round(nifti.load(args.gt).get_fdata(dtype=np.float32)).astype(np.int32)
+    # vintage-agnostic 2025-space normalization (ET may be spelled 3 or 4
+    # depending on the file's BraTS convention) so the WT/TC/ET compounds
+    # compare like with like — the PARITY-documented delta from the
+    # reference evaluator, which assumes its inputs were already converted
+    pred = np.asarray(normalize_to_brats2025(pred)).astype(np.int32)
+    gt = np.asarray(normalize_to_brats2025(gt)).astype(np.int32)
     results = evaluate_segmentation(pred, gt)
     print(json.dumps(results, indent=2))
     print(f"\nMean Dice (WT, TC, ET): {results['mean_dice']:.4f} ({results['mean_dice']*100:.2f}%)")
@@ -361,10 +368,25 @@ def cmd_build_kb(args):
 
 
 def cmd_serve(args):
+    import threading
+
     from .serve import make_server
 
     engine = load_engine(args)
     server = make_server(engine, Path(args.root), host=args.host, port=args.port)
+    if not getattr(args, "no_warmup", False):
+        # compile the ensemble off the request path: a cold fullconv
+        # program costs minutes of XLA compile, and the first upload would
+        # otherwise sit at 'segmenting 10%' absorbing it.  Background
+        # thread so the port binds immediately.
+        def _warm():
+            try:
+                s = engine.warmup()
+                print(f"engine warmup done in {s:.1f}s")
+            except Exception as e:  # warmup is best-effort
+                print(f"engine warmup failed (first request will compile): {e}")
+
+        threading.Thread(target=_warm, daemon=True, name="engine-warmup").start()
     print(f"serving on http://{args.host}:{server.server_address[1]}  (root: {args.root})")
     try:
         server.serve_forever()
@@ -668,6 +690,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--root", default="serve_data")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the background engine compile at startup")
     _add_engine_args(p)
     p.set_defaults(fn=cmd_serve)
 

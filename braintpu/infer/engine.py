@@ -136,9 +136,9 @@ class InferenceEngine:
         """Trigger all compilations for a bucket shape before the first case.
 
         A cold fullconv ensemble costs minutes of XLA compilation; calling
-        this (e.g. on a background thread while the first case downloads,
-        or at service start — serve/api does) moves that cost off the
-        first request.  Pass ``batch_size`` to warm the program
+        this (e.g. on a background thread while the first case downloads —
+        ``cli serve`` does this at startup unless --no-warmup) moves that
+        cost off the first request.  Pass ``batch_size`` to warm the program
         :meth:`predict_cases_batched` actually runs (its batch dimension
         and sharding differ from the single-case B=1 program).  Returns
         seconds spent.  Persistent-cache hits (utils.compcache) make
@@ -329,7 +329,8 @@ class InferenceEngine:
     def predict_cases_batched(
         self, cases: List[BratsCase], output_dir: Optional[Path] = None,
         batch_size: int = 4, max_pending: Optional[int] = None,
-    ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        keep_volumes: Optional[bool] = None,
+    ) -> List[Tuple[Optional[np.ndarray], Dict[str, Any]]]:
         """Multi-case throughput on one chip — or across a mesh
         (BASELINE config 4).
 
@@ -356,7 +357,16 @@ class InferenceEngine:
         fused stage kernel carries per-sample stats and input affines —
         so results match per-case fullconv calls (exactly on the XLA
         path; to bf16 rounding when the opt-in kernel path is live).
+
+        Host memory is bounded too: with ``output_dir`` set, segmentations
+        are written to disk and the returned entries carry ``(None, info)``
+        — retaining every uncropped uint8 volume (~9 MB each) across a
+        hundreds-of-cases throughput run would hold GBs of host RAM for
+        data already on disk.  Pass ``keep_volumes=True`` to also return
+        the arrays; without ``output_dir`` volumes are always returned.
         """
+        if keep_volumes is None:
+            keep_volumes = output_dir is None
         if self.mode != "fullconv":
             raise ValueError("predict_cases_batched requires mode='fullconv'")
         if self.spatial_shard:
@@ -414,7 +424,7 @@ class InferenceEngine:
                         path = Path(output_dir) / f"{case.case_id}.nii.gz"
                         nifti.save(out.astype(np.uint8), path, affine=affine)
                         info["output_path"] = str(path)
-                    results[i] = (out, info)
+                    results[i] = (out if keep_volumes else None, info)
 
         from ..io.brats import CasePrefetcher
 

@@ -36,7 +36,7 @@ rather than once per exact crop shape.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -136,9 +136,6 @@ def fullconv_predict_sharded(
 
     ``mesh.shape[axis]`` must divide 8 (the mirror count).
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
     if cfg.axial_attention:
         raise ValueError("fullconv is incompatible with the axial variant")
     n = mesh.shape[axis]
@@ -150,6 +147,26 @@ def fullconv_predict_sharded(
         raise ValueError(f"volume {(X, Y, Z)} must be a multiple of {div}")
     flag_groups = jnp.asarray(mirror_flag_groups(MIRROR_COMBOS, 1))  # (8, 1, 3)
     num_folds = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
+
+    fwd = _sharded_mirror_fwd(cfg, mesh, axis, folded, (X, Y, Z))
+    probs = fwd(params_stacked, volume, flag_groups)
+    return probs / (num_folds * 8)
+
+
+@lru_cache(maxsize=None)
+def _sharded_mirror_fwd(cfg, mesh, axis: str, folded: bool, shape):
+    """Jitted mirror-sharded ensemble forward, cached per
+    (config, mesh, axis, folded, volume bucket).
+
+    Building (and jitting) the closure inside ``fullconv_predict_sharded``
+    keyed the jit cache on a fresh function object per call, so every case
+    paid a full retrace + XLA compile — this cache restores one compile
+    per bucket shape, like the unsharded module-level ``@jax.jit`` paths.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    X, Y, Z = shape
     K = cfg.num_classes
 
     @partial(
@@ -177,8 +194,7 @@ def fullconv_predict_sharded(
         local, _ = jax.lax.scan(mirror_step, acc0, local_flags)
         return jax.lax.psum(local, axis)
 
-    probs = jax.jit(fwd)(params_stacked, volume, flag_groups)
-    return probs / (num_folds * 8)
+    return jax.jit(fwd)
 
 
 def fullconv_predict_spatial(

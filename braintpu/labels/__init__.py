@@ -5,6 +5,7 @@ from .convert import (
     INTERNAL_ET,
     INTERNAL_NCR,
     brats2021_to_brats2025,
+    normalize_to_brats2025,
     brats2021_to_internal,
     brats2025_to_brats2021,
     brats2025_to_internal,
@@ -24,6 +25,7 @@ __all__ = [
     "brats2025_to_internal",
     "internal_to_brats2025",
     "brats2021_to_brats2025",
+    "normalize_to_brats2025",
     "brats2025_to_brats2021",
     "et_min_size_postprocess",
     "keep_largest_component",

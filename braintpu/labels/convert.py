@@ -30,6 +30,7 @@ __all__ = [
     "brats2021_to_internal",
     "brats2021_to_brats2025",
     "brats2025_to_brats2021",
+    "normalize_to_brats2025",
 ]
 
 INTERNAL_ED = 1
@@ -40,6 +41,7 @@ _INTERNAL_TO_2025 = (0, 2, 1, 3)  # index = internal label
 _INTERNAL_TO_2021 = (0, 2, 1, 4)
 _2021_TO_2025 = (0, 1, 2, 0, 3)  # label 3 unused in 2021 space
 _2025_TO_2021 = (0, 1, 2, 4)
+_ANY_TO_2025 = (0, 1, 2, 3, 3)  # both ET spellings (2021: 4, 2025: 3) → 3
 
 
 def remap_labels(seg, table):
@@ -101,3 +103,17 @@ def brats2021_to_brats2025(seg):
 
 def brats2025_to_brats2021(seg):
     return remap_labels(seg, _2025_TO_2021)
+
+
+def normalize_to_brats2025(seg):
+    """BraTS labels of EITHER vintage → 2025 space, safely.
+
+    2021 files spell ET as 4, 2025 files as 3; NCR(1)/ED(2) agree.  This
+    map sends both ET spellings to 3, so it is correct when the vintage is
+    unknown — e.g. evaluating against user-shipped ground truth, or
+    normalizing a prediction already saved in the configured convention.
+    The strict :func:`brats2021_to_brats2025` map sends label 3 to 0
+    ("unused in 2021 space") and therefore ERASES ET from any 2025-space
+    input — it must only ever see true 2021-space labels.
+    """
+    return remap_labels(seg, _ANY_TO_2025)

@@ -39,6 +39,7 @@ from ..io import nifti
 from ..io.brats import MODALITIES, find_cases, load_case_volumes, rename_brats2025_folder
 from ..labels.convert import (
     brats2021_to_brats2025,
+    normalize_to_brats2025,
     brats2025_to_brats2021,
     internal_to_brats2021,
     internal_to_brats2025,
@@ -217,16 +218,28 @@ class Pipeline:
             # dataset vintage or the configured save convention.
             if self.config.evaluate_if_gt and case.seg_path is not None:
                 self._emit(result, "evaluating", "start")
-                gt = np.round(nifti.load_f32(case.seg_path)[0]).astype(np.int32)
-                gt_eval = np.asarray(brats2021_to_brats2025(gt)).astype(np.int32)
-                pred_eval = np.asarray(brats2021_to_brats2025(seg_brats)).astype(np.int32)
-                metrics = evaluate_segmentation(pred_eval, gt_eval)
-                result.metrics = metrics
-                with open(out / "evaluation.json", "w") as f:
-                    json.dump(metrics, f, indent=2, cls=NumpyJSONEncoder)
-                self._emit(
-                    result, "evaluating", "ok", mean_dice=round(metrics["mean_dice"], 4)
-                )
+                # evaluation is an optional add-on: a corrupt or
+                # shape-mismatched user-shipped GT must not abort the job
+                # after segmentation succeeded (features/report/PDF still
+                # run) — the failure is journaled instead
+                try:
+                    gt = np.round(nifti.load_f32(case.seg_path)[0]).astype(np.int32)
+                    # vintage-agnostic: maps BOTH ET spellings (2021: 4,
+                    # 2025: 3) to 3 — the strict 2021→2025 map sends 3 to 0
+                    # and would erase ET from 2025-space inputs (including
+                    # the prediction under save_brats_convention=brats2025)
+                    gt_eval = np.asarray(normalize_to_brats2025(gt)).astype(np.int32)
+                    pred_eval = np.asarray(normalize_to_brats2025(seg_brats)).astype(np.int32)
+                    metrics = evaluate_segmentation(pred_eval, gt_eval)
+                except Exception as e:
+                    self._emit(result, "evaluating", "skip", reason=f"unusable ground truth: {e}")
+                else:
+                    result.metrics = metrics
+                    with open(out / "evaluation.json", "w") as f:
+                        json.dump(metrics, f, indent=2, cls=NumpyJSONEncoder)
+                    self._emit(
+                        result, "evaluating", "ok", mean_dice=round(metrics["mean_dice"], 4)
+                    )
             else:
                 self._emit(result, "evaluating", "skip", reason="no ground truth")
 

@@ -22,6 +22,7 @@ pipeline runs in a background thread per job via :class:`JobStore`
 from __future__ import annotations
 
 import base64
+import binascii
 import dataclasses
 import gzip
 import json
@@ -56,6 +57,8 @@ CLINICAL_REFUSAL = (
 )
 
 _MODALITIES = ("t1", "t1ce", "t2", "flair")
+#: accepted upload field names (the optional seg is ground truth)
+_UPLOAD_FIELDS = _MODALITIES + ("seg",)
 
 
 class AnalysisServer:
@@ -79,13 +82,19 @@ class AnalysisServer:
     # -- job execution -------------------------------------------------------
 
     def start_job(self, case_id: str, files: Dict[str, bytes]) -> str:
+        # field names become filesystem paths — allowlist them (defense in
+        # depth; _analyze rejects unknown fields with a 400 first).  A raw
+        # client-supplied name like "x/../../../../tmp/pwn.nii.gz" would
+        # otherwise write outside the session input directory.
+        bad = [m for m in files if m not in _UPLOAD_FIELDS]
+        if bad:
+            raise ValueError(f"unexpected upload field(s): {', '.join(sorted(bad))}")
         record = self.jobs.create_job(case_id)
         input_dir = Path(record["input_dir"])
         for mod, data in files.items():
             if data[:2] != b"\x1f\x8b":  # bare .nii upload → gzip it
                 data = gzip.compress(data)
-            suffix = f"_{mod}.nii.gz" if not mod.endswith(".nii.gz") else mod
-            (input_dir / f"{case_id}{suffix}").write_bytes(data)
+            (input_dir / f"{case_id}_{mod}.nii.gz").write_bytes(data)
         # one Pipeline per job: run_case state stays private to the thread,
         # and outputs land under the job-scoped results dir
         cfg = dataclasses.replace(
@@ -108,7 +117,11 @@ class AnalysisServer:
         if report_path is None:
             return 404, {"detail": "Report not available yet."}
         with self._rag_lock:
-            answer = self.assistant.answer_query(question, report_path.read_text())
+            # the orchestrator writes the report as UTF-8; read it the same
+            # way (locale-default decoding breaks on '×' etc. under C locale)
+            answer = self.assistant.answer_query(
+                question, report_path.read_text(encoding="utf-8")
+            )
         return 200, {"answer": answer}
 
 
@@ -164,11 +177,7 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path in ("/", "/index.html"):
             return self._send(200, INDEX_HTML, "text/html; charset=utf-8")
         if self.path == "/api/jobs":
-            jobs = [
-                {k: v for k, v in r.items() if k != "thread"}
-                for r in app.jobs.list_jobs()
-            ]
-            return self._send(200, {"jobs": jobs})
+            return self._send(200, {"jobs": app.jobs.list_public()})
 
         m = re.match(r"^/api/status/([A-Za-z0-9_-]+)$", self.path)
         if m:
@@ -190,7 +199,9 @@ class _Handler(BaseHTTPRequestHandler):
             path = app.jobs.artifact(job_id, "feature_extraction", "radiology_report.txt")
             if path is None:
                 return self._send(404, {"detail": "Report not generated yet."})
-            return self._send(200, path.read_text(), "text/plain; charset=utf-8")
+            return self._send(
+                200, path.read_text(encoding="utf-8"), "text/plain; charset=utf-8"
+            )
 
         m = re.match(r"^/api/metrics/([A-Za-z0-9_-]+)$", self.path)
         if m:
@@ -235,9 +246,17 @@ class _Handler(BaseHTTPRequestHandler):
             except json.JSONDecodeError:
                 return self._send(400, {"detail": "Invalid JSON body."})
             case_id = (data.get("case_id") or "").strip()
-            files = {
-                k: base64.b64decode(v) for k, v in (data.get("files") or {}).items()
-            }
+            try:
+                files = {
+                    k: base64.b64decode(v, validate=True)
+                    for k, v in (data.get("files") or {}).items()
+                }
+            except (binascii.Error, TypeError, ValueError):
+                # invalid base64 / non-string value: a 400, not a dropped
+                # connection from an exception escaping do_POST
+                return self._send(
+                    400, {"detail": "files values must be base64-encoded strings."}
+                )
         else:
             return self._send(415, {"detail": "Use multipart/form-data or JSON."})
 
@@ -247,6 +266,15 @@ class _Handler(BaseHTTPRequestHandler):
         if missing:
             return self._send(
                 400, {"detail": f"Missing required modality files: {', '.join(missing)}"}
+            )
+        unknown = [k for k in files if k not in _UPLOAD_FIELDS]
+        if unknown:
+            # field names become file paths in start_job — never accept
+            # arbitrary ones (path traversal)
+            return self._send(
+                400,
+                {"detail": f"Unexpected upload field(s): {', '.join(sorted(unknown))}. "
+                           f"Allowed: {', '.join(_UPLOAD_FIELDS)}."},
             )
         try:
             job_id = app.start_job(case_id, files)

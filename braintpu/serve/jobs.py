@@ -82,15 +82,57 @@ class JobStore:
             json.dump(record, f)
         return record
 
-    def launch(self, job_id: str, target: Callable[[Dict[str, Any]], None]) -> None:
-        """Run the pipeline for a job in a daemon thread."""
+    def launch(self, job_id: str, target: Callable[[Dict[str, Any]], Any]) -> None:
+        """Run the pipeline for a job in a daemon thread.
+
+        The worker is wrapped so a job can never be left in "running /
+        segmenting / 0%" forever: if the pipeline dies before it knows its
+        output folder (e.g. the renaming stage raised before the event
+        journal was opened — no events.jsonl, no pipeline_summary.json),
+        or the worker thread itself raises, a fallback error summary is
+        written where :meth:`status` will find it."""
         record = self.get(job_id)
         if record is None:
             raise KeyError(job_id)
-        thread = threading.Thread(target=target, args=(record,), daemon=True)
+
+        def runner():
+            try:
+                result = target(record)
+            except BaseException as exc:  # worker must not die silently
+                self._write_fallback_summary(record, f"{type(exc).__name__}: {exc}")
+                return
+            summary = getattr(result, "summary", None)
+            if isinstance(summary, dict) and summary.get("status") != "completed":
+                # run_case persisted the summary itself only if it got far
+                # enough to know its output folder; make sure one exists
+                self._write_fallback_summary(
+                    record, str(summary.get("error") or "pipeline failed")
+                )
+
+        thread = threading.Thread(target=runner, daemon=True)
         thread.start()
         with self._lock:
             record["thread"] = thread
+
+    def _write_fallback_summary(self, record: Dict[str, Any], error: str) -> None:
+        out = self.results_dir / record["job_id"] / record["case_id"]
+        try:
+            out.mkdir(parents=True, exist_ok=True)
+            path = out / "pipeline_summary.json"
+            if path.exists():  # the pipeline wrote its own — keep it
+                return
+            with open(path, "w") as f:
+                json.dump(
+                    {
+                        "case_id": record["case_id"],
+                        "status": "error",
+                        "error": error,
+                    },
+                    f,
+                    indent=2,
+                )
+        except OSError:
+            pass  # disk-level failure: nothing more we can do from here
 
     # -- lookup (restart-safe) ----------------------------------------------
 
@@ -113,6 +155,19 @@ class JobStore:
     def list_jobs(self) -> List[Dict[str, Any]]:
         known = {p.name for p in self.sessions_dir.iterdir() if p.is_dir()}
         return [r for j in sorted(known) if (r := self.get(j)) is not None]
+
+    def list_public(self) -> List[Dict[str, Any]]:
+        """JSON-safe snapshot of all job records.
+
+        Copies are taken under the store lock: ``launch`` inserts the
+        'thread' key into live record dicts, and iterating them unlocked
+        from another handler thread can raise "dictionary changed size
+        during iteration"."""
+        records = self.list_jobs()
+        with self._lock:
+            return [
+                {k: v for k, v in r.items() if k != "thread"} for r in records
+            ]
 
     # -- derived state ------------------------------------------------------
 

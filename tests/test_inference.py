@@ -353,13 +353,21 @@ def test_predict_cases_batched_matches_per_case(tmp_path):
         models=[ModelBundle.from_folds(cfg, folds, name="m")],
         mode="fullconv", tta=False, et_min_voxels=0,
     )
-    batched = engine.predict_cases_batched(cases, output_dir=tmp_path / "out")
+    batched = engine.predict_cases_batched(
+        cases, output_dir=tmp_path / "out", keep_volumes=True
+    )
     assert len(batched) == 2
     for case, (seg_b, info) in zip(cases, batched):
         seg_s, _ = engine.predict_case(case)
         np.testing.assert_array_equal(seg_b, seg_s)
         assert info["batch_size"] == 2
         assert (tmp_path / "out" / f"{case.case_id}.nii.gz").exists()
+
+    # with output_dir and default keep_volumes, entries are info-only —
+    # long throughput runs must not hold every written volume in host RAM
+    info_only = engine.predict_cases_batched(cases, output_dir=tmp_path / "out2")
+    assert all(seg is None for seg, _ in info_only)
+    assert all("output_path" in info for _, info in info_only)
 
     # case-level DP over a mesh: same results, batch sharded across the
     # virtual devices (with mesh-size padding exercised: 2 cases on 4)

@@ -36,6 +36,17 @@ def test_2021_to_2025():
     np.testing.assert_array_equal(np.asarray(brats2021_to_brats2025(seg)), [0, 1, 2, 3])
 
 
+def test_normalize_to_brats2025_accepts_both_vintages():
+    from braintpu.labels import normalize_to_brats2025
+
+    seg = np.array([0, 1, 2, 3, 4], dtype=np.int32)
+    # both ET spellings land on 3; NCR/ED untouched — safe when the
+    # vintage is unknown (the strict 2021→2025 map sends 3 to 0)
+    np.testing.assert_array_equal(
+        np.asarray(normalize_to_brats2025(seg)), [0, 1, 2, 3, 3]
+    )
+
+
 def test_et_min_size_rule():
     seg = np.zeros((10, 10, 10), dtype=np.uint8)
     seg[0:3, 0:3, 0:3] = 3  # 27 ET voxels < 200

@@ -122,26 +122,41 @@ def test_framework_config_validation(tmp_path):
         load_config(p2)
 
 
-def test_pipeline_evaluates_brats2021_ground_truth(tmp_path, synth_case, tiny_engine):
-    """BraTS-2021 GT uses ET=4; evaluation must remap it (regression: ET=4
-    fell outside every compound region, so dice collapsed silently)."""
+@pytest.mark.parametrize("gt_et_label", [3, 4])  # 2025 / 2021 vintage
+def test_pipeline_evaluation_preserves_et_both_gt_vintages(
+    tmp_path, synth_case, tiny_engine, gt_et_label
+):
+    """Evaluation must see every GT and prediction ET voxel for BOTH GT
+    vintages (2021 spells ET=4, 2025 spells ET=3).
+
+    Regressions this pins down: (a) ET=4 falling outside every compound
+    region so dice collapsed silently; (b) the strict 2021→2025 remap
+    (3→0) being applied to 2025-space inputs, erasing ET from the
+    prediction (default save convention) and from 2025-vintage GT."""
     import numpy as np
 
     from braintpu.io import nifti
     from braintpu.pipeline import Pipeline, PipelineConfig
 
-    # rewrite the shipped GT into 2021 convention (ET 3 -> 4)
     gt_path = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
     img = nifti.load(gt_path)
     gt = np.asarray(img.dataobj).copy()
-    gt[gt == 3] = 4
+    gt[gt == 3] = gt_et_label
     nifti.save(gt.astype(np.int16), gt_path, affine=img.affine)
+    gt_et_voxels = int((gt == gt_et_label).sum())
+    assert gt_et_voxels > 0
 
     pipe = Pipeline(tiny_engine, PipelineConfig(output_root=tmp_path / "res", generate_pdf=False))
     result = pipe.run_case(synth_case)
     assert result.succeeded, result.summary.get("traceback")
-    assert result.metrics is not None
-    assert result.metrics["mean_dice"] is not None
+    et = result.metrics["compound"]["ET"]
+    # tp+fn = GT ET support: proves normalization did not erase GT ET
+    assert et["tp"] + et["fn"] == gt_et_voxels
+    # tp+fp = predicted ET support: proves the prediction side survived too
+    pred = np.asarray(
+        nifti.load(result.output_folder / "BraTS-GLI-99999-000_brats.nii.gz").dataobj
+    )
+    assert et["tp"] + et["fp"] == int((pred == 3).sum())  # saved as 2025
 
 
 def test_segmentation_retry_on_transient_fault(tmp_path, tiny_engine, synth_case):

@@ -172,6 +172,88 @@ def test_analyze_rejects_traversal_case_id(server, synth_case):
         assert b"invalid case_id" in resp
 
 
+def test_analyze_rejects_traversal_field_names(server, synth_case, tmp_path):
+    """Upload FIELD names feed filesystem paths too — an extra file field
+    like 'x/../../tmp/pwn.nii.gz' must 400, never write outside the
+    session input dir (regression: arbitrary file write)."""
+    files = _case_files(synth_case)
+    marker = tmp_path / "pwn.nii.gz"
+    files[f"x/../../../../../../../{marker}"] = b"\x1f\x8bpwned"
+    body, ctype = _multipart({"case_id": "TRAV-0001"}, files)
+    code, resp, _ = _req(
+        server + "/api/analyze", data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    assert code == 400, resp
+    assert b"Unexpected upload field" in resp
+    assert not marker.exists()
+
+
+def test_analyze_json_rejects_invalid_base64(server):
+    """Bad base64 in the JSON body must be a 400 response, not a dropped
+    connection from an exception escaping the handler."""
+    payload = {
+        "case_id": "B64-0001",
+        "files": {m: "%%%not-base64%%%" for m in ("t1", "t1ce", "t2", "flair")},
+    }
+    code, resp, _ = _req(
+        server + "/api/analyze",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert code == 400, resp
+    assert b"base64" in resp
+    # non-string values too (b64decode would raise TypeError)
+    payload["files"] = {m: 7 for m in ("t1", "t1ce", "t2", "flair")}
+    code, resp, _ = _req(
+        server + "/api/analyze",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert code == 400, resp
+
+
+def test_job_that_dies_early_reports_error(tmp_path):
+    """A worker that fails before the pipeline opens its event journal
+    (e.g. 'no complete BraTS case') must surface as status=error, not poll
+    as 'running / 0%' forever."""
+    from braintpu.serve.jobs import JobStore
+
+    store = JobStore(tmp_path / "sessions", tmp_path / "results")
+    record = store.create_job("DEAD-0001")
+
+    class _Failed:  # looks like PipelineResult after an early failure
+        summary = {"status": "error", "error": "no complete BraTS case in input"}
+
+    store.launch(record["job_id"], lambda rec: _Failed())
+    deadline = time.time() + 10
+    status = None
+    while time.time() < deadline:
+        status = store.status(record["job_id"])
+        if status and status["status"] == "error":
+            break
+        time.sleep(0.05)
+    assert status is not None and status["status"] == "error"
+    assert "no complete BraTS case" in (status["error_message"] or "")
+
+    # a worker that raises outright is caught the same way
+    record2 = store.create_job("DEAD-0002")
+
+    def _boom(rec):
+        raise RuntimeError("worker exploded")
+
+    store.launch(record2["job_id"], _boom)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        status = store.status(record2["job_id"])
+        if status and status["status"] == "error":
+            break
+        time.sleep(0.05)
+    assert status["status"] == "error"
+    assert "worker exploded" in (status["error_message"] or "")
+
+
 def test_resubmitted_case_id_gets_fresh_job_state(server, synth_case):
     """Two jobs with the SAME case_id must not share status/artifacts
     (regression: results were keyed on case_id, so job 2 reported job 1's
