@@ -106,6 +106,7 @@ class FeatureContext:
 
     _tumor_masks: Optional[Dict[str, np.ndarray]] = None
     _brain_masks: Dict[str, np.ndarray] = field(default_factory=dict)
+    _dilated_wt: Dict[int, np.ndarray] = field(default_factory=dict)
     _normal_stats: Dict[str, Dict] = field(default_factory=dict)
     _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
     _mass_stats: Optional[Dict[str, Any]] = None
@@ -124,6 +125,12 @@ class FeatureContext:
         data, affine, zooms = load_case_volumes(case)
         seg_img = nifti.load(segmentation_path)
         seg = np.round(seg_img.get_fdata(dtype=np.float32)).astype(np.int32)
+        # user-shipped files may be either BraTS vintage (2021 spells ET=4,
+        # 2025 spells ET=3); the feature steps read 2025 space (step3's
+        # ET-foci analysis is seg==3 by documented reference quirk)
+        from ..labels import normalize_to_brats2025
+
+        seg = np.asarray(normalize_to_brats2025(seg)).astype(np.int32)
         return cls(
             case_id=case.case_id,
             modalities={m: data[i] for i, m in enumerate(MODALITIES)},
@@ -176,6 +183,21 @@ class FeatureContext:
         if modality not in self._brain_masks:
             self._brain_masks[modality] = brain_mask_from(self.modalities[modality])
         return self._brain_masks[modality]
+
+    def dilated_wt(self, iterations: int) -> np.ndarray:
+        """``binary_dilation(wt, iterations)``, cached per case.
+
+        Steps 2, 4 and 6 each need the 5- and 10-iteration expansions of
+        the whole-tumor mask; each is a full-volume morphology pass
+        (seconds on a 240³ grid), so recomputing per step contradicts the
+        loaded-once design of this context."""
+        if iterations not in self._dilated_wt:
+            from scipy import ndimage
+
+            self._dilated_wt[iterations] = ndimage.binary_dilation(
+                self.tumor_masks["wt"], iterations=iterations
+            )
+        return self._dilated_wt[iterations]
 
     def _dev_stats(self) -> Dict[str, Dict[str, Dict]]:
         """All region × modality stats (plus the normal reference and the

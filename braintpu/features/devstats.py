@@ -26,8 +26,10 @@ case:
   the volumes are uploaded and sorted exactly once per case.
 
 Label semantics match the host masks (context.tumor_masks_from_seg):
-labels outside 0–4 count toward WT (host ``seg > 0``) but never toward
-NCR/ED/ET/TC, and are not "normal" background.
+labels ABOVE 4 count toward WT (host ``seg > 0``) but never toward
+NCR/ED/ET/TC, and are not "normal" background; NEGATIVE labels are in no
+region and not "normal" either (host: ``seg > 0`` and ``seg == 0`` both
+exclude them).
 
 TPU shape notes: everything is a flat (V,) pass — segment sums, one radix
 sort, cumsums and a handful of gathers; total device work for a 240³ case
@@ -60,8 +62,8 @@ __all__ = [
 ]
 
 #: region name → segmentation labels composing it.  Label 5 is the
-#: fold-bucket for anything outside 0–4; host ``wt = seg > 0`` includes
-#: such labels, the named regions exclude them.
+#: fold-bucket for labels ABOVE 4 (negatives fold into background 0);
+#: host ``wt = seg > 0`` includes >4 labels, the named regions exclude them.
 REGIONS = {
     "ncr": (1,),
     "ed": (2,),
@@ -72,7 +74,8 @@ REGIONS = {
 
 _QS = (0.25, 0.5, 0.75)
 _BRAIN_QS = (0.01, 0.25, 0.75, 0.99)
-_NUM_LABELS = 6  # 0..4 + foreign-label bucket 5
+_NUM_LABELS = 7  # 0..4 + foreign-label bucket 5 + negative-label bucket 6
+_NEG_BUCKET = 6
 _SINGLE_LABELS = (1, 2)  # labels consumed as single-label regions
 
 
@@ -125,18 +128,28 @@ def _case_stats_kernel(
     the normal-brain reference AND the step-5 quality reductions.
     """
     M, V = data.shape
-    seg = jnp.where((seg >= 0) & (seg < _NUM_LABELS - 1), seg, _NUM_LABELS - 1)
+    # labels above 4 fold into bucket 5 (counts toward WT like host
+    # ``seg > 0``); negatives fold into bucket 6, which no region OR the
+    # seg==0 'normal' reference includes — on the host a negative label is
+    # in no mask at all (wt = seg > 0 excludes it, normal = seg == 0 too)
+    seg = jnp.where(seg < 0, _NEG_BUCKET, jnp.where(seg > 4, 5, seg))
     ones = jnp.ones((V,), jnp.float32)
     label_count = jax.ops.segment_sum(ones, seg, num_segments=_NUM_LABELS)
 
     def per_mod_moments(d):
         s = jax.ops.segment_sum(d, seg, num_segments=_NUM_LABELS)
-        s2 = jax.ops.segment_sum(d * d, seg, num_segments=_NUM_LABELS)
         mn = jax.ops.segment_min(d, seg, num_segments=_NUM_LABELS)
         mx = jax.ops.segment_max(d, seg, num_segments=_NUM_LABELS)
-        return s, s2, mn, mx
+        # two-pass centered sum of squares: raw Σx² − n·mean² cancels
+        # catastrophically in f32 at MRI intensity scales (mean ~3e2 ⇒
+        # mean² ~1e5 vs var ~1e3) — same rationale as _masked_mean_std
+        lm = s / jnp.maximum(label_count, 1.0)
+        css = jax.ops.segment_sum(
+            jnp.square(d - lm[seg]), seg, num_segments=_NUM_LABELS
+        )
+        return s, css, mn, mx
 
-    sums, sqs, mins, maxs = jax.vmap(per_mod_moments)(data)  # each (M, L)
+    sums, csss, mins, maxs = jax.vmap(per_mod_moments)(data)  # each (M, L)
 
     # one shared sort per modality; membership masks ride the perm
     perm = jnp.argsort(data, axis=1)  # (M, V)
@@ -169,7 +182,8 @@ def _case_stats_kernel(
     nmf = normal_mask.astype(jnp.float32)
     n_count = nmf.sum(axis=1)
     n_sum = (data * nmf).sum(axis=1)
-    n_sumsq = (data * data * nmf).sum(axis=1)
+    n_mean = n_sum / jnp.maximum(n_count, 1.0)
+    n_css = (jnp.square(data - n_mean[:, None]) * nmf).sum(axis=1)
     big = jnp.float32(jnp.inf)
     n_min = jnp.min(jnp.where(normal_mask, data, big), axis=1)
     n_max = jnp.max(jnp.where(normal_mask, data, -big), axis=1)
@@ -183,9 +197,10 @@ def _case_stats_kernel(
     brainf = brain.astype(jnp.float32)
     n_brain = brainf.sum()
     q_sum = (data * brainf[None, :]).sum(axis=1)
-    q_sumsq = (data * data * brainf[None, :]).sum(axis=1)
     q_mean = q_sum / jnp.maximum(n_brain, 1.0)
-    q_var = jnp.maximum(q_sumsq / jnp.maximum(n_brain, 1.0) - q_mean**2, 0.0)
+    q_var = (jnp.square(data - q_mean[:, None]) * brainf[None, :]).sum(
+        axis=1
+    ) / jnp.maximum(n_brain, 1.0)
     brain_sorted = jnp.take_along_axis(
         jnp.broadcast_to(brain[None, :], (M, V)), perm, axis=1
     )
@@ -199,8 +214,8 @@ def _case_stats_kernel(
     bgf = bg.astype(jnp.float32)
     bg_n = bgf.sum(axis=1)
     bg_mean = (data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0)
-    bg_var = jnp.maximum(
-        (data * data * bgf).sum(axis=1) / jnp.maximum(bg_n, 1.0) - bg_mean**2, 0.0
+    bg_var = (jnp.square(data - bg_mean[:, None]) * bgf).sum(axis=1) / jnp.maximum(
+        bg_n, 1.0
     )
     zeros_in_brain = ((data == 0) & brain[None, :]).sum(axis=1)
     q01, q25, q75, q99 = b_qs[:, 0], b_qs[:, 1], b_qs[:, 2], b_qs[:, 3]
@@ -211,14 +226,14 @@ def _case_stats_kernel(
     return {
         "label_count": label_count,
         "label_sum": sums,
-        "label_sumsq": sqs,
+        "label_css": csss,
         "label_min": mins,
         "label_max": maxs,
         "label_q": label_q,
         "union_q": union_q,
         "normal_count": n_count,
         "normal_sum": n_sum,
-        "normal_sumsq": n_sumsq,
+        "normal_css": n_css,
         "normal_min": n_min,
         "normal_max": n_max,
         "normal_q": n_q,
@@ -233,7 +248,9 @@ def _case_stats_kernel(
     }
 
 
-def _summary(count, total, sumsq, mn, mx, q) -> Dict:
+def _summary(count, total, css, mn, mx, q) -> Dict:
+    """``css`` is the CENTERED sum of squares Σ(x − mean)² (two-pass —
+    see the per_mod_moments note on f32 cancellation)."""
     n = int(count)
     if n == 0:
         return {
@@ -241,7 +258,7 @@ def _summary(count, total, sumsq, mn, mx, q) -> Dict:
             "median": None, "q25": None, "q75": None, "voxel_count": 0,
         }
     mean = float(total) / n
-    var = max(float(sumsq) / n - mean * mean, 0.0)
+    var = max(float(css) / n, 0.0)
     return {
         "mean": mean,
         "std": float(np.sqrt(var)),
@@ -284,20 +301,37 @@ def compute_case_stats(
         out[name] = {}
         for mi, m in enumerate(mods):
             total = sum(raw["label_sum"][mi, l] for l in labs)
-            sumsq = sum(raw["label_sumsq"][mi, l] for l in labs)
             mn = min(raw["label_min"][mi, l] for l in labs)
             mx = max(raw["label_max"][mi, l] for l in labs)
+            # pooled centered sum of squares across the union's labels:
+            # css_U = Σ_l [css_l + n_l (mean_l − mean_U)²] — exact and
+            # stable, unlike raw-Σx² recombination
+            if count > 0:
+                mean_u = float(total) / float(count)
+                css = sum(
+                    float(raw["label_css"][mi, l])
+                    + float(raw["label_count"][l])
+                    * (
+                        float(raw["label_sum"][mi, l])
+                        / max(float(raw["label_count"][l]), 1.0)
+                        - mean_u
+                    )
+                    ** 2
+                    for l in labs
+                )
+            else:
+                css = 0.0
             q = (
                 raw["label_q"][labs[0]][mi]
                 if len(labs) == 1
                 else raw["union_q"][name][mi]
             )
-            out[name][m] = _summary(count, total, sumsq, mn, mx, q)
+            out[name][m] = _summary(count, total, css, mn, mx, q)
     out["normal"] = {
         m: _summary(
             raw["normal_count"][mi],
             raw["normal_sum"][mi],
-            raw["normal_sumsq"][mi],
+            raw["normal_css"][mi],
             raw["normal_min"][mi],
             raw["normal_max"][mi],
             raw["normal_q"][mi],

@@ -230,7 +230,7 @@ def analyze_sulcal_effacement(ctx: FeatureContext) -> Dict:
         peri_count, distant_count = ms["peri_count"], ms["distant_count"]
         peri_std, distant_std = ms["peri_std"], ms["distant_std"]
     else:
-        expanded = ndimage.binary_dilation(tumor, iterations=10)
+        expanded = ctx.dilated_wt(10)
         peritumoral = expanded & ~tumor & brain
         distant = brain & ~expanded
         peri_count = int(peritumoral.sum())

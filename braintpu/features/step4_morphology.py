@@ -139,7 +139,7 @@ def analyze_margin_definition(ctx: FeatureContext) -> Dict:
         i_mean, i_std = ms["inner_mean"], ms["inner_std"]
         o_mean, o_std = ms["outer_mean"], ms["outer_std"]
     else:
-        dilated = binary_dilation(wt, iterations=5)
+        dilated = ctx.dilated_wt(5)
         peritumoral = dilated & ~wt
         peri_n = int(peritumoral.sum())
         tumor_mean = float(t1ce[wt].mean())
@@ -201,9 +201,16 @@ def analyze_cystic_vs_solid(ctx: FeatureContext) -> Dict:
             "description": "No tumor detected",
         }
     voxel_cm3 = ctx.voxel_volume_cm3
-    csf_t1_upper = np.percentile(t1[t1 > 0], 10)
-    csf_t2_lower = np.percentile(t2[t2 > 0], 85)
-    csf_flair_upper = np.percentile(flair[flair > 0], 20)
+
+    def _pos_percentile(vol, q):
+        # a blank/corrupt modality has no positive voxels; np.percentile on
+        # the empty array would abort feature extraction for the whole case
+        pos = vol[vol > 0]
+        return float(np.percentile(pos, q)) if pos.size else 0.0
+
+    csf_t1_upper = _pos_percentile(t1, 10)
+    csf_t2_lower = _pos_percentile(t2, 85)
+    csf_flair_upper = _pos_percentile(flair, 20)
 
     if ncr.sum() > 0:
         nt1, nt2, nfl = t1[ncr], t2[ncr], flair[ncr]

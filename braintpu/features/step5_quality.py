@@ -30,6 +30,17 @@ SEQ_DISPLAY = {"t1": "T1", "t1ce": "T1ce", "t2": "T2", "flair": "FLAIR"}
 
 
 def assess_segmentation_quality(ctx: FeatureContext) -> Dict:
+    """Segmentation QC score 0-100 (ref step5_quality.py:32-159, same
+    deduction rubric).
+
+    Known-vacuous checks (deliberate reference parity, not bugs here):
+    the TC>WT and ET-outside-TC deductions can never fire because the
+    masks are DERIVED from one label map (tc = ncr|et ⊆ wt = seg>0 and
+    et ⊆ tc by construction — the reference's utils.get_tumor_masks has
+    the identical containment).  The reference authors wrote those checks
+    for multi-channel/probabilistic segmentations; on label maps they are
+    kept only so the score rubric and JSON schema match.
+    """
     masks = ctx.tumor_masks
     issues: List[str] = []
     warnings: List[str] = []
@@ -151,7 +162,14 @@ def assess_image_quality(ctx: FeatureContext) -> Dict:
             signal_mean = float(brain_values.mean())
             brain_std = float(brain_values.std())
             nz = data[data > 0]
-            bg = ~brain & (data > 0) & (data < np.percentile(nz, 10))
+            # a blank/corrupt modality can have a non-empty brain mask (it
+            # is shared across modalities) but zero positive voxels —
+            # np.percentile on the empty array would abort the whole run
+            bg = (
+                ~brain & (data > 0) & (data < np.percentile(nz, 10))
+                if nz.size
+                else np.zeros_like(brain)
+            )
             if bg.sum() > 100:
                 bg_std = float(data[bg].std())
                 snr = signal_mean / bg_std if bg_std > 0 else 0.0

@@ -101,7 +101,7 @@ def analyze_ventricular_system(ctx: FeatureContext) -> Dict:
     else:
         hydro, hydro_type = False, "No hydrocephalus"
 
-    tumor_dilated = binary_dilation(tumor, iterations=5)
+    tumor_dilated = ctx.dilated_wt(5)
     near = ventricles & tumor_dilated
     obstruction = float(near.sum() / ventricles.sum()) if ventricles.sum() > 0 else 0.0
 
@@ -263,7 +263,7 @@ def analyze_major_vessels(ctx: FeatureContext) -> Dict:
         fv_volume = 0.0
 
     if t1ce is not None:
-        peri = binary_dilation(tumor, iterations=10) & ~tumor & brain
+        peri = ctx.dilated_wt(10) & ~tumor & brain
         if peri.sum() > 0:
             p_t1 = float(t1[peri].mean())
             p_t1ce = float(t1ce[peri].mean())

@@ -246,9 +246,14 @@ class Pipeline:
             # stage 5: feature extraction (6 steps, shared context, BraTS labels)
             self._emit(result, "extracting", "start")
             fe_out = out / "feature_extraction"
+            # feature steps read 2025-space labels (step3's ET-foci analysis
+            # is seg==3 by documented reference quirk) — normalize so
+            # save_brats_convention='brats2021' (ET=4) doesn't make step3
+            # report an enhancing tumor as non-enhancing while step1 (which
+            # accepts 3|4) says enhancement is present
             ctx = FeatureContext.from_arrays(
                 modalities={m: data[i] for i, m in enumerate(MODALITIES)},
-                seg=seg_brats,
+                seg=np.asarray(normalize_to_brats2025(seg_brats)),
                 zooms=zooms[:3],
                 case_id=case.case_id,
                 affine=affine,

@@ -40,19 +40,27 @@ _FRAGMENT_CLEANUPS = [
 ]
 
 
+def _section_span(report: str, marker: str):
+    """(start, end) character span of a section's content, or None."""
+    if marker not in report:
+        return None
+    start = report.find(marker) + len(marker)
+    end = len(report)
+    for other in _SECTION_MARKERS:
+        if other != marker:
+            i = report.find(other, start)
+            if i != -1 and i < end:
+                end = i
+    return start, end
+
+
 def _split_sections(report: str) -> Dict[str, str]:
     sections = {}
     for marker in _SECTION_MARKERS:
-        if marker not in report:
+        span = _section_span(report, marker)
+        if span is None:
             continue
-        start = report.find(marker) + len(marker)
-        end = len(report)
-        for other in _SECTION_MARKERS:
-            if other != marker:
-                i = report.find(other, start)
-                if i != -1 and i < end:
-                    end = i
-        sections[marker[:-1]] = report[start:end].strip()
+        sections[marker[:-1]] = report[span[0] : span[1]].strip()
     return sections
 
 
@@ -114,9 +122,18 @@ class ReportEngine:
     # -- step 7: final deterministic validation pass ---------------------
 
     def _gatekeeper(self, report: str) -> str:
-        # 1. section forbidden terms → redact
-        for name, content in _split_sections(report).items():
+        # 1. section forbidden terms → redact WITHIN the offending section
+        # only (spans are recomputed per redaction as text shrinks): the
+        # same word can be required hedged language elsewhere — e.g.
+        # "suspicious" is FINDINGS-forbidden but part of IMPRESSION's
+        # "suspicious for high-grade neoplastic process"
+        for marker in _SECTION_MARKERS:
+            name = marker[:-1]
             for term in SECTION_FORBIDDEN_TERMS.get(name, []):
+                span = _section_span(report, marker)
+                if span is None:
+                    break
+                content = report[span[0] : span[1]]
                 if term.lower() in content.lower():
                     self._log(
                         f"FINAL_{name}",
@@ -124,9 +141,10 @@ class ReportEngine:
                         "[REDACTED]",
                         [f"Section '{name}' contains forbidden term: '{term}'"],
                     )
-                    report = re.compile(
+                    content = re.compile(
                         r"\b" + re.escape(term) + r"\b", re.IGNORECASE
-                    ).sub("", report)
+                    ).sub("", content)
+                    report = report[: span[0]] + content + report[span[1] :]
 
         # 2. duplicated concepts → log
         for concept in CONCEPT_OWNERSHIP:

@@ -85,6 +85,9 @@ def _necrosis_degree(necrosis: Dict) -> str:
     if not necrosis.get("present", False):
         return "none"
     ratio = necrosis.get("percentage", 0) / 100.0
+    # clamp into the binned range: a 100% necrotic mass (ratio == 1.0)
+    # would otherwise fall outside every half-open bin and read "minimal"
+    ratio = min(max(ratio, 0.0), NECROSIS_THRESHOLDS["extensive"][1] - 1e-9)
     for degree, (lo, hi) in NECROSIS_THRESHOLDS.items():
         if lo <= ratio < hi:
             return degree

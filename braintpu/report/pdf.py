@@ -31,8 +31,19 @@ def _esc(text: str) -> str:
     )
 
 
+#: common non-Latin-1 characters in clinical text → readable ASCII — the
+#: base fonts are Latin-1 only, and errors='replace' alone renders every
+#: em dash/quote as '?' in the PDF (the title contains '—')
+_TRANSLIT = str.maketrans({
+    "—": "-", "–": "-", "−": "-",   # em/en dash, minus
+    "‘": "'", "’": "'",                   # curly single quotes
+    "“": '"', "”": '"',                   # curly double quotes
+    "…": "...", "•": "-",                 # ellipsis, bullet
+})
+
+
 def _latin1(text: str) -> str:
-    return text.encode("latin-1", "replace").decode("latin-1")
+    return text.translate(_TRANSLIT).encode("latin-1", "replace").decode("latin-1")
 
 
 class PDFWriter:
@@ -197,12 +208,6 @@ class PDFWriter:
             f"startxref\n{xref_pos}\n%%EOF\n"
         ).encode()
         return bytes(out)
-
-
-_SECTION_RE = re.compile(
-    r"^(MRI BRAIN WITH CONTRAST|PATIENT ID|DATE|CLINICAL INDICATION|TECHNIQUE|"
-    r"COMPARISON|FINDINGS|IMPRESSION|DISCLAIMER):?\s*$|^([A-Z][A-Z /&-]{3,}):\s*$"
-)
 
 
 def parse_report_sections(report_text: str) -> Dict[str, str]:

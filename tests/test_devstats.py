@@ -52,6 +52,9 @@ def assert_stats_close(dev: dict, host: dict, context: str):
         # foreign label 7: counts toward WT (host wt = seg > 0) but never
         # toward NCR/ED/ET/TC and is not 'normal' background
         (3, (0, 2, 3, 7)),
+        # negative labels: background on the host (seg > 0 excludes them);
+        # the device kernel must not fold them into the WT bucket
+        (4, (-1, 0, 1, 3)),
     ],
 )
 def test_device_stats_match_host(seed, labels):

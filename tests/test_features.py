@@ -337,3 +337,26 @@ def test_run_all_zero_tumor_segmentation(tmp_path, synth_case):
     assert (out / "radiology_report.txt").exists()
     s4 = results["step4_morphology"]["shape_descriptors"]
     assert s4["shape_classification"] == "No tumor"
+
+
+def test_context_load_normalizes_2021_vintage_seg(tmp_path, synth_case):
+    """FeatureContext.load must map a BraTS-2021-vintage seg file (ET=4)
+    into 2025 space (ET=3): step3's enhancing-foci analysis reads seg==3
+    by documented reference quirk, so an ET=4 input would otherwise report
+    an enhancing tumor as non-enhancing."""
+    from braintpu.features.context import FeatureContext
+    from braintpu.features.step3_multiplicity import analyze_multiplicity
+    from braintpu.io import nifti
+
+    seg_path = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
+    img = nifti.load(str(seg_path))
+    seg = np.asarray(img.dataobj).copy()
+    seg[seg == 3] = 4  # rewrite to 2021 convention
+    seg_2021 = tmp_path / "seg_2021.nii.gz"
+    nifti.save(seg.astype(np.int16), str(seg_2021), affine=img.affine)
+
+    ctx = FeatureContext.load(synth_case, seg_2021)
+    assert (ctx.seg == 4).sum() == 0
+    assert (ctx.seg == 3).sum() == int((seg == 4).sum())
+    result = analyze_multiplicity(ctx)
+    assert result["enhancing_analysis"]["num_enhancing_foci"] >= 1

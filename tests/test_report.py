@@ -186,6 +186,39 @@ def test_gatekeeper_redacts_injected_terms():
     assert "A mass is identified within the cerebral hemisphere." in report
 
 
+def test_necrosis_degree_fully_necrotic_is_extensive():
+    """ratio == 1.0 must land in the top bin, not fall through to
+    'minimal' (regression: half-open bins excluded 100% necrosis)."""
+    from braintpu.report.facts import _necrosis_degree
+
+    assert _necrosis_degree({"present": True, "percentage": 100.0}) == "extensive"
+    assert _necrosis_degree({"present": True, "percentage": 150.0}) == "extensive"
+    assert _necrosis_degree({"present": True, "percentage": 24.0}) == "moderate"
+    assert _necrosis_degree({"present": False}) == "none"
+
+
+def test_gatekeeper_redaction_is_section_scoped():
+    """A FINDINGS-forbidden term must be redacted from FINDINGS only —
+    IMPRESSION's required hedged language ('suspicious for ...') must
+    survive (regression: whole-report re.sub mangled the impression)."""
+    summary = sample_summary()
+    summary["location"]["involved_lobes"] = ["suspicious region", "frontal"]
+    report, _, _ = generate_report_from_summary(summary)
+    sections = parse_report_sections(report)
+    assert "suspicious" not in sections.get("FINDINGS", "").lower()
+    impression = sections.get("IMPRESSION", "").lower()
+    if "high-grade" in impression:  # hedged phrasing present for this summary
+        assert "suspicious for" in impression
+
+
+def test_pdf_title_em_dash_renders(tmp_path):
+    """The title's em dash must transliterate to '-', not encode as '?'."""
+    from braintpu.report.pdf import _latin1
+
+    assert _latin1("A — B … “q”") == 'A - B ... "q"'
+    assert "?" not in _latin1("— – ‘ ’ “ ” … •")
+
+
 def test_multifocal_path():
     summary = sample_summary(
         multiplicity={"lesion_count": 3, "distribution_pattern": "Distant multifocal"}
