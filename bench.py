@@ -48,7 +48,19 @@ def synthetic_case(shape=(240, 240, 155), seed=0):
     return data
 
 
-def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
+def _fail_record(metric: str, unit: str, error: str) -> str:
+    return json.dumps(
+        {
+            "metric": metric,
+            "value": -1.0,
+            "unit": unit,
+            "vs_baseline": 0.0,
+            "detail": {"error": error},
+        }
+    )
+
+
+def _preflight_tunnel(metric: str, unit: str, timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
     """Fail (with a machine-readable line) if the TPU tunnel is dead.
 
     In this environment the axon PJRT plugin blocks all jax work when the
@@ -82,21 +94,11 @@ def _preflight_tunnel(timeout_s: float = 5.0, wait_s: float = 300.0) -> None:
             )
             waited = True
         time.sleep(10.0)
-    print(
-        json.dumps(
-            {
-                "metric": "brats_case_e2e_seconds",
-                "value": -1.0,
-                "unit": "s/case",
-                "vs_baseline": 0.0,
-                "detail": {"error": "tpu tunnel unreachable (axon relay down)"},
-            }
-        )
-    )
+    print(_fail_record(metric, unit, "tpu tunnel unreachable (axon relay down)"))
     raise SystemExit(2)
 
 
-def _arm_watchdog(total_s: float):
+def _arm_watchdog(total_s: float, metric: str = "brats_case_e2e_seconds", unit: str = "s/case"):
     """Guarantee the driver a parsable result line even if the device hangs.
 
     A wedged remote compile service (see PERF.md) blocks jax calls
@@ -114,17 +116,10 @@ def _arm_watchdog(total_s: float):
 
     def boom():
         print(
-            json.dumps(
-                {
-                    "metric": "brats_case_e2e_seconds",
-                    "value": -1.0,
-                    "unit": "s/case",
-                    "vs_baseline": 0.0,
-                    "detail": {
-                        "error": f"watchdog: bench exceeded {total_s:.0f}s "
-                        "(device hang / wedged compile service)"
-                    },
-                }
+            _fail_record(
+                metric, unit,
+                f"watchdog: bench exceeded {total_s:.0f}s "
+                "(device hang / wedged compile service)",
             ),
             flush=True,
         )
@@ -240,13 +235,21 @@ def main() -> int:
         help="cases per device batch in --mode batched",
     )
     args = ap.parse_args()
+    args.cases = max(args.cases, 1)  # np.median([]) would emit NaN JSON
     if args.quick:
         args.models, args.folds = 1, 1
         args.no_tta = True
 
     _apply_tuned_flags()
-    _preflight_tunnel()
-    watchdog = _arm_watchdog(1800.0)
+    # failure lines must carry the metric of the config actually being run:
+    # a batched-mode failure recorded under the single-case metric reads as
+    # "batched never attempted" to record consumers
+    if args.mode == "batched":
+        _metric, _unit = "brats_cases_per_min_per_chip", "cases/min"
+    else:
+        _metric, _unit = "brats_case_e2e_seconds", "s/case"
+    _preflight_tunnel(_metric, _unit)
+    watchdog = _arm_watchdog(1800.0, _metric, _unit)
 
     import jax
 

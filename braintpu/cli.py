@@ -43,7 +43,16 @@ def load_engine(args):
         "axial": AXIAL_UNET,
         "axial-full": AXIAL_UNET_FULL,
     }
-    selected = args.models.split(",") if args.models else ["model1", "model2"]
+    selected = (
+        [n.strip() for n in args.models.split(",")]
+        if args.models
+        else ["model1", "model2"]
+    )
+    unknown = [n for n in selected if n not in configs]
+    if unknown:
+        raise SystemExit(
+            f"unknown model(s) {unknown}; choose from {sorted(configs)}"
+        )
     if getattr(args, "mode", None) == "fullconv":
         bad = [n for n in selected if configs[n].axial_attention]
         if bad:
@@ -153,10 +162,14 @@ def cmd_pipeline(args):
         args.ensemble = s.ensemble
         args.no_et_postprocess = s.et_min_voxels == 0
         args.checkpoints = args.checkpoints or s.checkpoints
+        # apply the config's mode BEFORE building the engine: load_engine's
+        # axial-vs-fullconv guard validates args.mode, so a post-hoc
+        # engine.mode overwrite would bypass it (axial positional
+        # embeddings meeting a whole-volume shape crash deep in jax)
+        args.mode = s.mode
         engine = load_engine(args)
         engine.step_size = s.step_size
         engine.et_min_voxels = s.et_min_voxels
-        engine.mode = s.mode
         cfg = fc.pipeline_config()
     else:
         engine = load_engine(args)
@@ -255,7 +268,16 @@ def cmd_convert_labels(args):
     data = img.get_fdata(dtype=np.float32)
     fn = internal_to_brats2021 if args.format == "brats2021" else internal_to_brats2025
     converted = np.asarray(fn(data)).astype(np.uint8)
-    out = args.output or str(Path(args.input).with_name(Path(args.input).name.replace(".nii", "_brats.nii")))
+    name = Path(args.input).name
+    derived = name.replace(".nii", "_brats.nii")
+    if derived == name:  # input without '.nii' (codec loads by content)
+        derived = name + "_brats.nii.gz"
+    out = args.output or str(Path(args.input).with_name(derived))
+    if Path(out).resolve() == Path(args.input).resolve():
+        raise SystemExit(
+            f"refusing to overwrite the input {args.input!r}; pass a "
+            "different --output"
+        )
     nifti.save(converted, out, affine=img.affine)
     print(f"labels before: {sorted(np.unique(np.round(data)).astype(int).tolist())}")
     print(f"labels after:  {sorted(np.unique(converted).astype(int).tolist())}")
@@ -449,8 +471,8 @@ def cmd_data(args):
     if args.root:
         from .io.brats import find_cases
 
-        cases = find_cases(args.root)
-        complete = [c for c in cases if c.is_complete]
+        # find_cases already returns only complete cases
+        complete = find_cases(args.root)
         with_gt = [c for c in complete if c.seg_path]
         print(f"{args.root}: {len(complete)} complete cases, {len(with_gt)} with ground truth")
         for c in complete[:20]:

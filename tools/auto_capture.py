@@ -169,7 +169,10 @@ def run_bench(name: str, extra_args, env_extra, timeout_s: float) -> dict:
         for ln in (p.stdout or "").splitlines():
             ln = ln.strip()
             if ln.startswith("{"):
-                parsed = json.loads(ln)
+                try:  # stray brace-prefixed prints must not kill the watcher
+                    parsed = json.loads(ln)
+                except ValueError:
+                    continue
         rec = {
             "step": name, "ok": p.returncode == 0 and parsed is not None
             and parsed.get("value", -1) > 0,
@@ -209,7 +212,7 @@ def probe_stage(timeout_s: float) -> dict:
 
 def probe_upconv(timeout_s: float) -> dict:
     """Try both interleave strategies; return the faster exact one."""
-    out = {"best": None, "detail": {}}
+    out = {"best": None, "detail": {}, "hang": False}
     for strategy in ("reshape", "select"):
         if not _wait_relay(RESUME_WAIT_S):
             return out
@@ -222,9 +225,15 @@ def probe_upconv(timeout_s: float) -> dict:
             )
             if not rec.get("ok"):
                 ok = False
+                if "error" in rec:  # timeout = possible Mosaic hang: the
+                    # other strategy would poke the same wedged compile
+                    # service — stop escalating entirely
+                    out["hang"] = True
                 break
             worst = max(worst, rec.get("run_s", 0.0))
         out["detail"][strategy] = {"ok": ok, "worst_run_s": worst}
+        if out["hang"]:
+            return out
         if ok and (out["best"] is None
                    or worst < out["detail"][out["best"]]["worst_run_s"]):
             out["best"] = strategy
@@ -303,9 +312,26 @@ def _capture(args, summary) -> int:
     summary["stage_probe"] = stage
     _log({"step": "stage-probe-summary", **stage})
 
+    if stage.get("hang") and not _device_live():
+        # a Mosaic hang can wedge the shared remote compile service; every
+        # further probe would burn its full timeout producing records that
+        # misread as "kernel rejected" — stop with what phase 1 captured
+        _log({"step": "wedged-after-stage-probe", "ok": False})
+        summary["finished"] = time.time()
+        with open(SUMMARY, "w") as f:
+            json.dump(summary, f, indent=1, default=str)
+        return 1
+
     upconv = probe_upconv(args.probe_timeout)
     summary["upconv_probe"] = upconv
     _log({"step": "upconv-probe-summary", **upconv})
+
+    if upconv.get("hang") and not _device_live():
+        _log({"step": "wedged-after-upconv-probe", "ok": False})
+        summary["finished"] = time.time()
+        with open(SUMMARY, "w") as f:
+            json.dump(summary, f, indent=1, default=str)
+        return 1
 
     # ---- Phase 3: flag decision + fused re-benches ---------------------
     flags = decide_flags(stage, upconv)

@@ -399,11 +399,15 @@ def main() -> int:
                 ok = False
                 break
     if args.what in ("upconv", "all"):
+        hung = False
         for strategy in ("reshape", "select"):
+            if hung:  # a timeout = possible Mosaic hang; the other strategy
+                break  # would re-poke the same wedged compile service
             for spec in UPCONV_SHAPES:
                 rec = run_child(_CHILD_UPCONV, list(spec) + [strategy], args.timeout)
                 if "error" in rec:
                     ok = False
+                    hung = True
                     break
     if args.what in ("int8", "all"):
         run_child(_CHILD_INT8, None, args.timeout)
