@@ -91,6 +91,11 @@ def fullconv_predict(
             f"volume shape {(X, Y, Z)} must be a multiple of {div}; "
             "preprocess with preprocess_case(..., pad_multiple=2**num_pool)"
         )
+    if num_mirror not in (1, 8):
+        raise ValueError(
+            f"num_mirror={num_mirror} unsupported: 1 (no TTA) or 8 (full "
+            "mirror TTA) — a partial subset would silently run all 8"
+        )
     combos = MIRROR_COMBOS[:1] if num_mirror == 1 else MIRROR_COMBOS
     flag_groups = jnp.asarray(mirror_flag_groups(combos, 1))  # (G, 1, 3)
     flag_groups = jnp.repeat(flag_groups, B, axis=1)  # same flips across batch

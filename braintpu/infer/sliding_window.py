@@ -73,7 +73,10 @@ def mirror_flag_groups(combos, group_size: int) -> np.ndarray:
         for ax in axes:
             flags[i, ax] = True
     g = max(1, group_size)
-    assert len(combos) % g == 0, "mirror group size must divide the combo count"
+    if len(combos) % g:  # public HBM-tuning knob: real error, not an assert
+        raise ValueError(
+            f"mirror_chunk={g} must divide the mirror count {len(combos)}"
+        )
     return flags.reshape(len(combos) // g, g, 3)
 
 
@@ -121,6 +124,11 @@ def sliding_window_predict(
     Returns:
       (X, Y, Z, K) float32 probabilities (sigmoid regions, fold-averaged).
     """
+    if num_mirror not in (1, 8):
+        raise ValueError(
+            f"num_mirror={num_mirror} unsupported: 1 (no TTA) or 8 (full "
+            "mirror TTA) — a partial subset would silently run all 8"
+        )
     combos = MIRROR_COMBOS[:1] if num_mirror == 1 else MIRROR_COMBOS
     pd, ph, pw = cfg.patch_size
     K = cfg.num_classes

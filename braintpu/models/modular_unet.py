@@ -74,6 +74,10 @@ class ModularUNetConfig:
     #: None mirrors the encoder (reference default, generic_modular_UNet.py:212).
     blocks_per_stage_decoder: Optional[Tuple[int, ...]] = None
     norm: str = "instance"
+    #: GroupNorm group count (norm='group'); every stage's feature count
+    #: must be a multiple of it — validated in __post_init__ so arbitrary
+    #: experiment-planner widths fail at config time, not mid-forward
+    group_norm_groups: int = 8
     negative_slope: float = 0.01
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -85,6 +89,20 @@ class ModularUNetConfig:
         ), "per-stage plans must have equal length"
         if self.blocks_per_stage_decoder is not None:
             assert len(self.blocks_per_stage_decoder) == self.num_stages - 1
+        if self.norm == "group":
+            # inline (module-level stage_features isn't defined yet when
+            # the REFERENCE_3D instance is built at import time)
+            feats = [
+                min(self.base_features * self.feat_map_mul**s, self.max_features)
+                for s in range(self.num_stages)
+            ]
+            bad = [f for f in feats if f % self.group_norm_groups]
+            if bad:
+                raise ValueError(
+                    f"stage feature counts {bad} are not multiples of "
+                    f"group_norm_groups={self.group_norm_groups}; pick a "
+                    "group count that divides every stage width"
+                )
 
     @property
     def num_stages(self) -> int:
@@ -99,6 +117,7 @@ class ModularUNetConfig:
         """Per-stage shim reusing the unet3d block machinery."""
         return UNetConfig(
             norm=self.norm,
+            group_norm_groups=self.group_norm_groups,
             negative_slope=self.negative_slope,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,

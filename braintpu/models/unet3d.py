@@ -233,8 +233,14 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
             cfg.negative_slope,
             cfg.param_dtype,
         )
+        # nnU-Net decoder stage = StackedConvLayers(concat→skip,
+        # conv_per_stage-1) + StackedConvLayers(skip→out, 1)
+        # (ref generic_UNet.py:368-374).  StackedConvLayers ALWAYS builds
+        # its first block (ref :135-143: one unconditional block plus
+        # num_convs-1 more), so even conv_per_stage=1 yields TWO decoder
+        # convs — this floor-of-2 is faithful, not a bug.
         blocks = [_init_block(next(keys), 2 * ch["skip"], ch["skip"], cfg)]
-        for _ in range(cfg.conv_per_stage - 2):
+        for _ in range(max(cfg.conv_per_stage - 2, 0)):
             blocks.append(_init_block(next(keys), ch["skip"], ch["skip"], cfg))
         blocks.append(_init_block(next(keys), ch["skip"], ch["out"], cfg))
         seg_w = _he_init(
@@ -609,8 +615,18 @@ def _norm(x, block, cfg: UNetConfig, train: bool, batch_stats: Optional[dict] = 
     return y, new_stats
 
 
-def _block_apply(x, block, cfg: UNetConfig, stride=(1, 1, 1), train=False, folded=False):
-    """Conv → Norm → LeakyReLU.  Returns (y, new_stats)."""
+def _block_apply(
+    x, block, cfg: UNetConfig, stride=(1, 1, 1), train=False, folded=False,
+    drop_key=None,
+):
+    """Conv → (Dropout) → Norm → LeakyReLU.  Returns (y, new_stats).
+
+    ``drop_key`` activates the reference's per-conv ``nn.Dropout3d``
+    (generic_UNet.py:69-72): CHANNEL-wise masking of the conv output
+    BEFORE normalization — not element-wise, and not once per stage after
+    the activations (which would change the statistics the next conv and
+    the norm layer see).
+    """
     if folded:
         # folded-BN: no norm between conv and activation, so the LeakyReLU
         # rides the conv epilogue (saves one full-tensor HBM pass when the
@@ -619,6 +635,12 @@ def _block_apply(x, block, cfg: UNetConfig, stride=(1, 1, 1), train=False, folde
                     cfg.conv_impl, negative_slope=cfg.negative_slope)
         return y.astype(cfg.compute_dtype), None
     y = _conv3d(x, block["w"], block["b"], stride, cfg.compute_dtype, cfg.conv_impl)
+    if drop_key is not None:
+        keep = 1.0 - cfg.dropout_rate
+        mask = jax.random.bernoulli(
+            drop_key, keep, (y.shape[0], 1, 1, 1, y.shape[-1])
+        )
+        y = jnp.where(mask, y / keep, 0).astype(y.dtype)
     y, new_stats = _norm(y, block, cfg, train)
     y = jnp.where(y >= 0, y, y * cfg.negative_slope)
     return y.astype(cfg.compute_dtype), new_stats
@@ -881,20 +903,23 @@ def apply_unet(
     new_stats: Dict[str, Any] = {"encoder": [], "bottleneck": [], "decoder": []}
     drop_keys = None
     if train and cfg.dropout_rate > 0 and rng is not None:
-        drop_keys = iter(jax.random.split(rng, cfg.num_pool + 1))
+        # one key per conv in the dropout-enabled encoder stages
+        drop_keys = iter(
+            jax.random.split(rng, (cfg.num_pool + 1) * cfg.conv_per_stage)
+        )
 
     skips = []
     h = x
     for d, stage in enumerate(params["encoder"]):
         stage_stats = []
+        use_drop = drop_keys is not None and d in cfg.dropout_levels
         for c, block in enumerate(stage):
             s = pool if (d > 0 and c == 0) else stride1
-            h, st = _block_apply(h, block, cfg, s, train, folded)
+            h, st = _block_apply(
+                h, block, cfg, s, train, folded,
+                drop_key=next(drop_keys) if use_drop else None,
+            )
             stage_stats.append(st)
-        if train and cfg.dropout_rate > 0 and d in cfg.dropout_levels and drop_keys is not None:
-            keep = 1.0 - cfg.dropout_rate
-            mask = jax.random.bernoulli(next(drop_keys), keep, h.shape)
-            h = jnp.where(mask, h / keep, 0).astype(h.dtype)
         if "encoder_attn" in params and str(d) in params["encoder_attn"]:
             from .axial import apply_axial_block
 
@@ -1001,12 +1026,17 @@ def estimate_activation_bytes(cfg: UNetConfig, batch: int = 1) -> int:
     """
     itemsize = jnp.dtype(cfg.compute_dtype).itemsize
     vox = int(np.prod(cfg.patch_size))
+    # per-level reduction is the product of the (configurable) pool kernel
+    # — hardcoding 8 understates anisotropic pooling (e.g. (1,2,2) shrinks
+    # 4× per level) by up to 2^depth, and this estimator picks batch/patch
+    # sizes
+    shrink = int(np.prod(cfg.pool_kernel))
     total = 0
     enc = encoder_features(cfg)
     for d, f in enumerate(enc):
-        total += (vox // (8**d)) * f * cfg.conv_per_stage
-    total += (vox // (8**cfg.num_pool)) * bottleneck_features(cfg) * cfg.conv_per_stage
+        total += (vox // (shrink**d)) * f * cfg.conv_per_stage
+    total += (vox // (shrink**cfg.num_pool)) * bottleneck_features(cfg) * cfg.conv_per_stage
     for u, ch in enumerate(decoder_channels(cfg)):
-        scale = 8 ** (cfg.num_pool - 1 - u)
+        scale = shrink ** (cfg.num_pool - 1 - u)
         total += (vox // scale) * (2 * ch["skip"] + ch["out"])
     return total * batch * itemsize

@@ -40,19 +40,30 @@ __all__ = ["conv3d_tap_merged", "pallas_conv_supported", "plan_tiles"]
 _VMEM_BUDGET = 13 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
+def _pad_lanes(c: int) -> int:
+    return -(-c // 128) * 128
+
+
 def plan_tiles(H: int, W: int, ci: int, co: int) -> Optional[int]:
     """Row-chunk size for the merged-partials buffer, or None if it can't fit.
 
     Working set: double-buffered input slice + f32 rolling accumulators (two
     slots) for the full slice + double-buffered output slice + the per-chunk
     transients (shifted taps and the (CH*W, 3co) f32 partials).
+
+    Channel counts are padded to 128 lanes (Mosaic's minor-dim tiling) —
+    counting the nominal ci/co understates the real working set ~2× at the
+    exact shapes _choose_impl routes here (ci=co=64), approving bands past
+    the budget this gate exists to protect (same rule as
+    stage_pallas.plan_stage_tiles).
     """
-    fixed = 2 * H * W * ci * 2 + 2 * H * W * co * 4 + 2 * H * W * co * 2
+    cip, cop = _pad_lanes(ci), _pad_lanes(co)
+    fixed = 2 * H * W * cip * 2 + 2 * H * W * cop * 4 + 2 * H * W * cop * 2
     for ch in (128, 64, 32, 16, 8):
         if ch > H or H % ch:
             continue
-        g = ch * W * 3 * co * 4  # f32 partials chunk
-        taps = 3 * ch * W * ci * 2  # shifted-read transients (heuristic)
+        g = ch * W * _pad_lanes(3 * co) * 4  # f32 partials chunk
+        taps = 3 * ch * W * cip * 2  # shifted-read transients (heuristic)
         if fixed + 2 * g + taps <= _VMEM_BUDGET:
             return ch
     return None

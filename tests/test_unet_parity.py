@@ -403,3 +403,51 @@ def test_fold_batchnorm_preserves_encoder_attn():
     state, _ = train_step(state, batch, cfg, tc)
     assert "encoder_attn" in state.params
     state, _ = train_step(state, batch, cfg, tc)  # second step must not crash
+
+
+def test_dropout_is_channelwise_between_conv_and_norm():
+    """Training dropout reproduces nn.Dropout3d semantics (ref
+    generic_UNet.py:69-72): whole channels of the conv output masked
+    BEFORE normalization, per conv, only in cfg.dropout_levels stages."""
+    from braintpu.models.unet3d import UNetConfig, apply_unet, init_params
+
+    cfg = UNetConfig(
+        in_channels=2, num_classes=2, base_features=4, max_features=8,
+        num_pool=1, conv_per_stage=2, norm="instance",
+        dropout_levels=(0,), dropout_rate=0.5,
+        patch_size=(8, 8, 8), compute_dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 8, 2)),
+                    jnp.float32)
+
+    # inference path: dropout must be inert
+    y_infer = apply_unet(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(y_infer), np.asarray(apply_unet(params, x, cfg)))
+
+    # train path: different rng keys → different masks → different outputs
+    out_a, _ = apply_unet(params, x, cfg, train=True, rng=jax.random.PRNGKey(1))
+    out_b, _ = apply_unet(params, x, cfg, train=True, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out_a[0]), np.asarray(out_b[0]))
+
+    # no dropout-enabled stages -> train output deterministic across keys
+    cfg_nd = UNetConfig(
+        in_channels=2, num_classes=2, base_features=4, max_features=8,
+        num_pool=1, conv_per_stage=2, norm="instance",
+        dropout_levels=(), dropout_rate=0.5,
+        patch_size=(8, 8, 8), compute_dtype=jnp.float32,
+    )
+    na, _ = apply_unet(params, x, cfg_nd, train=True, rng=jax.random.PRNGKey(1))
+    nb, _ = apply_unet(params, x, cfg_nd, train=True, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(na[0]), np.asarray(nb[0]))
+
+
+def test_modular_unet_group_norm_groups_validated():
+    """norm='group' widths must divide the group count at CONFIG time,
+    not crash mid-forward in a reshape (regression)."""
+    from braintpu.models.modular_unet import ModularUNetConfig
+
+    with pytest.raises(ValueError, match="group_norm_groups"):
+        ModularUNetConfig(norm="group", base_features=20, group_norm_groups=8)
+    cfg = ModularUNetConfig(norm="group", base_features=20, group_norm_groups=5)
+    assert cfg.block_cfg((3, 3, 3)).group_norm_groups == 5
