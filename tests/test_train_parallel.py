@@ -284,6 +284,17 @@ def test_fullconv_mirror_sharded_matches_single_device():
     got = fullconv_predict_sharded(stacked, vol, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    # the jitted shard_map forward is cached per (cfg, mesh, axis, folded,
+    # bucket) — a fresh closure per call retraced + recompiled the whole
+    # ensemble every case (regression)
+    from braintpu.infer.fullconv import _sharded_mirror_fwd
+
+    assert _sharded_mirror_fwd(cfg, mesh, "data", False, (16, 16, 16)) is (
+        _sharded_mirror_fwd(cfg, mesh, "data", False, (16, 16, 16))
+    )
+    got2 = fullconv_predict_sharded(stacked, vol, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got), atol=0)
+
 
 def test_fit_checkpoint_resume(tmp_path):
     """fit(): checkpoints periodically and resumes from the latest step."""
