@@ -127,10 +127,12 @@ class FeatureContext:
         seg = np.round(seg_img.get_fdata(dtype=np.float32)).astype(np.int32)
         # user-shipped files may be either BraTS vintage (2021 spells ET=4,
         # 2025 spells ET=3); the feature steps read 2025 space (step3's
-        # ET-foci analysis is seg==3 by documented reference quirk)
-        from ..labels import normalize_to_brats2025
-
-        seg = np.asarray(normalize_to_brats2025(seg)).astype(np.int32)
+        # ET-foci analysis is seg==3 by documented reference quirk).
+        # Minimal rewrite — only the ET spelling differs between vintages —
+        # so foreign labels (>4) keep counting toward WT (seg>0), matching
+        # tumor_masks_from_seg/devstats semantics (a table remap would
+        # zero them into 'normal' background)
+        seg = np.where(seg == 4, 3, seg).astype(np.int32)
         return cls(
             case_id=case.case_id,
             modalities={m: data[i] for i, m in enumerate(MODALITIES)},

@@ -247,11 +247,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(400, {"detail": "Invalid JSON body."})
             case_id = (data.get("case_id") or "").strip()
             try:
+                # strip whitespace first: RFC-2045 wrappers (Python's
+                # encodebytes, the base64 CLI) insert newlines every 76
+                # chars, which validate=True would reject
                 files = {
-                    k: base64.b64decode(v, validate=True)
+                    k: base64.b64decode("".join(v.split()), validate=True)
                     for k, v in (data.get("files") or {}).items()
                 }
-            except (binascii.Error, TypeError, ValueError):
+            except (binascii.Error, TypeError, ValueError, AttributeError):
                 # invalid base64 / non-string value: a 400, not a dropped
                 # connection from an exception escaping do_POST
                 return self._send(

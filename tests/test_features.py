@@ -360,3 +360,22 @@ def test_context_load_normalizes_2021_vintage_seg(tmp_path, synth_case):
     assert (ctx.seg == 3).sum() == int((seg == 4).sum())
     result = analyze_multiplicity(ctx)
     assert result["enhancing_analysis"]["num_enhancing_foci"] >= 1
+
+
+def test_context_load_keeps_foreign_labels_in_wt(tmp_path, synth_case):
+    """Out-of-vocabulary labels (>4) must stay tumor (WT = seg>0), not be
+    zeroed into the 'normal' reference (regression: a table remap in load
+    reclassified them as background)."""
+    from braintpu.features.context import FeatureContext
+    from braintpu.io import nifti
+
+    seg_path = synth_case / "BraTS-GLI-99999-000_seg.nii.gz"
+    img = nifti.load(str(seg_path))
+    seg = np.asarray(img.dataobj).copy()
+    seg[seg == 2] = 7  # foreign label
+    seg_f = tmp_path / "seg_foreign.nii.gz"
+    nifti.save(seg.astype(np.int16), str(seg_f), affine=img.affine)
+
+    ctx = FeatureContext.load(synth_case, seg_f)
+    assert (ctx.seg == 7).sum() == int((seg == 7).sum())
+    assert ctx.tumor_masks["wt"].sum() == int((seg > 0).sum())

@@ -214,6 +214,26 @@ def test_analyze_json_rejects_invalid_base64(server):
     assert code == 400, resp
 
 
+def test_analyze_json_accepts_wrapped_base64(server, synth_case):
+    """RFC-2045-wrapped base64 (newlines every 76 chars, as produced by
+    base64.encodebytes / the base64 CLI) must be accepted — validate=True
+    alone rejected it."""
+    import base64 as _b64
+
+    files = _case_files(synth_case)
+    payload = {
+        "case_id": "WRAP-0001",
+        "files": {m: _b64.encodebytes(files[m]).decode() for m in ("t1", "t1ce", "t2", "flair")},
+    }
+    code, resp, _ = _req(
+        server + "/api/analyze",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert code == 200, resp
+
+
 def test_job_that_dies_early_reports_error(tmp_path):
     """A worker that fails before the pipeline opens its event journal
     (e.g. 'no complete BraTS case') must surface as status=error, not poll

@@ -293,6 +293,20 @@ def main() -> int:
         return 0
 
 
+def _bail_if_wedged(probe: dict, summary: dict, step: str) -> bool:
+    """A Mosaic hang can wedge the shared remote compile service; every
+    further probe would burn its full timeout producing records that
+    misread as "kernel rejected".  After any hung probe, re-verify device
+    liveness and finalize the summary with what was captured so far."""
+    if not (probe.get("hang") and not _device_live()):
+        return False
+    _log({"step": step, "ok": False})
+    summary["finished"] = time.time()
+    with open(SUMMARY, "w") as f:
+        json.dump(summary, f, indent=1, default=str)
+    return True
+
+
 def _capture(args, summary) -> int:
     # ---- Phase 1: SAFE captures (validated XLA lowerings, kernels off) --
     safe_env = {"BRAINTPU_FUSED_STAGES": "0", "BRAINTPU_PALLAS_UPCONV": "0",
@@ -312,25 +326,14 @@ def _capture(args, summary) -> int:
     summary["stage_probe"] = stage
     _log({"step": "stage-probe-summary", **stage})
 
-    if stage.get("hang") and not _device_live():
-        # a Mosaic hang can wedge the shared remote compile service; every
-        # further probe would burn its full timeout producing records that
-        # misread as "kernel rejected" — stop with what phase 1 captured
-        _log({"step": "wedged-after-stage-probe", "ok": False})
-        summary["finished"] = time.time()
-        with open(SUMMARY, "w") as f:
-            json.dump(summary, f, indent=1, default=str)
+    if _bail_if_wedged(stage, summary, "wedged-after-stage-probe"):
         return 1
 
     upconv = probe_upconv(args.probe_timeout)
     summary["upconv_probe"] = upconv
     _log({"step": "upconv-probe-summary", **upconv})
 
-    if upconv.get("hang") and not _device_live():
-        _log({"step": "wedged-after-upconv-probe", "ok": False})
-        summary["finished"] = time.time()
-        with open(SUMMARY, "w") as f:
-            json.dump(summary, f, indent=1, default=str)
+    if _bail_if_wedged(upconv, summary, "wedged-after-upconv-probe"):
         return 1
 
     # ---- Phase 3: flag decision + fused re-benches ---------------------

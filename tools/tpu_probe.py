@@ -385,6 +385,21 @@ def main() -> int:
         return 0
 
     ok = True
+    hung = False
+
+    def recovered() -> bool:
+        """After a probe timeout (possible Mosaic hang that wedges the
+        SHARED remote compile service), verify liveness with a smoke child
+        before any further section — otherwise each subsequent probe burns
+        its full timeout and emits a record that misreads as 'kernel
+        rejected' rather than 'service wedged'."""
+        nonlocal hung
+        if not hung:
+            return True
+        rec = run_child(_CHILD_SMOKE, None, 240.0)
+        hung = not rec.get("ok")
+        return not hung
+
     if args.what in ("smoke", "all"):
         rec = run_child(_CHILD_SMOKE, None, min(args.timeout, 240.0))
         if args.what == "smoke":
@@ -397,9 +412,9 @@ def main() -> int:
             rec = run_child(_CHILD_STAGE, spec, args.timeout)
             if "error" in rec:  # hang — stop escalating shapes
                 ok = False
+                hung = True
                 break
-    if args.what in ("upconv", "all"):
-        hung = False
+    if args.what in ("upconv", "all") and recovered():
         for strategy in ("reshape", "select"):
             if hung:  # a timeout = possible Mosaic hang; the other strategy
                 break  # would re-poke the same wedged compile service
@@ -409,11 +424,11 @@ def main() -> int:
                     ok = False
                     hung = True
                     break
-    if args.what in ("int8", "all"):
+    if args.what in ("int8", "all") and recovered():
         run_child(_CHILD_INT8, None, args.timeout)
-    if args.what in ("features", "all"):
+    if args.what in ("features", "all") and recovered():
         run_child(_CHILD_FEATURES, None, max(args.timeout, 600.0))
-    if args.what in ("fullconv", "all"):
+    if args.what in ("fullconv", "all") and recovered():
         env = {"BRAINTPU_FUSED_STAGES": "1"} if args.fused else {}
         for which in ("bn", "gn"):
             for mirrors in (1, 8):
