@@ -140,12 +140,15 @@ def test_run_bench_parses_and_logs(ac, monkeypatch):
 
 def test_run_bench_negative_value_not_ok(ac, monkeypatch):
     # bench.py emits value=-1 when the tunnel dies mid-run — must not
-    # count as a capture
+    # count as a capture EVEN with rc=0 (rc=2 alone would mask a missing
+    # value>0 check)
     line = json.dumps({"metric": "m", "value": -1.0, "unit": "s/case",
                        "vs_baseline": 0.0})
-    monkeypatch.setattr(ac.subprocess, "run", _fake_bench_run(line, rc=2))
+    monkeypatch.setattr(ac.subprocess, "run", _fake_bench_run(line, rc=0))
     rec = ac.run_bench("bench-dead", [], {}, 60.0)
     assert not rec["ok"]
+    monkeypatch.setattr(ac.subprocess, "run", _fake_bench_run(line, rc=2))
+    assert not ac.run_bench("bench-dead-rc", [], {}, 60.0)["ok"]
 
 
 def test_run_bench_timeout(ac, monkeypatch):

@@ -175,11 +175,27 @@ def test_engine_label_vs_softmax_ensemble(synth_case):
     from braintpu.io.brats import load_case_volumes
 
     data, _, _ = load_case_volumes(cases[0])
-    seg_soft, _ = InferenceEngine(models=[b1, b2], tta=False).predict_case_array(data)
+    kw = dict(tta=False, et_min_voxels=0, output_convention="internal")
+    seg_soft, _ = InferenceEngine(models=[b1, b2], **kw).predict_case_array(data)
     seg_label, _ = InferenceEngine(
-        models=[b1, b2], tta=False, ensemble="label"
+        models=[b1, b2], ensemble="label", **kw
     ).predict_case_array(data)
     assert seg_soft.shape == seg_label.shape
+    # BEHAVIORAL pin (not just shape): label mode must equal the
+    # repo-parity recipe round((l1+l2)/2) over the per-model INTERNAL
+    # label maps (run_brats2021_inference_singlethread.py:288-312 averages
+    # internal labels BEFORE any convention remap — the 1↔2 swap makes the
+    # two orders inequivalent).  A label mode that silently falls through
+    # to the softmax branch fails here.
+    l1, _ = InferenceEngine(models=[b1], ensemble="label", **kw).predict_case_array(data)
+    l2, _ = InferenceEngine(models=[b2], ensemble="label", **kw).predict_case_array(data)
+    manual = np.round(
+        (l1.astype(np.float32) + l2.astype(np.float32)) / 2.0
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(seg_label, manual)
+    # and with random weights the two ensemble semantics genuinely differ
+    # somewhere (otherwise this test compares nothing)
+    assert (seg_soft != seg_label).any()
 
 
 def test_fullconv_matches_sliding_on_single_patch_volume():

@@ -301,15 +301,19 @@ def test_resubmitted_case_id_gets_fresh_job_state(server, synth_case):
     assert job2 != job1
     code, resp, _ = _req(server + f"/api/status/{job2}")
     first_status = json.loads(resp)
-    # job 2 must start from its own (running) state, not inherit job 1's
-    # finished results; eventually it completes on its own.
-    while time.time() < deadline:
+    # THE regression signal: job 2's first poll (within ms of submit, long
+    # before its worker can finish a segmentation) must NOT report job 1's
+    # completed state — 'done' here means results were shared across jobs
+    assert first_status["status"] != "done", first_status
+    # eventually it completes on its own (fresh deadline: job 1 may have
+    # used most of the first budget on a slow box)
+    deadline2 = time.time() + 120
+    while time.time() < deadline2:
         code, resp, _ = _req(server + f"/api/status/{job2}")
         if json.loads(resp)["status"] in ("done", "error"):
             break
         time.sleep(1)
     assert json.loads(resp)["status"] == "done"
-    assert first_status["status"] in ("running", "queued", "done")
 
 
 def test_bare_nii_upload_is_gzipped(server, synth_case):

@@ -337,10 +337,23 @@ def test_fit_checkpoint_resume(tmp_path):
     assert int(state2.step) == 6
     assert len(metrics_seen) == 2  # only steps 5 and 6 ran
     assert latest_step(ckdir) == 6
-    # restored params match the step-4 state, not the fresh init
-    p4 = jax.tree_util.tree_leaves(state.params)[0]
-    p6 = jax.tree_util.tree_leaves(state2.params)[0]
-    assert p4.shape == p6.shape
+    # restored params continued FROM the step-4 state (two more steps of
+    # training applied), not the fresh PRNGKey(1) init: a resume that
+    # fast-forwards the counter but keeps fresh params must fail here
+    def flat(params):
+        return np.concatenate(
+            [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(params)]
+        )
+
+    fresh = flat(create_train_state(init_params(cfg, jax.random.PRNGKey(1)), tc).params)
+    p4 = flat(state.params)
+    p6 = flat(state2.params)
+    assert not np.array_equal(p6, fresh), (
+        "resumed params equal the fresh init — checkpoint restore is broken"
+    )
+    # two SGD steps at lr 1e-3 move params a little from step-4, but far
+    # less than the distance to an unrelated random init
+    assert float(np.abs(p6 - p4).max()) < float(np.abs(fresh - p4).max())
 
 
 def test_augment_patch_properties():
@@ -372,19 +385,37 @@ def test_augment_patch_properties():
     _, s3 = augment_patch(np.random.default_rng(1), img, seg, cfg2)
     np.testing.assert_array_equal(s3, seg)
 
-    # sampler integration
-    import os
+def test_patch_sampler_with_augmentation(tmp_path):
+    """PatchSampler yields augmented batches of the requested geometry —
+    on a synthetic on-disk case, never machine-local scratch state."""
+    import numpy as np
 
+    from braintpu.io import nifti
     from braintpu.io.brats import find_cases
+    from braintpu.train.augment import AugmentConfig
     from braintpu.train.data import PatchSampler
 
-    if os.path.isdir("/tmp/vfy"):  # machine-local scratch case, if present
-        cases = find_cases("/tmp/vfy")
-        if cases:
-            s = PatchSampler(cases, patch_size=(16, 16, 16), batch_size=1,
-                             seed=0, augment=AugmentConfig())
-            b = next(iter(s))
-            assert b["image"].shape == (1, 16, 16, 16, 4)
+    rng = np.random.default_rng(0)
+    case_dir = tmp_path / "BraTS-GLI-77777-000"
+    case_dir.mkdir()
+    shape = (24, 24, 24)
+    aff = np.eye(4)
+    seg = np.zeros(shape, np.int16)
+    seg[8:16, 8:16, 8:16] = 2
+    seg[10:14, 10:14, 10:14] = 3
+    for mod in ("t1", "t1ce", "t2", "flair"):
+        vol = np.abs(rng.normal(300, 60, shape)).astype(np.float32)
+        nifti.save(vol, case_dir / f"BraTS-GLI-77777-000_{mod}.nii.gz", affine=aff)
+    nifti.save(seg, case_dir / "BraTS-GLI-77777-000_seg.nii.gz", affine=aff)
+
+    cases = find_cases(tmp_path)
+    assert cases
+    s = PatchSampler(cases, patch_size=(16, 16, 16), batch_size=2,
+                     seed=0, augment=AugmentConfig())
+    b = next(iter(s))
+    assert b["image"].shape == (2, 16, 16, 16, 4)
+    assert b["labels"].shape == (2, 16, 16, 16)
+    assert set(np.unique(np.asarray(b["labels"]))) <= {0, 1, 2, 3}
 
 
 def test_param_shardings_axial_tree_matches():

@@ -113,7 +113,9 @@ def test_upconv_strategy_env(monkeypatch):
 
 def test_upconv_gating(monkeypatch):
     """The Pallas path engages only when opted in AND on TPU; the default
-    _upconv lowering is unchanged otherwise."""
+    _upconv lowering is unchanged otherwise.  The gate is exercised by
+    faking _on_tpu()=True and recording whether the kernel is invoked —
+    a pure shape check on CPU never reaches the gate at all."""
     rng = np.random.default_rng(6)
     x = _int_vals(rng, (1, 2, 8, 8, 8)).astype(jnp.bfloat16)
     w = _pow2(rng, (8, 2, 2, 2, 8))
@@ -122,3 +124,31 @@ def test_upconv_gating(monkeypatch):
     assert base.shape == (1, 4, 16, 16, 8)
     # unsupported tiny shapes refuse the kernel
     assert not upconv2x_supported((1, 2, 4, 4, 8), 8)
+
+    import braintpu.ops.upconv_pallas as up
+
+    calls = []
+    real_upconv2x = up.upconv2x
+
+    def fake_upconv2x(xx, ww, strategy="reshape"):
+        calls.append(strategy)
+        return real_upconv2x(xx, ww, strategy=strategy, interpret=True)
+
+    monkeypatch.setattr(u3, "_on_tpu", lambda: True)
+    monkeypatch.setattr(up, "upconv2x", fake_upconv2x)
+
+    # on "TPU" but NOT opted in: the kernel must stay dormant
+    out_default = u3._upconv(x, w, jnp.bfloat16)
+    assert calls == []
+    np.testing.assert_array_equal(
+        np.asarray(out_default, np.float32), np.asarray(base, np.float32)
+    )
+
+    # opted in on "TPU": the kernel engages (interpret-mode exactness)
+    monkeypatch.setenv("BRAINTPU_PALLAS_UPCONV", "1")
+    monkeypatch.setenv("BRAINTPU_UPCONV_STRATEGY", "select")
+    out_kernel = u3._upconv(x, w, jnp.bfloat16)
+    assert calls == ["select"]
+    np.testing.assert_array_equal(
+        np.asarray(out_kernel, np.float32), np.asarray(base, np.float32)
+    )
