@@ -224,7 +224,9 @@ class _Handler(BaseHTTPRequestHandler):
                 data = json.loads(self._body() or b"{}")
             except json.JSONDecodeError:
                 return self._send(400, {"detail": "Invalid JSON body."})
-            question = (data.get("question") or "").strip()
+            if not isinstance(data, dict):
+                return self._send(400, {"detail": "JSON body must be an object."})
+            question = str(data.get("question") or "").strip()
             if not question:
                 return self._send(400, {"detail": "question must not be empty."})
             code, payload = app.chat(m.group(1), question)
@@ -245,7 +247,9 @@ class _Handler(BaseHTTPRequestHandler):
                 data = json.loads(body or b"{}")
             except json.JSONDecodeError:
                 return self._send(400, {"detail": "Invalid JSON body."})
-            case_id = (data.get("case_id") or "").strip()
+            if not isinstance(data, dict):  # e.g. a bare JSON list
+                return self._send(400, {"detail": "JSON body must be an object."})
+            case_id = str(data.get("case_id") or "").strip()
             try:
                 # strip whitespace first: RFC-2045 wrappers (Python's
                 # encodebytes, the base64 CLI) insert newlines every 76

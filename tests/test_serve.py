@@ -339,3 +339,29 @@ def test_bare_nii_upload_is_gzipped(server, synth_case):
             break
         time.sleep(1)
     assert status and status["status"] == "done", status
+
+
+def test_api_never_drops_connection_on_garbage(server):
+    """Malformed bodies/headers must yield HTTP error responses, not
+    unhandled exceptions that close the socket mid-request."""
+    import urllib.error
+
+    cases = [
+        # (path, body, content-type)
+        ("/api/analyze", b"\x00\xff\x13garbage", "multipart/form-data; boundary=x"),
+        ("/api/analyze", b"{not json", "application/json"),
+        ("/api/analyze", b"[]", "application/json"),          # non-dict JSON
+        ("/api/analyze", json.dumps({"case_id": "A-1", "files": "notadict"}).encode(),
+         "application/json"),
+        ("/api/analyze", b"", "multipart/form-data"),          # no boundary
+        ("/api/chat/doesnotexist", b"{\"question\": 5}", "application/json"),
+    ]
+    for path, body, ctype in cases:
+        try:
+            code, resp, _ = _req(
+                server + path, data=body,
+                headers={"Content-Type": ctype}, method="POST",
+            )
+        except urllib.error.URLError as e:
+            raise AssertionError(f"{path} with {ctype!r} dropped the connection: {e}")
+        assert 400 <= code < 500, (path, ctype, code, resp[:200])
