@@ -91,6 +91,37 @@ def test_reject_garbage(tmp_path):
         nifti.load(path)
 
 
+def test_corrupt_inputs_raise_cleanly(tmp_path):
+    """Truncated/corrupt files must raise a clean error (NiftiError or the
+    gzip/OS layer's), never return a garbage array or crash unhandled."""
+    import gzip as _gz
+
+    import numpy as np
+
+    good = tmp_path / "good.nii.gz"
+    nifti.save(np.arange(64, dtype=np.float32).reshape(4, 4, 4), good,
+               affine=np.eye(4))
+    raw = good.read_bytes()
+
+    candidates = {
+        "empty": b"",
+        "tiny": b"\x1f\x8b",
+        "truncated_gzip": raw[: len(raw) // 2],
+        "not_gzip_not_nifti": b"A" * 1000,
+        "gzip_of_garbage": _gz.compress(b"B" * 600),
+        "truncated_payload": _gz.compress(_gz.decompress(raw)[:360]),
+    }
+    for name, blob in candidates.items():
+        p = tmp_path / f"{name}.nii.gz"
+        p.write_bytes(blob)
+        with pytest.raises(Exception) as exc_info:
+            img = nifti.load(p)
+            np.asarray(img.dataobj)  # force the decode
+        assert isinstance(
+            exc_info.value, (nifti.NiftiError, OSError, EOFError, ValueError)
+        ), (name, type(exc_info.value), exc_info.value)
+
+
 def test_negative_determinant_affine_roundtrip(tmp_path):
     """LPS-flavored affine (negative determinant) must survive the qform path."""
     data = np.zeros((4, 4, 4), dtype=np.float32)
