@@ -451,3 +451,42 @@ def test_modular_unet_group_norm_groups_validated():
         ModularUNetConfig(norm="group", base_features=20, group_norm_groups=8)
     cfg = ModularUNetConfig(norm="group", base_features=20, group_norm_groups=5)
     assert cfg.block_cfg((3, 3, 3)).group_norm_groups == 5
+
+
+def test_convert_state_dict_error_paths():
+    """Wrong-topology checkpoints fail with a clear shape message; missing
+    keys raise KeyError naming the torch key (not garbage params)."""
+    from braintpu.ckpt.convert import convert_state_dict
+    from braintpu.models.unet3d import UNetConfig
+
+    cfg = UNetConfig(
+        in_channels=2, num_classes=2, base_features=4, max_features=8,
+        num_pool=1, conv_per_stage=1, norm="instance",
+        patch_size=(8, 8, 8), compute_dtype=jnp.float32,
+    )
+    with pytest.raises(KeyError, match="conv_blocks_context"):
+        convert_state_dict({}, cfg)
+
+    # assemble a structurally-complete dict but with a wrong conv width
+    def t(*shape):
+        return np.zeros(shape, np.float32)
+
+    sd = {}
+    # encoder stage 0 (1 conv), WRONG in_channels: 3 instead of 2
+    sd["conv_blocks_context.0.blocks.0.conv.weight"] = t(4, 3, 3, 3, 3)
+    sd["conv_blocks_context.0.blocks.0.conv.bias"] = t(4)
+    sd["conv_blocks_context.0.blocks.0.instnorm.weight"] = t(4)
+    sd["conv_blocks_context.0.blocks.0.instnorm.bias"] = t(4)
+    # bottleneck = Sequential(Stacked(0 -> still 1 block? conv_per_stage-1=0), Stacked(1))
+    sd["conv_blocks_context.1.1.blocks.0.conv.weight"] = t(8, 4, 3, 3, 3)
+    sd["conv_blocks_context.1.1.blocks.0.conv.bias"] = t(8)
+    sd["conv_blocks_context.1.1.blocks.0.instnorm.weight"] = t(8)
+    sd["conv_blocks_context.1.1.blocks.0.instnorm.bias"] = t(8)
+    sd["tu.0.weight"] = t(8, 4, 2, 2, 2)
+    sd["conv_blocks_localization.0.1.blocks.0.conv.weight"] = t(4, 8, 3, 3, 3)
+    sd["conv_blocks_localization.0.1.blocks.0.conv.bias"] = t(4)
+    sd["conv_blocks_localization.0.1.blocks.0.instnorm.weight"] = t(4)
+    sd["conv_blocks_localization.0.1.blocks.0.instnorm.bias"] = t(4)
+    sd["seg_outputs.0.weight"] = t(2, 4, 1, 1, 1)
+    with pytest.raises(ValueError, match="does not match config"):
+        convert_state_dict(sd, cfg)
