@@ -56,6 +56,12 @@ class GeminiClient:
     BASE = "https://generativelanguage.googleapis.com/v1beta/models"
 
     def __init__(self, api_key: Optional[str] = None, model: str = "gemini-2.5-flash"):
+        if api_key is None and "GEMINI_API_KEY" not in os.environ:
+            # Reference parity: the key may live in a repo-root `.env` file
+            # (/root/reference/generate_report_gemini.py:31-42).
+            from braintpu.utils.env import load_dotenv
+
+            load_dotenv()
         self.api_key = api_key or os.environ.get("GEMINI_API_KEY")
         self.model = model
 
