@@ -62,6 +62,18 @@ def load_engine(args):
             )
     folds = list(range(args.folds))
 
+    nnunet_tree = None  # lazily-discovered raw nnU-Net results tree
+
+    def _nnunet_fold(name: str, f: int):
+        """Raw reference RESULTS_FOLDER layout (trainer dirs × fold_N)."""
+        nonlocal nnunet_tree
+        if nnunet_tree is None:
+            from .ckpt import discover_nnunet_tree
+
+            nnunet_tree = discover_nnunet_tree(args.checkpoints)
+        entry = nnunet_tree.get(name)
+        return entry.folds.get(f) if entry else None
+
     bundles = []
     for name in selected:
         cfg = configs[name]
@@ -76,6 +88,10 @@ def load_engine(args):
                     loaded = load_pytree_npz(npz)
                 elif torch_ckpt.exists():
                     loaded = convert_torch_checkpoint(torch_ckpt, cfg)
+                else:
+                    tree_ckpt = _nnunet_fold(name, f)
+                    if tree_ckpt is not None:
+                        loaded = convert_torch_checkpoint(tree_ckpt, cfg)
             if loaded is None:
                 if not args.random_weights:
                     raise SystemExit(
@@ -120,7 +136,11 @@ def load_engine(args):
 
 
 def _add_engine_args(p, convention_default=None):
-    p.add_argument("--checkpoints", help="checkpoint root (model{1,2}/fold_N.npz or torch layout)")
+    p.add_argument(
+        "--checkpoints",
+        help="checkpoint root: model{1,2}/fold_N.npz layout, or a raw "
+        "nnU-Net results tree (trainer dirs × fold_N/model_final_checkpoint.model)",
+    )
     p.add_argument("--models", default="model1,model2", help="comma list: model1,model2")
     p.add_argument("--folds", type=int, default=5)
     if convention_default:
@@ -592,8 +612,22 @@ def cmd_profile_report(args):
 
 
 def cmd_convert_checkpoint(args):
-    from .ckpt import convert_torch_checkpoint, save_pytree_npz
+    from .ckpt import convert_nnunet_tree, convert_torch_checkpoint, save_pytree_npz
     from .models import MODEL1_BN, MODEL2_GN_LARGE
+
+    if Path(args.input).is_dir():
+        # whole nnU-Net results tree (ref RESULTS_FOLDER layout,
+        # run_brats2021_inference_singlethread.py:262-264) → npz fold layout
+        written = convert_nnunet_tree(
+            args.input,
+            args.output,
+            configs={"model1": MODEL1_BN, "model2": MODEL2_GN_LARGE},
+            folds=[int(f) for f in args.tree_folds.split(",")] if args.tree_folds else None,
+        )
+        for p in written:
+            print(f"  {p}")
+        print(f"converted {len(written)} fold checkpoint(s) from {args.input} → {args.output}")
+        return 0
 
     cfg = MODEL1_BN if args.config == "model1" else MODEL2_GN_LARGE
     params = convert_torch_checkpoint(args.input, cfg)
@@ -767,10 +801,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top", type=int, default=30)
     p.set_defaults(fn=cmd_profile_report)
 
-    p = sub.add_parser("convert-checkpoint", help="torch nnU-Net .model → braintpu .npz")
-    p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
-    p.add_argument("--config", choices=["model1", "model2"], default="model1")
+    p = sub.add_parser(
+        "convert-checkpoint",
+        help="torch nnU-Net .model → braintpu .npz (file, or a whole "
+        "nnUNet_results tree when --input is a directory)",
+    )
+    p.add_argument("--input", required=True, help=".model file OR nnU-Net results-tree root")
+    p.add_argument("--output", required=True, help=".npz path (file mode) OR checkpoint root dir (tree mode)")
+    p.add_argument("--config", choices=["model1", "model2"], default="model1",
+                   help="architecture of a single .model file (ignored in tree mode)")
+    p.add_argument("--tree-folds", help="tree mode: comma-separated fold subset, e.g. 0,1,2,3,4")
     p.set_defaults(fn=cmd_convert_checkpoint)
 
     return parser
