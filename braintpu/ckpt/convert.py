@@ -245,21 +245,36 @@ def _escape_key(k: str) -> str:
     starting at 0) or silently became a list, dropping every encoder
     attention block on reload.
     """
-    if _INDEX.match(k) or _ESCAPED.match(k):
+    if _INDEX.match(k) or _ESCAPED.match(k) or _SENTINEL.match(k):
         return "K" + k
     return k
 
 
 def _unescape_key(k: str) -> str:
-    return k[1:] if _ESCAPED.match(k) else k
+    if _ESCAPED.match(k) or (k.startswith("K") and _SENTINEL.match(k)):
+        return k[1:]
+    return k
+
+
+#: empty containers flatten to no keys at all, so without explicit markers a
+#: save/load round-trip would silently drop them (and downstream indexing
+#: would KeyError far from the save site)
+_EMPTY_DICT, _EMPTY_LIST = "__EMPTY_DICT__", "__EMPTY_LIST__"
+_SENTINEL = re.compile(r"^K*__EMPTY_(DICT|LIST)__$")
 
 
 def flatten_pytree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, Mapping):
+        if not tree:
+            out[f"{prefix}{_EMPTY_DICT}"] = np.zeros(0, np.bool_)
+            return out
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{_escape_key(str(k))}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[f"{prefix}{_EMPTY_LIST}"] = np.zeros(0, np.bool_)
+            return out
         for i, v in enumerate(tree):
             out.update(flatten_pytree(v, f"{prefix}{i}/"))
     else:
@@ -279,6 +294,10 @@ def unflatten_pytree(flat: Mapping[str, np.ndarray]) -> Any:
     def densify(node):
         if not isinstance(node, dict):
             return node
+        if set(node) == {_EMPTY_DICT}:
+            return {}
+        if set(node) == {_EMPTY_LIST}:
+            return []
         if node and all(_INDEX.match(k) for k in node):
             return [densify(node[str(i)]) for i in range(len(node))]
         return {_unescape_key(k): densify(v) for k, v in node.items()}

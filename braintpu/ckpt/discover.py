@@ -133,8 +133,11 @@ def convert_nnunet_tree(
 
     Writes ``<out_dir>/<model>/fold_<n>.npz`` for every discovered fold
     (optionally restricted to *folds*) and returns the written paths.
-    Raises ``FileNotFoundError`` if nothing was discovered and ``ValueError``
-    if a requested fold is missing.
+    A caller-supplied *configs* also selects WHICH models to convert:
+    discovered models without a config entry are skipped (subset
+    conversion).  Raises ``FileNotFoundError`` if nothing was discovered,
+    ``ValueError`` if a requested fold is missing or *configs* matches no
+    discovered model.
     """
     configs = configs or DEFAULT_CONFIGS
     tree = discover_nnunet_tree(root)
@@ -142,10 +145,17 @@ def convert_nnunet_tree(
         raise FileNotFoundError(
             f"no nnU-Net checkpoints (fold_*/{CHECKPOINT_NAME}) found under {root!r}"
         )
+    if not any(model in configs for model in tree):
+        raise ValueError(
+            f"configs {sorted(configs)} match none of the discovered models "
+            f"{sorted(tree)}"
+        )
     written: List[Path] = []
     out_dir = Path(out_dir)
     for model, entry in sorted(tree.items()):
-        cfg = configs[model]
+        cfg = configs.get(model)
+        if cfg is None:
+            continue  # caller's configs select a model subset
         wanted = folds if folds is not None else entry.fold_indices
         missing = [f for f in wanted if f not in entry.folds]
         if missing:

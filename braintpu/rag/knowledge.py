@@ -49,15 +49,23 @@ def parse_md_text(raw: str, source: str = "<memory>") -> KBDocument:
     title = keywords = version = ""
     body = raw
     if "---" in raw:
-        header, _, body = raw.partition("---")
-        body = body.strip()
-        for line in header.strip().splitlines():
-            if line.startswith("TITLE:"):
-                title = line[len("TITLE:"):].strip()
-            elif line.startswith("KEYWORDS:"):
-                keywords = line[len("KEYWORDS:"):].strip()
-            elif line.startswith("VERSION:"):
-                version = line[len("VERSION:"):].strip()
+        header, _, rest = raw.partition("---")
+        # Only treat the '---' as the header separator when the prefix is
+        # actually a TITLE/KEYWORDS/VERSION header — otherwise a plain
+        # markdown horizontal rule in a headerless document would silently
+        # drop all text before it from embedding/retrieval.
+        if any(
+            line.startswith(("TITLE:", "KEYWORDS:", "VERSION:"))
+            for line in header.strip().splitlines()
+        ):
+            body = rest.strip()
+            for line in header.strip().splitlines():
+                if line.startswith("TITLE:"):
+                    title = line[len("TITLE:"):].strip()
+                elif line.startswith("KEYWORDS:"):
+                    keywords = line[len("KEYWORDS:"):].strip()
+                elif line.startswith("VERSION:"):
+                    version = line[len("VERSION:"):].strip()
     return KBDocument(title, keywords, version, source, body)
 
 

@@ -125,6 +125,8 @@ class SentenceTransformerEmbedder:
     ):
         from sentence_transformers import SentenceTransformer  # may raise
 
+        self.name = model_name  # persisted by VectorStore.save; the class
+        # default only describes the default model
         self.model = SentenceTransformer(
             model_name, local_files_only=local_files_only
         )
@@ -141,15 +143,21 @@ class SentenceTransformerEmbedder:
 DEVICE_TOPK_MIN_ROWS = 4096
 
 
-def _topk_scores(matrix: np.ndarray, query: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Cosine top-k: device matmul for large stores, numpy for small ones."""
+def _topk_scores(
+    matrix: np.ndarray, query: np.ndarray, k: int, device_matrix=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cosine top-k: device matmul for large stores, numpy for small ones.
+
+    ``device_matrix`` is the caller's cached on-device copy (uploading the
+    full store matrix per query would dominate the matmul it feeds).
+    """
     k = min(k, matrix.shape[0])
-    if matrix.shape[0] >= DEVICE_TOPK_MIN_ROWS:
+    if device_matrix is not None:
         try:
             import jax
             import jax.numpy as jnp
 
-            scores = jnp.asarray(matrix) @ jnp.asarray(query)
+            scores = device_matrix @ jnp.asarray(query)
             vals, idx = jax.lax.top_k(scores, k)
             return np.asarray(vals), np.asarray(idx)
         except Exception:
@@ -166,12 +174,24 @@ class VectorStore:
         self.docs = docs
         self.matrix = matrix.astype(np.float32)
         self.embedder = embedder
+        self._device_matrix = None  # lazy one-time upload for large stores
 
     # -- queries -----------------------------------------------------------
 
+    def _device_copy(self):
+        """Upload the matrix once; queries then only ship the query vector."""
+        if self._device_matrix is None and self.matrix.shape[0] >= DEVICE_TOPK_MIN_ROWS:
+            try:
+                import jax.numpy as jnp
+
+                self._device_matrix = jnp.asarray(self.matrix)
+            except Exception:
+                pass
+        return self._device_matrix
+
     def retrieve(self, query: str, k: int = 2) -> List[Tuple[KBDocument, float]]:
         q = self.embedder.embed([query])[0]
-        vals, idx = _topk_scores(self.matrix, q, k)
+        vals, idx = _topk_scores(self.matrix, q, k, self._device_copy())
         return [(self.docs[int(i)], float(v)) for v, i in zip(vals, idx)]
 
     def query(self, query_text: str, n_results: int = 2) -> dict:
@@ -248,5 +268,12 @@ def load_vector_store(path, embedder=None) -> VectorStore:
                 return build_vector_store(docs)
             embedder = HashedNgramEmbedder(dim=matrix.shape[1], idf=idf)
         else:
-            embedder = SentenceTransformerEmbedder(saved_embedder)
+            # offline-first: the local HF cache path fails fast; only fall
+            # back to the network-retry path if the cache misses
+            try:
+                embedder = SentenceTransformerEmbedder(
+                    saved_embedder, local_files_only=True
+                )
+            except Exception:
+                embedder = SentenceTransformerEmbedder(saved_embedder)
     return VectorStore(docs, matrix, embedder)

@@ -32,8 +32,15 @@ def parse_dotenv(text: str) -> Dict[str, str]:
         if not sep or not key or any(c.isspace() for c in key):
             continue
         value = value.strip()
-        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
-            value = value[1:-1]
+        if value[:1] in "\"'":
+            # quoted value: take through the matching close quote, so an
+            # inline comment after it ('KEY="abc" # prod') can't leak the
+            # quote characters into the value (python-dotenv semantics)
+            closing = value.find(value[0], 1)
+            if closing != -1:
+                value = value[1:closing]
+            elif len(value) >= 2 and value[0] == value[-1]:
+                value = value[1:-1]
         else:
             # strip trailing inline comment on unquoted values
             hash_pos = value.find(" #")
@@ -59,7 +66,7 @@ def load_dotenv(path: Optional[os.PathLike] = None) -> Dict[str, str]:
         try:
             parsed = parse_dotenv(candidate.read_text())
         except OSError:
-            return {}
+            continue  # unreadable candidate: keep searching parents
         applied = {k: v for k, v in parsed.items() if k not in os.environ}
         os.environ.update(applied)
         return applied

@@ -77,7 +77,9 @@ def aggregate_trace(logdir_or_pb: str, line: str = "XLA Ops") -> List[OpTime]:
         seen.append(f"{plane.name}: lines {[ln.name for ln in plane.lines]}")
         if "TPU" not in plane.name and "GPU" not in plane.name:
             continue
-        emeta = {m.id: m.name for m in plane.event_metadata.values()}
+        # the proto map's KEY is the canonical metadata id; the message's
+        # .id field is optional duplication that some producers leave unset
+        emeta = {k: m.name for k, m in plane.event_metadata.items()}
         for ln in plane.lines:
             if ln.name != line:
                 continue

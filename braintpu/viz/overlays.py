@@ -122,6 +122,10 @@ def compare_segmentations(
         if background_path
         else None
     )
+    if bg is not None and bg.shape != gt.shape:
+        raise ValueError(
+            f"background shape {bg.shape} does not match segmentation {gt.shape}"
+        )
     indices = _slice_indices(gt | pred, num_slices)
 
     fig, axes = plt.subplots(len(indices), 3, figsize=(12, 4 * len(indices)))

@@ -198,3 +198,38 @@ def test_cli_segment_missing_fold_message(tmp_path, synth_case, tiny_model_const
             "--checkpoints", str(res_root), "--folds", "2", "--mode", "fullconv",
             "--no-tta", "--convention", "internal",
         ])
+
+
+def test_convert_tree_config_subset(tmp_path):
+    """A caller-supplied configs dict selects which models to convert."""
+    from braintpu.ckpt import convert_nnunet_tree
+
+    build_results_tree(tmp_path / "res", folds=(0,))
+    written = convert_nnunet_tree(
+        tmp_path / "res", tmp_path / "out", configs={"model1": tiny4("batch", 1)}
+    )
+    assert [p.parent.name for p in written] == ["model1"]
+    with pytest.raises(ValueError, match="match none"):
+        convert_nnunet_tree(
+            tmp_path / "res", tmp_path / "out2", configs={"nope": tiny4("batch", 1)}
+        )
+
+
+def test_pytree_npz_roundtrip_preserves_empty_containers(tmp_path):
+    import numpy as np
+
+    from braintpu.ckpt.convert import load_pytree_npz, save_pytree_npz
+
+    tree = {
+        "encoder": [np.ones((2, 2), np.float32)],
+        "extra": [],
+        "attn": {},
+        "__EMPTY_DICT__": np.zeros(3, np.float32),  # adversarial real key
+    }
+    path = tmp_path / "t.npz"
+    save_pytree_npz(tree, path)
+    back = load_pytree_npz(path)
+    assert back["extra"] == []
+    assert back["attn"] == {}
+    assert np.array_equal(back["__EMPTY_DICT__"], tree["__EMPTY_DICT__"])
+    assert np.array_equal(back["encoder"][0], tree["encoder"][0])

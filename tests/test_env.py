@@ -69,3 +69,35 @@ def test_gemini_client_reads_dotenv(tmp_path, monkeypatch):
     client = GeminiClient()
     assert client.api_key == "dotenv-key"
     assert client.available
+
+
+def test_parse_dotenv_quoted_value_with_inline_comment():
+    from braintpu.utils.env import parse_dotenv
+
+    # python-dotenv semantics: quotes never leak into the value
+    assert parse_dotenv('KEY="abc123" # prod key') == {"KEY": "abc123"}
+    assert parse_dotenv("KEY='abc123' # prod key") == {"KEY": "abc123"}
+    assert parse_dotenv('KEY="with # inside"') == {"KEY": "with # inside"}
+
+
+def test_load_dotenv_skips_unreadable_candidate(tmp_path, monkeypatch):
+    import os
+    from braintpu.utils.env import load_dotenv
+
+    parent = tmp_path
+    child = tmp_path / "sub"
+    child.mkdir()
+    (parent / ".env").write_text("ENVTEST_PARENT_KEY=fromparent\n")
+    bad = child / ".env"
+    bad.write_text("ENVTEST_CHILD_KEY=unreachable\n")
+    bad.chmod(0)
+    monkeypatch.chdir(child)
+    monkeypatch.delenv("ENVTEST_PARENT_KEY", raising=False)
+    try:
+        if os.access(bad, os.R_OK):  # running as root: chmod 0 not enforced
+            import pytest
+            pytest.skip("cannot make file unreadable under this uid")
+        applied = load_dotenv()
+    finally:
+        bad.chmod(0o644)
+    assert applied.get("ENVTEST_PARENT_KEY") == "fromparent"

@@ -168,3 +168,67 @@ def test_embedder_determinism():
     np.testing.assert_array_equal(a, b)
     # normalized
     np.testing.assert_allclose(np.linalg.norm(a[0]), 1.0, rtol=1e-5)
+
+
+def test_md_horizontal_rule_without_header_keeps_full_body():
+    from braintpu.rag.knowledge import parse_md_text
+
+    raw = "Intro paragraph about gliomas.\n\n---\n\nMore text after the rule."
+    doc = parse_md_text(raw)
+    assert doc.title == ""
+    assert "Intro paragraph" in doc.body and "More text" in doc.body
+
+
+def test_sentence_embedder_name_follows_model(monkeypatch):
+    """VectorStore.save must persist the actual model, not the class default."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeST:
+        def __init__(self, name, local_files_only=False):
+            self.name = name
+
+        def get_sentence_embedding_dimension(self):
+            return 8
+
+        def encode(self, texts, normalize_embeddings=True):
+            return np.zeros((len(texts), 8), np.float32)
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    from braintpu.rag.store import SentenceTransformerEmbedder
+
+    emb = SentenceTransformerEmbedder("all-mpnet-base-v2")
+    assert emb.name == "all-mpnet-base-v2"
+
+
+def test_large_store_device_matrix_cached():
+    import numpy as np
+
+    from braintpu.rag import store as store_mod
+    from braintpu.rag.knowledge import KBDocument
+    from braintpu.rag.store import VectorStore, HashedNgramEmbedder
+
+    emb = HashedNgramEmbedder(dim=64)
+    docs = [KBDocument(f"d{i}", "", "1", "t", f"text {i}") for i in range(6)]
+    matrix = emb.embed([d.embed_text for d in docs])
+    s = VectorStore(docs, matrix, emb)
+    # small store: numpy path, no upload
+    s.retrieve("text 3")
+    assert s._device_matrix is None
+    # force the "large" threshold: one upload, reused across queries
+    try:
+        orig = store_mod.DEVICE_TOPK_MIN_ROWS
+        store_mod.DEVICE_TOPK_MIN_ROWS = 1
+        s2 = VectorStore(docs, matrix, emb)
+        first = s2.retrieve("text 3")
+        dev = s2._device_matrix
+        assert dev is not None
+        s2.retrieve("text 4")
+        assert s2._device_matrix is dev  # cached, not re-uploaded
+        assert first[0][0].title == "d3"
+    finally:
+        store_mod.DEVICE_TOPK_MIN_ROWS = orig
