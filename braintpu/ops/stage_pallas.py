@@ -24,12 +24,19 @@ This kernel runs the entire stage chain in VMEM:
   VMEM so GroupNorm stats for *this* layer's output are free.  Statistics
   (and the input affines) are **per batch sample**: the grid walks n
   outermost, the running Σ resets at each sample's first step and flushes
-  into that sample's (1, co) output block at its last — so batched
+  into that sample's row of the (N, co) output at its last — so batched
   sliding-window TTA keeps per-patch GroupNorm semantics.
 
 Memory: the volume is processed in H-bands (grid ``(N, H/CH, D+2)``) so a
-full-resolution slice never has to be VMEM-resident; each band's input
-rows (+1-row halo) are fetched with explicit double-buffered DMA from HBM.
+full-resolution slice never has to be VMEM-resident.  Bands arrive through
+the standard Pallas pipeline as Blocked ``(1, 1, CH, W, ci)`` blocks; the
+±1-row conv halo comes from a small pre-gathered side input holding each
+band's boundary rows (``(N, D, HC, 2, W, ci)``, ~``2/CH`` of the volume).
+Round-3 TPU probes showed why manual halo DMA cannot work here: Mosaic's
+``memref_slice`` requires the lane (channel) dim be 128-aligned even when
+un-sliced ("Slice shape along dimension 4 must be aligned to tiling (128),
+but is 32", tools/mosaic_repro.py), which rejects every ci<128 production
+shape — while Blocked pipeline blocks at 32 lanes compile and run.
 
 Constraints: stride 1, 3×3×3, SAME padding, ``ci % 8 == 0``, bf16 compute,
 f32 accumulation.
@@ -74,7 +81,8 @@ def plan_stage_tiles(
     for ch in (64, 32, 16, 8):
         if ch > H or H % ch:
             continue
-        inb = 2 * min(ch + 2, H) * W * lanes_in * 2  # double-buffered halo band(s)
+        # pipeline double-buffers the mid band and the 2-row halo block
+        inb = 2 * ch * W * lanes_in * 2 + 2 * 2 * W * lanes_in * 2
         outb = 2 * ch * W * _pad_lanes(co) * 2
         acc = 2 * ch * W * _pad_lanes(co) * 4
         wm = 9 * ci * _pad_lanes(3 * co) * 2
@@ -114,23 +122,22 @@ def _shift_w(a: jnp.ndarray, kx: int) -> jnp.ndarray:
 
 
 def _kernel(
-    # scalar-prefetch free kernel: refs in order
-    x_ref,      # ANY (HBM): (N, D, H, W, ci1)
-    x2_ref,     # ANY (HBM): (N, D, H, W, ci2) or (1,1,1,1,8) dummy
+    # refs in order (all standard pipelined VMEM blocks)
+    x_ref,      # VMEM block (1, 1, CH, W, ci1) — mid band of source slice
+    h_ref,      # VMEM block (1, 1, 1, 2, W, ci1) — [top, bottom] halo rows
+    x2_ref,     # VMEM block (1, 1, CH, W, ci2) or tiny dummy
+    h2_ref,     # VMEM block (1, 1, 1, 2, W, ci2) or tiny dummy
     wm_ref,     # VMEM (9*ci, 3co) bf16
     b_ref,      # VMEM (1, co) f32
-    a1_ref,     # VMEM (1, ci1) f32
-    c1_ref,     # VMEM (1, ci1) f32
-    a2_ref,     # VMEM (1, ci2) f32
-    c2_ref,     # VMEM (1, ci2) f32
+    a1_ref,     # VMEM (N, ci1) f32
+    c1_ref,     # VMEM (N, ci1) f32
+    a2_ref,     # VMEM (N, ci2) f32
+    c2_ref,     # VMEM (N, ci2) f32
     out_ref,    # VMEM block (1, 1, CH, W, co) bf16
-    s1_ref,     # VMEM (1, co) f32  (stats outputs; dummies when unused)
-    s2_ref,     # VMEM (1, co) f32
-    buf1,       # VMEM scratch (2, CHP, W, ci1) bf16
-    buf2,       # VMEM scratch (2, CHP, W, ci2) bf16 (or tiny dummy)
+    s1_ref,     # VMEM (N, co) f32  (stats outputs; dummies when unused)
+    s2_ref,     # VMEM (N, co) f32
     acc,        # VMEM scratch (2, CH*W, co) f32
     st,         # VMEM scratch (2, co) f32 — running Σy, Σy²
-    sems,       # DMA semaphores (2, 2)
     *,
     D: int,
     H: int,
@@ -149,61 +156,13 @@ def _kernel(
     d = pl.program_id(2)
     HC = pl.num_programs(1)
     ND = pl.num_programs(2)  # D + 2
-    CHP = min(CH + 2, H)
     W = out_ref.shape[3]
     co = out_ref.shape[4]
-    ci1 = buf1.shape[3]
 
-    step = (n * HC + hc) * ND + d
-    total = pl.num_programs(0) * HC * ND
-    slot = jax.lax.rem(step, 2)
     n_first = jnp.logical_and(hc == 0, d == 0)
     n_last = jnp.logical_and(hc == HC - 1, d == ND - 1)
 
-    def band_start(hcc):
-        # DMA start row for band hcc: c0-1 clamped into [0, H-CHP]
-        return jnp.clip(hcc * CH - 1, 0, H - CHP)
-
-    def dmas(nn, hcc, dd, sl):
-        dd_src = jnp.clip(dd - 1, 0, D - 1)
-        r0 = band_start(hcc)
-        out = [
-            pltpu.make_async_copy(
-                x_ref.at[nn, dd_src, pl.ds(r0, CHP)], buf1.at[sl], sems.at[sl, 0]
-            )
-        ]
-        if two_inputs:
-            out.append(
-                pltpu.make_async_copy(
-                    x2_ref.at[nn, dd_src, pl.ds(r0, CHP)], buf2.at[sl], sems.at[sl, 1]
-                )
-            )
-        return out
-
-    @pl.when(step == 0)
-    def _():
-        for dma in dmas(n, hc, d, slot):
-            dma.start()
-
-    # Prefetch the next step's band while this one computes.
-    @pl.when(step + 1 < total)
-    def _():
-        nd = d + 1
-        wrap = nd >= ND
-        nd = jnp.where(wrap, 0, nd)
-        nhc = jnp.where(wrap, hc + 1, hc)
-        wrap2 = nhc >= HC
-        nhc = jnp.where(wrap2, 0, nhc)
-        nn = jnp.where(wrap2, n + 1, n)
-        for dma in dmas(nn, nhc, nd, 1 - slot):
-            dma.start()
-
-    for dma in dmas(n, hc, d, slot):
-        dma.wait()
-
     valid = jnp.logical_and(d >= 1, d <= D)  # source slice d-1 exists
-    c0 = hc * CH
-    cs = c0 - band_start(hc)  # buffer index of global row c0-1: 0 top, 1 mid, 2 bottom
 
     # per-sample running Σ: reset at each n's first step, flushed at its last
     @pl.when(jnp.logical_and(stats, n_first))
@@ -213,27 +172,44 @@ def _kernel(
     s_cur = jax.lax.rem(d, 2)
     s_mid = jax.lax.rem(d + 1, 2)
 
-    def load_chunk(buf, r0, ky, a_ref_, c_ref_, affine, slope):
-        """Rows [c0+r0+ky-1, +RS) of the current depth slice, transformed."""
-        g0 = c0 + r0 + ky - 1  # first global row wanted
-        b0 = r0 + ky - 1 + cs  # buffer row of g0 (may be -1 / CHP-RS+1 at edges)
-        bc = jnp.clip(b0, 0, CHP - RS)
-        a = buf[slot, pl.ds(bc, RS)]
+    def load_chunk(xr, hr, r0, ky, a_ref_, c_ref_, affine, slope):
+        """Band rows [r0+ky-1, +RS) of the current depth slice, transformed.
+
+        ``r0``/``ky`` are Python ints, so which rows come from the halo ref
+        is static: only the first chunk's ky=0 reaches above the band and
+        only the last chunk's ky=2 reaches below it.
+        """
+        b0 = r0 + ky - 1  # first band row wanted (may be -1 / CH-RS+1)
+        top = b0 < 0
+        bot = b0 + RS > CH
+        if top:
+            a = jnp.concatenate(
+                [hr[0, 0, 0, 0:1], xr[0, 0, pl.ds(0, RS - 1)]], axis=0
+            )
+        elif bot:
+            a = jnp.concatenate(
+                [xr[0, 0, pl.ds(b0, RS - 1)], hr[0, 0, 0, 1:2]], axis=0
+            )
+        else:
+            a = xr[0, 0, pl.ds(b0, RS)]
         if affine or slope is not None:
             t = a.astype(jnp.float32)
             if affine:
-                t = t * a_ref_[0] + c_ref_[0]
+                # affine refs hold the FULL (N, ci) array (a (1, ci) block
+                # over an N>1 array is an illegal 1-sublane block on TPU);
+                # select this sample's row here
+                t = t * a_ref_[pl.ds(n, 1)] + c_ref_[pl.ds(n, 1)]
             if slope is not None:
                 t = jnp.where(t >= 0, t, t * slope)
             a = t.astype(jnp.bfloat16)
         # Boundary fix AFTER the transform: the out-of-volume row is SAME
         # conv zero-padding, which is never normalized/activated.
         zrow = jnp.zeros((1, a.shape[1], a.shape[2]), a.dtype)
-        if ky == 0:
-            a = jnp.where(g0 < 0, jnp.concatenate([zrow, a[: RS - 1]], axis=0), a)
-        if ky == 2:
+        if top:  # global row hc*CH - 1 is out of volume iff hc == 0
+            a = jnp.where(hc == 0, jnp.concatenate([zrow, a[1:]], axis=0), a)
+        if bot:  # global row hc*CH + CH is out of volume iff hc == HC - 1
             a = jnp.where(
-                g0 + RS > H, jnp.concatenate([a[1:], zrow], axis=0), a
+                hc == HC - 1, jnp.concatenate([a[:-1], zrow], axis=0), a
             )
         return a
 
@@ -245,14 +221,16 @@ def _kernel(
     # 9-way lane concat is only 128-aligned for power-of-two ci).
     use_im2col = ci_total <= 64
 
-    def chunk(ic, _):
+    def chunk(ic):
         r0 = ic * RS
         taps = []
         g = None
         for ky in range(3):
-            a = load_chunk(buf1, r0, ky, a1_ref, c1_ref, in1_affine, in1_slope)
+            a = load_chunk(x_ref, h_ref, r0, ky,
+                           a1_ref, c1_ref, in1_affine, in1_slope)
             if two_inputs:
-                a2 = load_chunk(buf2, r0, ky, a2_ref, c2_ref, in2_affine, in2_slope)
+                a2 = load_chunk(x2_ref, h2_ref, r0, ky,
+                                a2_ref, c2_ref, in2_affine, in2_slope)
                 a = jnp.concatenate([a, a2], axis=-1)
             for kx in range(3):
                 at = _shift_w(a, kx).reshape(RS * W, -1)
@@ -270,7 +248,7 @@ def _kernel(
             a9 = jnp.concatenate(taps, axis=-1)  # (RS*W, 9*ci)
             g = jnp.dot(a9, wm_ref[:], preferred_element_type=jnp.float32)
         g = jnp.where(valid, g, 0.0)
-        rows = pl.ds(pl.multiple_of(r0 * W, RS * W), RS * W)
+        rows = pl.ds(r0 * W, RS * W)  # r0 is a Python int now
 
         @pl.when(valid)
         def _():
@@ -291,15 +269,16 @@ def _kernel(
             out_ref.dtype
         )
         acc[s_cur, rows, :] = g[:, :co]
-        return None
 
-    jax.lax.fori_loop(0, nchunks, chunk, None, unroll=True)
+    for ic in range(nchunks):  # static: keeps halo row selection static
+        chunk(ic)
 
     if stats:
         @pl.when(n_last)
         def _():
-            s1_ref[0] = st[0]
-            s2_ref[0] = st[1]
+            # stats refs hold the FULL (N, co) output (see affine-ref note)
+            s1_ref[pl.ds(n, 1)] = st[pl.ds(0, 1)]
+            s2_ref[pl.ds(n, 1)] = st[pl.ds(1, 1)]
 
 
 def _xla_reference(x, x2, w, b, a1, c1, a2, c2, cfgd):
@@ -398,9 +377,38 @@ def conv_stage(
             v = v[None, :]
         return jnp.broadcast_to(v, (N, n))
 
-    x2_in = x2 if two else jnp.zeros((1, 1, 1, 1, 8), jnp.bfloat16)
-    ci2b = ci2 if two else 8
-    CHP = min(CH + 2, H)
+    HC = H // CH
+
+    def build_halo(xx):
+        """(N, D, H, W, c) → (N, D, HC, 2, W, c) band boundary rows.
+
+        Row 0 of band hc = global row hc*CH-1, row 1 = hc*CH+CH; volume-edge
+        positions hold zeros (the kernel re-zeros them post-transform
+        anyway, so only the shape matters there).
+        """
+        z = jnp.zeros_like(xx[:, :, :1])
+        tops = jnp.concatenate([z, xx[:, :, CH - 1 : H - 1 : CH]], axis=2)
+        bots = jnp.concatenate([xx[:, :, CH::CH], z], axis=2)
+        return jnp.stack([tops, bots], axis=3)
+
+    x_in = x.astype(jnp.bfloat16)
+    h_in = build_halo(x_in)
+    if two:
+        x2_in = x2.astype(jnp.bfloat16)
+        h2_in = build_halo(x2_in)
+        ci2b = ci2
+        x2_block = (1, 1, CH, W, ci2)
+        h2_block = (1, 1, 1, 2, W, ci2)
+        x2_index = lambda n, hc, d: (n, jnp.clip(d - 1, 0, D - 1), hc, 0, 0)
+        h2_index = lambda n, hc, d: (n, jnp.clip(d - 1, 0, D - 1), hc, 0, 0, 0)
+    else:
+        ci2b = 8
+        x2_in = jnp.zeros((1, 1, 1, 8, 8), jnp.bfloat16)
+        h2_in = jnp.zeros((1, 1, 1, 2, 8, 8), jnp.bfloat16)
+        x2_block = (1, 1, 1, 8, 8)
+        h2_block = (1, 1, 1, 2, 8, 8)
+        x2_index = lambda n, hc, d: (0, 0, 0, 0, 0)
+        h2_index = lambda n, hc, d: (0, 0, 0, 0, 0, 0)
 
     kern = functools.partial(
         _kernel,
@@ -411,16 +419,28 @@ def conv_stage(
     )
     out, s1, s2 = pl.pallas_call(
         kern,
-        grid=(N, H // CH, D + 2),
+        grid=(N, HC, D + 2),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, 1, CH, W, ci1),
+                lambda n, hc, d: (n, jnp.clip(d - 1, 0, D - 1), hc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 2, W, ci1),
+                lambda n, hc, d: (n, jnp.clip(d - 1, 0, D - 1), hc, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(x2_block, x2_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(h2_block, h2_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * ci, 3 * co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci1), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci1), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci2b), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ci2b), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
+            # full (N, ci) blocks: a (1, ci) block over an N>1 array is an
+            # illegal 1-sublane block; the kernel indexes row n itself
+            pl.BlockSpec((N, ci1), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, ci1), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, ci2b), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, ci2b), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -428,8 +448,8 @@ def conv_stage(
                 lambda n, hc, d: (n, jnp.maximum(d - 2, 0), hc, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, co), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda n, hc, d: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, co), lambda n, hc, d: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, D, H, W, co), jnp.bfloat16),
@@ -437,16 +457,8 @@ def conv_stage(
             jax.ShapeDtypeStruct((N, co), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHP, W, ci1), jnp.bfloat16),
-            # single-input calls never touch buf2 (two_inputs is a static
-            # bool), so the dummy is minimal — a full-band (2, CHP, W, 8)
-            # dummy would pad its 8 lanes to 128 and silently pin ~6.5 MB
-            # of dead VMEM at the 192-scale stages
-            pltpu.VMEM((2, CHP, W, ci2b) if two else (2, 1, 1, 8),
-                       jnp.bfloat16),
             pltpu.VMEM((2, CH * W, co), jnp.float32),
             pltpu.VMEM((2, co), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -454,8 +466,10 @@ def conv_stage(
         ),
         interpret=interpret,
     )(
-        x.astype(jnp.bfloat16),
-        x2_in.astype(jnp.bfloat16),
+        x_in,
+        h_in,
+        x2_in,
+        h2_in,
         wm.astype(jnp.bfloat16),
         b.reshape(1, co).astype(jnp.float32),
         vec(a1, ci1), vec(c1, ci1), vec(a2, ci2b), vec(c2, ci2b),

@@ -233,8 +233,11 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
             if p.stderr and p.stderr.strip():
                 rec["stderr_tail"] = p.stderr[-2000:]
         else:
+            err = p.stderr or ""
+            if len(err) > 4000:  # keep the head (the MLIR op + message)
+                err = err[:3000] + "\n...[truncated]...\n" + err[-1000:]
             rec = {"probe": str(arg), "ok": False, "rc": p.returncode,
-                   "stderr": (p.stderr or "")[-400:]}
+                   "stderr": err}
             recs = [rec]
     except subprocess.TimeoutExpired as e:
         # salvage any result lines the child flushed before the hang —
