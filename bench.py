@@ -44,7 +44,9 @@ def synthetic_case(shape=(240, 240, 155), seed=0):
     ) < 1.0
     n = int(brain.sum())
     for ch in range(4):
-        data[ch][brain] = np.clip(rng.normal(600 + 40 * ch, 90, n), 1, None)
+        # integer-valued like real BraTS int16 NIfTIs — also exercises the
+        # half-width (int16) host→device upload fast path
+        data[ch][brain] = np.rint(np.clip(rng.normal(600 + 40 * ch, 90, n), 1, None))
     return data
 
 

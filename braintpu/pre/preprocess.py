@@ -108,10 +108,14 @@ def crop_to_nonzero(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, CropInfo]
 def zscore_masked(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Per-channel z-score over ``mask`` voxels; background forced to 0.
 
-    ``data``: (C, X, Y, Z) float; ``mask``: (X, Y, Z) bool.
+    ``data``: (C, X, Y, Z) float — or int16 (the axon tunnel moves ~36 MB/s,
+    so integer-valued volumes travel half-width and convert here; int16→f32
+    is exact, making the result bit-identical to the f32 upload).
+    ``mask``: (X, Y, Z) bool or float.
     Matches nnU-Net's ``nonCT`` + ``use_mask_for_norm``:
     ``x = (x - mean) / (std + 1e-8)`` with biased std over masked voxels.
     """
+    data = data.astype(jnp.float32)
     m = mask.astype(data.dtype)[None]
     n = jnp.maximum(m.sum(axis=(1, 2, 3), keepdims=True), 1.0)
     masked = data * m
@@ -197,6 +201,15 @@ def preprocess_case(
     inference mode).
     """
     cropped, mask, info = crop_to_nonzero(np.asarray(data, dtype=np.float32))
+    # Half-width upload: MRI voxels are integer-valued (BraTS NIfTIs are
+    # int16), and int16→f32 is exact — so when the values allow it, ship
+    # int16 over the host↔device link and let the jitted z-score widen on
+    # device.  Bit-identical output.  The round-trip comparison catches
+    # both non-integral values and int16 overflow in one pass.
+    with np.errstate(invalid="ignore"):  # NaN/overflow just fail the check
+        as_i16 = cropped.astype(np.int16)
+    if np.array_equal(as_i16.astype(np.float32), cropped):
+        cropped = as_i16
     # pad BEFORE the jitted z-score: every case has a distinct brain bbox,
     # so normalizing the cropped array would compile one XLA program per
     # case; on the padded array there is exactly one compilation per
@@ -205,6 +218,6 @@ def preprocess_case(
     # there — exactly what padding after normalization produced.
     padded_raw, undo = pad_to_patch(cropped, patch_size, multiple=pad_multiple)
     padded_mask, _ = pad_to_patch(
-        mask[None].astype(np.float32), patch_size, multiple=pad_multiple)
+        mask[None], patch_size, multiple=pad_multiple)  # bool: 1 B/voxel
     norm = zscore_masked(padded_raw, padded_mask[0])
     return PreprocessResult(norm, undo, info, affine, zooms)

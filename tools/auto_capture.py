@@ -352,6 +352,28 @@ def _capture(args, summary) -> int:
                 "bench-batched-fused", ["--mode", "batched"], flags,
                 args.bench_timeout + 1200)
 
+        # Compiling + exact parity is necessary but NOT sufficient to
+        # endorse the kernels: round 3 measured the fused stage path at
+        # 19.0 s/case vs 9.77 s pure-XLA (channel-minor lane padding costs
+        # 4x HBM traffic on ci<128 stages, while XLA picks spatial-minor
+        # layouts).  Keep the flags in the tuned record ONLY if the fused
+        # benches actually beat the safe ones end-to-end.
+        def _v(rec):
+            r = (rec or {}).get("result") or {}
+            v = r.get("value")
+            return v if v and v > 0 else None
+
+        sf, ff = _v(summary.get("safe_fullconv")), _v(summary.get("fused_fullconv"))
+        ss, fs = _v(summary.get("safe_sliding")), _v(summary.get("fused_sliding"))
+        faster = (ff is not None and (sf is None or ff < sf)
+                  and (fs is None or ss is None or fs <= ss))
+        if not faster:
+            summary["flags_rejected_slower"] = flags
+            flags = {}
+            summary["flags"] = flags
+            _log({"step": "flag-decision-final", "flags": flags,
+                  "reason": "fused benches did not beat safe benches"})
+
     # ---- Phase 4: low-priority probes ----------------------------------
     # every step re-checks for a foreign bench.py: this phase can hold the
     # TPU for ~1 h and the yield guarantee must cover it too
