@@ -233,8 +233,10 @@ def main() -> int:
         "compute via CasePrefetcher)",
     )
     ap.add_argument(
-        "--batch-size", type=int, default=4,
-        help="cases per device batch in --mode batched",
+        "--batch-size", type=int, default=2,
+        help="cases per device batch in --mode batched (2 is the largest "
+        "that fits 16 GB HBM at the 192-scale bucket with TTA: batch 4 "
+        "measured 23.6 G)",
     )
     args = ap.parse_args()
     args.cases = max(args.cases, 1)  # np.median([]) would emit NaN JSON

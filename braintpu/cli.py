@@ -155,9 +155,12 @@ def _add_engine_args(p, convention_default=None):
     p.add_argument(
         "--mode",
         choices=["sliding", "fullconv"],
-        default="sliding",
-        help="sliding: canonical nnU-Net sliding window; fullconv: "
-        "whole-volume accelerated mode (see braintpu/infer/fullconv.py)",
+        default="fullconv",
+        help="fullconv (default): whole-volume production mode — measured "
+        "9.8 s/case vs sliding's ~26 s on one v5e chip, WT/TC label "
+        "agreement 0.9999 between the modes (PERF.md round 3); sliding: "
+        "the canonical bit-parity nnU-Net recipe "
+        "(run_brats2021_inference_singlethread.py:98-105)",
     )
     p.add_argument("--no-et-postprocess", action="store_true")
     p.add_argument("--random-weights", action="store_true", help="random init (demo/bench)")

@@ -35,7 +35,9 @@ class SegmentationSettings:
     tta: bool = True
     step_size: float = 0.5
     ensemble: str = "softmax"  # "softmax" (canonical KAIST) | "label" (repo parity)
-    mode: str = "sliding"  # "sliding" (canonical) | "fullconv" (whole-volume)
+    # "fullconv" (whole-volume production mode, ~2.6x faster measured —
+    # PERF.md round 3) | "sliding" (canonical bit-parity nnU-Net recipe)
+    mode: str = "fullconv"
     et_min_voxels: int = 200
     output_convention: str = "brats2025"
     checkpoints: Optional[str] = None  # checkpoint root; None -> random init
