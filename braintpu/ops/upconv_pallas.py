@@ -12,23 +12,31 @@ of the input is read, one (2·CH, 2W) band of each output depth pair is
 written, and the interleave happens on VMEM-resident tiles — the three
 whole-tensor shuffle passes never touch HBM.
 
-Two in-VMEM interleave strategies are provided (``strategy=``), because
+Three in-VMEM interleave strategies are provided (``strategy=``), because
 their Mosaic legality differs and must be probed on hardware
 (jax 0.9.0 notes: no lane→sublane reshapes; dual-axis strided stores can
-hang the compiler — both strategies below avoid strided stores entirely):
+hang the compiler — all strategies below avoid strided stores entirely):
 
+* ``"lanes"`` (default) — **no interleave ops at all**: the phase GEMM
+  already produces ``(kw, co)`` adjacent on lanes, so each ``(kd, kh)``
+  phase pair is written as one contiguous ``2co``-lane range slice into a
+  rank-6 output block ``(1, 2, CH, 2, W, 2co)`` whose dims are
+  ``(kd, h, kh, w, kw·co)``; the final
+  ``(N, 2D, H, 2, W, 2co) → (N, 2D, 2H, 2W, co)`` reshape outside the
+  kernel is a free row-major bitcast
+  (``(((2h+kh)·2W)+(2w+kw))·co + c`` is exactly the flat index of both
+  views).  This is the only strategy Mosaic accepts at the production
+  co=32 shapes: the other two both lower a
+  ``(CH, W, co) → (CH, W, 1, co)`` unit-dim insert that Mosaic rejects
+  for sub-128-lane minors ("unsupported shape cast",
+  round-3 probes in tools/tpu_probe_results.jsonl).
 * ``"reshape"`` — stack the two W-phases on a fresh minor-adjacent axis
-  and merge ``(W, 2) → 2W``; cheapest if Mosaic accepts the second/third-
-  minor merge.
+  and merge ``(W, 2) → 2W``.
 * ``"select"`` — ``repeat`` each phase ×2 along W and pick by parity of a
-  ``broadcasted_iota``; all ops are elementwise/broadcast shaped.
+  ``broadcasted_iota``.
 
-The H interleave merges two *major* axes (``(CH, 2) → 2CH``) which is
-layout-trivial either way.  Depth phases land in separate output slices —
-no interleave at all (the out BlockSpec covers ``[2d, 2d+2)``).
-
-Integration is opt-in (``BRAINTPU_PALLAS_UPCONV=1``) pending the TPU
-compile probe + benchmark (PERF.md round-2 checklist item 4).
+Integration is opt-in (``BRAINTPU_PALLAS_UPCONV=1``) pending the e2e
+benchmark (PERF.md).
 """
 
 from __future__ import annotations
@@ -109,11 +117,25 @@ def _kernel(x_ref, wm_ref, out_ref, *, co: int, strategy: str):
         out_ref[0, kd] = band
 
 
+def _kernel_lanes(x_ref, wm_ref, out_ref, *, co: int):
+    # x_ref: (1, 1, CH, W, ci); wm_ref: (ci, 8co) [kd,kh,kw,co lanes-major];
+    # out_ref: (1, 2, CH, 2, W, 2co) with dims (n, kd, h, kh, w, kw·co) —
+    # every store is a full-(W, 2co) contiguous tile at a static (kd, kh).
+    CH, W, ci = x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
+    a = x_ref[0, 0].reshape(CH * W, ci)
+    g = jnp.dot(a, wm_ref[:], preferred_element_type=jnp.float32)
+    g = g.reshape(CH, W, 8 * co).astype(out_ref.dtype)
+    for kd in range(2):
+        for kh in range(2):
+            base = (kd * 4 + kh * 2) * co
+            out_ref[0, kd, :, kh] = g[:, :, base : base + 2 * co]
+
+
 @functools.partial(jax.jit, static_argnames=("strategy", "interpret"))
 def upconv2x(
     x: jnp.ndarray,
     w: jnp.ndarray,
-    strategy: str = "reshape",
+    strategy: str = "lanes",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(N, D, H, W, ci) × (ci, 2, 2, 2, co) → (N, 2D, 2H, 2W, co) bf16."""
@@ -124,32 +146,54 @@ def upconv2x(
     # lane order must match the kernel's phase slicing: kd major, kh, kw, co
     wm = w.reshape(ci, 8 * co)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, CH, W, ci),
+            lambda n, d, hb: (n, d, hb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (ci, 8 * co), lambda n, d, hb: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel"),
+        # headroom above the planner's working-set estimate (interleave
+        # transients); without this Mosaic falls back to its default
+        # limit and may refuse bands the planner approved
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+    if strategy == "lanes":
+        out6 = pl.pallas_call(
+            functools.partial(_kernel_lanes, co=co),
+            grid=(N, D, H // CH),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 2, CH, 2, W, 2 * co),
+                lambda n, d, hb: (n, d, hb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (N, 2 * D, H, 2, W, 2 * co), jnp.bfloat16
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(x.astype(jnp.bfloat16), wm.astype(jnp.bfloat16))
+        # free bitcast: (n, 2d, h, kh, w, kw·co) is row-major-identical
+        # to (n, 2d, 2h, 2w, co)
+        return out6.reshape(N, 2 * D, 2 * H, 2 * W, co)
+
     out = pl.pallas_call(
         functools.partial(_kernel, co=co, strategy=strategy),
         grid=(N, D, H // CH),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, CH, W, ci),
-                lambda n, d, hb: (n, d, hb, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (ci, 8 * co), lambda n, d, hb: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 2, 2 * CH, 2 * W, co),
             lambda n, d, hb: (n, d, hb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((N, 2 * D, 2 * H, 2 * W, co), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-            # headroom above the planner's working-set estimate (interleave
-            # transients); without this Mosaic falls back to its default
-            # limit and may refuse bands the planner approved
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
+        compiler_params=params,
         interpret=interpret,
     )(x.astype(jnp.bfloat16), wm.astype(jnp.bfloat16))
     return out
@@ -162,10 +206,10 @@ def pallas_upconv_enabled() -> bool:
 def upconv_strategy() -> str:
     """Interleave strategy for the integrated path.
 
-    ``BRAINTPU_UPCONV_STRATEGY`` ∈ {reshape, select} — both are exact
-    (tests/test_upconv_kernel.py); which compiles clean/faster on a given
-    Mosaic toolchain is decided by ``tools/tpu_probe.py upconv`` and wired
-    in by ``tools/auto_capture.py``.
+    ``BRAINTPU_UPCONV_STRATEGY`` ∈ {lanes, reshape, select} — all exact
+    (tests/test_upconv_kernel.py); ``lanes`` is the only one Mosaic
+    compiles at the production co=32 shapes (module docstring), so it is
+    the default; the probe/capture tooling can still pin another.
     """
-    s = os.environ.get("BRAINTPU_UPCONV_STRATEGY", "reshape")
-    return s if s in ("reshape", "select") else "reshape"
+    s = os.environ.get("BRAINTPU_UPCONV_STRATEGY", "lanes")
+    return s if s in ("lanes", "reshape", "select") else "lanes"

@@ -27,7 +27,7 @@ def _pow2(rng, shape):
     )
 
 
-@pytest.mark.parametrize("strategy", ["reshape", "select"])
+@pytest.mark.parametrize("strategy", ["lanes", "reshape", "select"])
 @pytest.mark.parametrize(
     "N,D,H,W,ci,co",
     [
@@ -83,7 +83,7 @@ def test_plan_band_decision_space():
     assert cost(wide * 2, 128, 128, 64) > _VMEM_BUDGET
 
 
-@pytest.mark.parametrize("strategy", ["reshape", "select"])
+@pytest.mark.parametrize("strategy", ["lanes", "reshape", "select"])
 def test_upconv_exact_production_band_shapes(strategy):
     """Exactness at (scaled-down) decoder geometry where H needs multiple
     bands AND W is irregular — the BlockSpec/grid interplay the production
@@ -104,11 +104,11 @@ def test_upconv_strategy_env(monkeypatch):
     from braintpu.ops.upconv_pallas import upconv_strategy
 
     monkeypatch.delenv("BRAINTPU_UPCONV_STRATEGY", raising=False)
-    assert upconv_strategy() == "reshape"
+    assert upconv_strategy() == "lanes"
     monkeypatch.setenv("BRAINTPU_UPCONV_STRATEGY", "select")
     assert upconv_strategy() == "select"
     monkeypatch.setenv("BRAINTPU_UPCONV_STRATEGY", "bogus")
-    assert upconv_strategy() == "reshape"
+    assert upconv_strategy() == "lanes"
 
 
 def test_upconv_gating(monkeypatch):

@@ -213,11 +213,16 @@ def probe_stage(timeout_s: float) -> dict:
 def probe_upconv(timeout_s: float) -> dict:
     """Try both interleave strategies; return the faster exact one."""
     out = {"best": None, "detail": {}, "hang": False}
-    for strategy in ("reshape", "select"):
+    for strategy in ("lanes", "reshape", "select"):
         if not _wait_relay(RESUME_WAIT_S):
             return out
         ok, worst = True, 0.0
         for spec in tpu_probe.UPCONV_SHAPES:
+            if (spec[0], strategy) in tpu_probe.UPCONV_KNOWN_HANGS:
+                # a recorded Mosaic hang wedges the shared compile service;
+                # treat the strategy as failed at this shape without poking
+                ok = False
+                break
             if _should_abort():
                 raise _Yield
             rec = tpu_probe.run_child(

@@ -54,6 +54,12 @@ UPCONV_SHAPES = [
     ("up-bucket-l0", 80, 96, 80, 64, 32),
 ]
 
+#: (shape_name, strategy) pairs that HUNG the Mosaic compiler on real TPU —
+#: a hang wedges the shared remote compile service for every process, so
+#: unattended captures must never re-poke these (round 3: the 'lanes'
+#: out-block at W=80 hung >420 s; W∈{16,64} compiled in <1 s).
+UPCONV_KNOWN_HANGS = {("up-bucket-l0", "lanes")}
+
 _CHILD_STAGE = r"""
 import json, sys, time
 import numpy as np, jax, jax.numpy as jnp
@@ -418,10 +424,12 @@ def main() -> int:
                 hung = True
                 break
     if args.what in ("upconv", "all") and recovered():
-        for strategy in ("reshape", "select"):
+        for strategy in ("lanes", "reshape", "select"):
             if hung:  # a timeout = possible Mosaic hang; the other strategy
                 break  # would re-poke the same wedged compile service
             for spec in UPCONV_SHAPES:
+                if (spec[0], strategy) in UPCONV_KNOWN_HANGS:
+                    continue
                 rec = run_child(_CHILD_UPCONV, list(spec) + [strategy], args.timeout)
                 if "error" in rec:
                     ok = False
