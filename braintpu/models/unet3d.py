@@ -813,9 +813,14 @@ def _fused_block(state, skip_state, block, stride, cfg: UNetConfig, folded: bool
 def _fused_supported(cfg: UNetConfig, x, train, deep_supervision, folded) -> bool:
     import os
 
-    # Opt-in until the round-2 TPU compile probe + parity measurement pass
-    # (PERF.md checklist): BRAINTPU_FUSED_STAGES=1 enables the fused Pallas
-    # stage path; default stays on the hardware-measured XLA lowerings.
+    # TPU-VALIDATED BUT MEASURED SLOWER (round 3, PERF.md): the fused
+    # Pallas stage path compiles, runs and matches exact arithmetic on
+    # hardware at every production shape, but the e2e bench measured
+    # 19.0 s/case vs 9.77 s for these XLA lowerings — pinning channels to
+    # the lane dim costs 4× HBM padding traffic on the ci<128 full-res
+    # stages where XLA goes spatial-minor.  BRAINTPU_FUSED_STAGES=1 keeps
+    # the path available for re-evaluation on toolchains/chips where the
+    # tradeoff flips; the default stays on the measured-faster XLA path.
     #
     # PROCESS-LEVEL FLAGS: these env vars (and BRAINTPU_PALLAS_UPCONV in
     # _upconv) are read at jit-trace time; flipping one after a shape has
