@@ -53,13 +53,18 @@ def load_engine(args):
         raise SystemExit(
             f"unknown model(s) {unknown}; choose from {sorted(configs)}"
         )
-    if getattr(args, "mode", None) == "fullconv":
-        bad = [n for n in selected if configs[n].axial_attention]
-        if bad:
-            raise SystemExit(
-                f"--mode fullconv is incompatible with axial models {bad} "
-                "(patch-shape-bound positional embeddings); use --mode sliding"
-            )
+    axial_selected = [n for n in selected if configs[n].axial_attention]
+    if getattr(args, "mode", None) is None:
+        # default mode: fullconv (production, ~2.6x faster measured) except
+        # for axial models, whose patch-shape-bound positional embeddings
+        # require the sliding recipe
+        args.mode = "sliding" if axial_selected else "fullconv"
+    elif args.mode == "fullconv" and axial_selected:
+        raise SystemExit(
+            f"--mode fullconv is incompatible with axial models "
+            f"{axial_selected} (patch-shape-bound positional embeddings); "
+            "use --mode sliding"
+        )
     folds = list(range(args.folds))
 
     nnunet_tree = None  # lazily-discovered raw nnU-Net results tree
@@ -155,12 +160,13 @@ def _add_engine_args(p, convention_default=None):
     p.add_argument(
         "--mode",
         choices=["sliding", "fullconv"],
-        default="fullconv",
-        help="fullconv (default): whole-volume production mode — measured "
-        "9.8 s/case vs sliding's ~26 s on one v5e chip, WT/TC label "
-        "agreement 0.9999 between the modes (PERF.md round 3); sliding: "
-        "the canonical bit-parity nnU-Net recipe "
-        "(run_brats2021_inference_singlethread.py:98-105)",
+        default=None,
+        help="fullconv (default for non-axial models): whole-volume "
+        "production mode — measured 9.8 s/case vs sliding's ~26 s on one "
+        "v5e chip, WT/TC label agreement 0.9999 between the modes "
+        "(PERF.md round 3); sliding: the canonical bit-parity nnU-Net "
+        "recipe (run_brats2021_inference_singlethread.py:98-105; default "
+        "for axial models)",
     )
     p.add_argument("--no-et-postprocess", action="store_true")
     p.add_argument("--random-weights", action="store_true", help="random init (demo/bench)")

@@ -211,3 +211,29 @@ def test_xprof_aggregate_and_format(tmp_path):
     assert abs(ops[0].total_ms - 7e-3) < 1e-9
     table = format_table(ops, top=5)
     assert "%fusion.1" in table and "convolution" in table
+
+
+def test_mode_default_resolution():
+    """CLI --mode default: fullconv for conv models, sliding for axial;
+    explicit fullconv with an axial model is a hard error (patch-bound
+    positional embeddings cannot take whole-volume shapes)."""
+    import argparse
+
+    from braintpu.cli import load_engine
+
+    def make_args(models, mode=None):
+        return argparse.Namespace(
+            models=models, folds=1, mode=mode, no_tta=True,
+            ensemble="softmax", no_et_postprocess=False, convention=None,
+            checkpoints=None, random_weights=True, dp_devices=0,
+            spatial_shard=False,
+        )
+
+    eng = load_engine(make_args("model1"))
+    assert eng.mode == "fullconv"
+    eng = load_engine(make_args("axial"))
+    assert eng.mode == "sliding"
+    eng = load_engine(make_args("model1", mode="sliding"))
+    assert eng.mode == "sliding"
+    with pytest.raises(SystemExit):
+        load_engine(make_args("axial", mode="fullconv"))
