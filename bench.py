@@ -297,6 +297,14 @@ def main() -> int:
         f"# warm-up (incl. compile): {warm:.1f}s  seg labels {np.unique(seg)}",
         file=sys.stderr,
     )
+    # Settle: the FIRST post-compile execution can still be far off steady
+    # state (XLA autotune/layout warm-in: the round-3 sliding capture
+    # measured 51.3 s then 26.3 s), which poisons a 2-sample median.  Burn
+    # one untimed iteration; BRAINTPU_BENCH_NO_SETTLE=1 skips it.
+    if os.environ.get("BRAINTPU_BENCH_NO_SETTLE") != "1":
+        t0 = time.perf_counter()
+        engine.predict_case_array(data)
+        print(f"# settle: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.cases):

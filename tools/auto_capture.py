@@ -370,7 +370,9 @@ def _capture(args, summary) -> int:
 
         sf, ff = _v(summary.get("safe_fullconv")), _v(summary.get("fused_fullconv"))
         ss, fs = _v(summary.get("safe_sliding")), _v(summary.get("fused_sliding"))
-        faster = (ff is not None and (sf is None or ff < sf)
+        # strict: a missing safe number (e.g. --skip-safe) must never
+        # default to endorsement — no comparison, no flags
+        faster = (sf is not None and ff is not None and ff < sf
                   and (fs is None or ss is None or fs <= ss))
         if not faster:
             summary["flags_rejected_slower"] = flags
