@@ -208,20 +208,47 @@ def apply_axial_block(
     sum_axial_out: bool = True,
     residual: bool = False,
     eps: float = 1e-5,
-) -> jnp.ndarray:
-    """Inference-mode AxialAttention3D: attn → BN(running stats) → LeakyReLU,
-    optionally residual (ref generic_UNet.py:505-511)."""
+    train: bool = False,
+    bn_momentum: float = 0.1,
+):
+    """AxialAttention3D block: attn → BN → LeakyReLU, optionally residual
+    (ref generic_UNet.py:505-511).
+
+    Inference (``train=False``, the default) normalizes with the running
+    statistics and returns ``y``.  Training mode normalizes with the
+    batch statistics and returns ``(y, new_bn_stats|None)`` where
+    ``new_bn_stats`` carries the momentum-updated running mean/var
+    (same convention as the conv blocks' BatchNorm in
+    ``unet3d._norm``: biased variance normalizes, unbiased updates the
+    running estimate — torch ``BatchNorm3d`` semantics).
+    """
     y = apply_axial_attention(params["attn"], x, dim_head, sum_axial_out)
+    new_bn = None
     if "bn" in params:
         bn = params["bn"]
         yf = y.astype(jnp.float32)
-        yf = (yf - bn["mean"].astype(jnp.float32)) * jax.lax.rsqrt(
-            bn["var"].astype(jnp.float32) + eps
-        ) * bn["scale"].astype(jnp.float32) + bn["shift"].astype(jnp.float32)
+        if train:
+            mean = yf.mean(axis=(0, 1, 2, 3))
+            var = yf.var(axis=(0, 1, 2, 3))
+            n = yf.size // yf.shape[-1]
+            unbiased = var * (n / max(n - 1, 1))
+            m = bn_momentum
+            new_bn = {
+                "mean": (1 - m) * bn["mean"].astype(jnp.float32) + m * mean,
+                "var": (1 - m) * bn["var"].astype(jnp.float32) + m * unbiased,
+            }
+        else:
+            mean = bn["mean"].astype(jnp.float32)
+            var = bn["var"].astype(jnp.float32)
+        yf = (yf - mean) * jax.lax.rsqrt(var + eps) * bn["scale"].astype(
+            jnp.float32
+        ) + bn["shift"].astype(jnp.float32)
         yf = jnp.where(yf >= 0, yf, yf * negative_slope)
         y = yf.astype(y.dtype)
     if residual:
         y = (x + y).astype(y.dtype)
+    if train:
+        return y, new_bn
     return y
 
 

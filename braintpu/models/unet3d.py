@@ -932,7 +932,12 @@ def apply_unet(
                 params["encoder_attn"][str(d)], h,
                 cfg.attn_dim_head * (2**d), cfg.negative_slope,
                 cfg.axial_sum_out, cfg.axial_residual,
-            ).astype(cfg.compute_dtype)
+                train=train, bn_momentum=cfg.bn_momentum,
+            )
+            if train:
+                h, attn_st = h
+                new_stats.setdefault("encoder_attn", {})[str(d)] = attn_st
+            h = h.astype(cfg.compute_dtype)
         new_stats["encoder"].append(stage_stats)
         skips.append(h)
 
@@ -952,7 +957,12 @@ def apply_unet(
                 stage["attn_block"], h,
                 cfg.attn_dim_head * (2**dlev), cfg.negative_slope,
                 cfg.axial_sum_out, cfg.axial_residual,
-            ).astype(cfg.compute_dtype)
+                train=train, bn_momentum=cfg.bn_momentum,
+            )
+            if train:
+                h, attn_st = h
+                new_stats.setdefault("decoder_attn", {})[str(u)] = attn_st
+            h = h.astype(cfg.compute_dtype)
         elif "attn" in stage:
             from .axial import apply_axial_attention
 

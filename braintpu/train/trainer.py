@@ -73,9 +73,15 @@ def _merge_bn_stats(params: Any, new_stats: Dict[str, Any]) -> Any:
         out["var"] = stats["var"]
         return out
 
+    def merge_attn(block, stats):
+        """Attention block: running stats live under block['bn']."""
+        if stats is None or "bn" not in block:
+            return block
+        return {**block, "bn": {**block["bn"],
+                                "mean": stats["mean"], "var": stats["var"]}}
+
     merged = {
-        # preserve extra subtrees (e.g. encoder_attn for AXIAL_UNET_FULL;
-        # NOTE: attention-block BN running stats are not updated in training)
+        # preserve extra subtrees (e.g. encoder_attn for AXIAL_UNET_FULL)
         **{k: v for k, v in params.items() if k not in ("encoder", "bottleneck", "decoder")},
         "encoder": [
             [merge_block(b, s) for b, s in zip(stage, stage_stats)]
@@ -97,6 +103,21 @@ def _merge_bn_stats(params: Any, new_stats: Dict[str, Any]) -> Any:
             for stage, stage_stats in zip(params["decoder"], new_stats["decoder"])
         ],
     }
+    # AXIAL_UNET_FULL: the attention blocks' own BatchNorm running stats
+    # (apply_axial_block(train=True) emits them under "encoder_attn" /
+    # "decoder_attn")
+    for d, st in (new_stats.get("encoder_attn") or {}).items():
+        merged["encoder_attn"] = {
+            **merged.get("encoder_attn", {}),
+            d: merge_attn(merged["encoder_attn"][d], st),
+        }
+    for u, st in (new_stats.get("decoder_attn") or {}).items():
+        ui = int(u)
+        stage = merged["decoder"][ui]
+        if "attn_block" in stage:
+            merged["decoder"][ui] = {
+                **stage, "attn_block": merge_attn(stage["attn_block"], st),
+            }
     return merged
 
 
@@ -155,17 +176,6 @@ def fit(
     the single-device jitted :func:`train_step` and may be replaced with a
     sharded step (``parallel.make_sharded_train_step``).
     """
-    if cfg.axial_attention and cfg.axial_mode == "full" and cfg.axial_bn:
-        # The AxialAttention3D blocks' BatchNorm running stats are not
-        # threaded through train_step's stat merge (_merge_bn_stats leaves
-        # encoder_attn/decoder attn untouched), so training would silently
-        # freeze those norms at init — deviating from the reference's
-        # BatchNorm3d train behavior. Refuse rather than train wrong.
-        raise NotImplementedError(
-            "training axial_mode='full' models is unsupported: attention-block "
-            "BatchNorm running stats are not updated during training. Train "
-            "the 'decoder' axial variant, or set axial_bn=False."
-        )
     mgr = None
     if checkpoint_dir is not None:
         from .checkpoint import CheckpointManager

@@ -451,3 +451,48 @@ def test_fit_with_sharded_step_fn():
                 on_metrics=lambda m: losses.append(m["loss"]))
     assert int(state.step) == 3
     assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+
+
+def test_train_step_axial_full_updates_attn_bn_stats():
+    """AXIAL_UNET_FULL training updates the attention blocks' BatchNorm
+    running stats (previously a refuse-to-train NotImplementedError guard:
+    the stats were not threaded through the merge and would silently
+    freeze at init)."""
+    cfg = tiny_cfg(
+        axial_attention=True, axial_mode="full", attn_heads=2,
+        attn_dim_head=4, no_attention_levels=(0,),
+    )
+    tc = TrainConfig(base_lr=1e-3, max_steps=10)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    assert "encoder_attn" in params
+    enc_key = next(iter(params["encoder_attn"]))
+    assert "bn" in params["encoder_attn"][enc_key]
+    state = create_train_state(params, tc)
+    batch = make_batch()
+    state, m1 = train_step(state, batch, cfg, tc)
+    bn1 = state.params["encoder_attn"][enc_key]["bn"]
+    # running mean moved off its zero init; var off its ones init
+    assert float(np.abs(np.asarray(bn1["mean"])).max()) > 0
+    # a decoder attn_block with BN also updates
+    dec_stage = next(
+        s for s in state.params["decoder"] if "attn_block" in s
+    )
+    assert float(np.abs(np.asarray(dec_stage["attn_block"]["bn"]["mean"])).max()) > 0
+    # second step remains optax-compatible and finite
+    state, m2 = train_step(state, batch, cfg, tc)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_fit_axial_full_no_longer_refuses(tmp_path):
+    """fit() trains the full axial variant end-to-end (guard removed)."""
+    cfg = tiny_cfg(
+        axial_attention=True, axial_mode="full", attn_heads=2,
+        attn_dim_head=4, no_attention_levels=(0,),
+    )
+    tc = TrainConfig(base_lr=1e-3, max_steps=4)
+    state = create_train_state(init_params(cfg, jax.random.PRNGKey(0)), tc)
+    batches = (make_batch(seed=i) for i in range(2))
+    from braintpu.train.trainer import fit
+
+    out = fit(state, batches, cfg, tc, num_steps=2)
+    assert int(out.step) == 2
