@@ -57,7 +57,13 @@ def intensity_stats(data: np.ndarray, mask: np.ndarray) -> Dict:
             "q75": None,
             "voxel_count": 0,
         }
-    values = data[mask]
+    from .boxops import bbox_slices
+
+    # extract within the mask's bounding box: identical value multiset in
+    # identical (row-major) order — for the small tumor-region masks this
+    # replaces a full-grid scan per (region × sequence) extraction
+    sl = bbox_slices(mask)
+    values = data[sl][mask[sl]]
     q25, median, q75 = np.percentile(values, [25, 50, 75])
     return {
         "mean": float(values.mean()),
@@ -194,9 +200,9 @@ class FeatureContext:
         (seconds on a 240³ grid), so recomputing per step contradicts the
         loaded-once design of this context."""
         if iterations not in self._dilated_wt:
-            from scipy import ndimage
+            from .boxops import binary_dilation_bbox
 
-            self._dilated_wt[iterations] = ndimage.binary_dilation(
+            self._dilated_wt[iterations] = binary_dilation_bbox(
                 self.tumor_masks["wt"], iterations=iterations
             )
         return self._dilated_wt[iterations]

@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
-from scipy.ndimage import binary_dilation
+from .boxops import binary_dilation_bbox
 
 from .context import FeatureContext
 
@@ -137,7 +137,7 @@ def _contrast_enhancement(ctx: FeatureContext, region_signals: Dict) -> Dict:
                 results["heterogeneity"] = "Homogeneous"
 
     if ncr.sum() > 0:
-        ring_overlap = int((binary_dilation(ncr, iterations=2) & et).sum())
+        ring_overlap = int((binary_dilation_bbox(ncr, iterations=2) & et).sum())
         if ring_overlap > 0.3 * et.sum():
             results["pattern"] = "Ring-enhancing"
             results["description"] = (

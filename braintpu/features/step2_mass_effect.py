@@ -188,9 +188,30 @@ def analyze_ventricular_compression(ctx: FeatureContext) -> Dict:
     if tumor.any() and (left_vol + right_vol) > 0:
         if csf is None:  # device path: materialize the mask only for EDT
             csf = (t1 < csf_threshold) & (t1 > 0) & ~tumor
-        # exact: EDT of the CSF complement sampled at tumor voxels (in mm)
-        dist = ndimage.distance_transform_edt(~csf, sampling=ctx.zooms)
-        min_dist = float(dist[tumor].min())
+        # Exact: EDT of the CSF complement sampled at tumor voxels (in mm),
+        # computed on an escalating tumor-padded box.  Every point outside
+        # a box padded by P voxels is > P·min(zoom) mm from every tumor
+        # voxel, so a computed minimum below that bound cannot be beaten
+        # by out-of-box CSF — i.e. it IS the full-volume answer.  Typical
+        # tumors sit within ~32 voxels of ventricular CSF, making the
+        # first box ~25x smaller than the 240^3 grid.
+        from .boxops import bbox_slices
+
+        min_zoom = float(min(ctx.zooms))
+        for pad in (32, 64, 128, max(t1.shape)):
+            sl = bbox_slices(tumor, pad=pad)
+            csf_sl = csf[sl]
+            if not csf_sl.any():
+                continue  # nearest CSF lies beyond this box — escalate
+            dist = ndimage.distance_transform_edt(~csf_sl, sampling=ctx.zooms)
+            md = float(dist[tumor[sl]].min())
+            full_box = all(
+                s.start == 0 and s.stop == n
+                for s, n in zip(sl, t1.shape)
+            )
+            if md < pad * min_zoom or full_box:
+                min_dist = md
+                break
 
     if asym > 0.5:
         severity = "Severe"

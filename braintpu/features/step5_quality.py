@@ -20,7 +20,9 @@ from typing import Dict, List
 
 import numpy as np
 from scipy import ndimage
-from scipy.ndimage import binary_erosion, sobel
+from scipy.ndimage import sobel
+
+from .boxops import binary_erosion_bbox
 
 from .context import FeatureContext
 
@@ -233,13 +235,35 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
     if arts is not None:
         inner_n, outer_n = arts["inner_count"], arts["outer_count"]
         inner_mean, outer_mean = arts["inner_mean"], arts["outer_mean"]
-    elif (coords := np.nonzero(brain))[0].size > 0:
-        center = np.array([c.mean() for c in coords])
-        dist = np.sqrt(sum((coords[i] - center[i]) ** 2 for i in range(3)))
-        max_dist = dist.max()
-        brain_vals = t1[brain]
-        inner = brain_vals[dist < max_dist * 0.3]
-        outer = brain_vals[dist > max_dist * 0.7]
+    elif brain.any():
+        # center-vs-periphery rings via a bbox-broadcast SQUARED distance
+        # field: identical ring membership (sqrt is monotone, so
+        # dist < 0.3·max ⟺ dist² < 0.09·max²) without materializing three
+        # ~5M-entry coordinate arrays (np.nonzero was the hottest line of
+        # step 5 in the round-3 cProfile)
+        from .boxops import bbox_slices
+
+        sl = bbox_slices(brain)
+        bb = brain[sl]
+        total = float(bb.sum())
+        axes_idx = [
+            np.arange(s.start, s.stop, dtype=np.float64) for s in sl
+        ]
+        counts = [
+            bb.sum(axis=tuple(a for a in range(3) if a != i)).astype(np.float64)
+            for i in range(3)
+        ]
+        center = [float((axes_idx[i] * counts[i]).sum() / total) for i in range(3)]
+        d2 = (
+            ((axes_idx[0] - center[0]) ** 2)[:, None, None]
+            + ((axes_idx[1] - center[1]) ** 2)[None, :, None]
+            + ((axes_idx[2] - center[2]) ** 2)[None, None, :]
+        )
+        dd = d2[bb]
+        max_d2 = dd.max()
+        brain_vals = t1[sl][bb]
+        inner = brain_vals[dd < max_d2 * 0.09]
+        outer = brain_vals[dd > max_d2 * 0.49]
         inner_n, outer_n = inner.size, outer.size
         inner_mean = float(inner.mean()) if inner_n else 0.0
         outer_mean = float(outer.mean()) if outer_n else 0.0
@@ -296,10 +320,16 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
     else:
         zero_clusters = (t1 == 0) & brain
         zero_count = int(zero_clusters.sum())
-        mean_z = (
-            float(np.nonzero(zero_clusters)[2].mean()) if zero_count else 0.0
-        )
-        brain_z = float(np.nonzero(brain)[2].mean()) if brain.any() else 0.0
+
+        def _mean_z(mask):
+            # mean z-coordinate via the z-projection histogram — equal to
+            # np.nonzero(mask)[2].mean() without materializing coordinates
+            cz = mask.sum(axis=(0, 1)).astype(np.float64)
+            n = cz.sum()
+            return float((np.arange(cz.size) * cz).sum() / n) if n else 0.0
+
+        mean_z = _mean_z(zero_clusters) if zero_count else 0.0
+        brain_z = _mean_z(brain)
     if zero_count > 100:
         if mean_z < brain_z * 0.5:
             detected.append("Susceptibility artifact")
@@ -352,15 +382,22 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
             g_mean, g_std = arts["gibbs_grad_mean"], arts["gibbs_grad_std"]
         else:
             tumor = ctx.tumor_masks["wt"]
-            edge = tumor & ~binary_erosion(tumor, iterations=2)
+            edge = tumor & ~binary_erosion_bbox(tumor, iterations=2)
             edge_count = int(edge.sum())
             if edge_count:
+                # gradients are read ONLY at tumor-edge voxels; sobel's
+                # 3-tap stencil makes a box padded by 2 exact there —
+                # three full-volume f64 sobel passes reduced to the box
+                from .boxops import bbox_slices
+
+                sl = bbox_slices(edge, pad=2)
+                tb = t1[sl].astype(float)
                 g = np.sqrt(
-                    sobel(t1.astype(float), axis=0) ** 2
-                    + sobel(t1.astype(float), axis=1) ** 2
-                    + sobel(t1.astype(float), axis=2) ** 2
+                    sobel(tb, axis=0) ** 2
+                    + sobel(tb, axis=1) ** 2
+                    + sobel(tb, axis=2) ** 2
                 )
-                vals = g[edge]
+                vals = g[edge[sl]]
                 g_mean, g_std = float(vals.mean()), float(vals.std())
             else:
                 g_mean = g_std = 0.0
