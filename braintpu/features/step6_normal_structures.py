@@ -55,18 +55,33 @@ def identify_ventricles(ctx: FeatureContext) -> Tuple[np.ndarray, np.ndarray]:
     csf = binary_dilation_bbox(binary_erosion_bbox(csf, iterations=1), iterations=1)
 
     structure = ndimage.generate_binary_structure(3, 2)
-    labeled, n = ndimage.label(csf, structure=structure)
     ventricles = np.zeros_like(csf)
     min_size = 1000  # 1 cm³ at 1 mm³ voxels
     center_x = brain.shape[0] / 2
-    if n:
-        sizes = np.bincount(labeled.ravel())
-        for i in range(1, n + 1):
-            if sizes[i] > min_size:
-                comp = labeled == i
-                centroid_x = float(np.nonzero(comp)[0].mean())
-                if abs(centroid_x - center_x) < brain.shape[0] * 0.3:
-                    ventricles |= comp
+    sl = bbox_slices(csf)  # CC labeling on the CSF box; exact (no
+    if sl is not None:     # component extends past its mask's bbox)
+        csf_b = csf[sl]
+        labeled, n = ndimage.label(csf_b, structure=structure)
+        if n:
+            # all component sizes + x-centroids in ONE pass each (the
+            # previous per-component `labeled == i` + nonzero loop scanned
+            # the grid once per component)
+            flat = labeled.ravel()
+            sizes = np.bincount(flat)
+            xidx = np.arange(sl[0].start, sl[0].stop, dtype=np.float64)
+            xw = np.bincount(
+                flat,
+                weights=np.broadcast_to(
+                    xidx[:, None, None], labeled.shape
+                ).ravel(),
+            )
+            with np.errstate(invalid="ignore"):
+                centx = xw / sizes  # label 0 may be 0/0 — never selected
+            keep = np.zeros(n + 1, bool)
+            keep[1:] = (sizes[1:] > min_size) & (
+                np.abs(centx[1:] - center_x) < brain.shape[0] * 0.3
+            )
+            ventricles[sl] = keep[labeled]
     ctx._ventricle_masks = (ventricles, csf)
     return ventricles, csf
 
