@@ -496,3 +496,55 @@ def test_fit_axial_full_no_longer_refuses(tmp_path):
 
     out = fit(state, batches, cfg, tc, num_steps=2)
     assert int(out.step) == 2
+
+
+def test_training_improves_dice_end_to_end():
+    """Capability proof: fit() on learnable synthetic data beats random
+    init on a HELD-OUT case — the full train→predict→evaluate loop, not
+    just a falling loss.  Labels are an intensity-threshold function of
+    the image, so a tiny net can learn them in a few hundred steps."""
+    from braintpu.infer.sliding_window import region_probs_to_labels
+    from braintpu.models.unet3d import apply_unet
+    from braintpu.train.trainer import fit
+
+    cfg = tiny_cfg(base_features=8, max_features=32)
+    tc = TrainConfig(base_lr=5e-2, max_steps=120)
+
+    def synth_case(seed):
+        r = np.random.default_rng(seed)
+        img = r.normal(0.0, 0.3, (16, 16, 16, 4)).astype(np.float32)
+        blob = np.zeros((16, 16, 16), bool)
+        c = r.integers(5, 11, 3)
+        zz, yy, xx = np.ogrid[:16, :16, :16]
+        blob = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) <= 16
+        img[blob] += 2.0  # bright tumor on every channel
+        labels = np.where(blob, 2, 0).astype(np.int32)  # internal NCR
+        return img, labels
+
+    def batches():
+        i = 0
+        while True:
+            img, lab = synth_case(i)
+            yield {
+                "image": jnp.asarray(img[None]),
+                "labels": jnp.asarray(lab[None]),
+            }
+            i += 1
+
+    def case_dice(params, seed=999):
+        img, lab = synth_case(seed)  # held out (train used seeds 0..119)
+        logits = apply_unet(params, jnp.asarray(img[None]), cfg)
+        seg = np.asarray(
+            region_probs_to_labels(jax.nn.sigmoid(logits))[0]
+        )
+        # label 2 (internal NCR) is what the threshold function produces
+        a, b = seg == 2, lab == 2
+        denom = int(a.sum()) + int(b.sum())
+        return 1.0 if denom == 0 else 2.0 * int((a & b).sum()) / denom
+
+    params0 = init_params(cfg, jax.random.PRNGKey(0))
+    d0 = case_dice(params0)
+    state = create_train_state(params0, tc)
+    state = fit(state, batches(), cfg, tc, num_steps=120)
+    d1 = case_dice(state.params)
+    assert d1 > max(d0, 0.5), (d0, d1)
