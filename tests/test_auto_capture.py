@@ -162,6 +162,13 @@ def test_run_bench_timeout(ac, monkeypatch):
 def test_main_phase_ordering_and_summary(ac, monkeypatch):
     """End-to-end with stubbed probes + bench: safe benches run BEFORE any
     probe, fused re-benches only after, summary carries the best value."""
+    import tpu_probe as tp
+
+    # this test exercises the phase machinery with every probe passing;
+    # the known-hang pin lists (which force-fail their shapes without
+    # poking the compiler) are cleared so the all-pass path is reachable
+    monkeypatch.setattr(tp, "STAGE_KNOWN_HANGS", set())
+    monkeypatch.setattr(tp, "UPCONV_KNOWN_HANGS", set())
     events = []
 
     def fake_run_child(code, arg, timeout, env_extra=None):

@@ -60,6 +60,13 @@ UPCONV_SHAPES = [
 #: out-block at W=80 hung >420 s; W∈{16,64} compiled in <1 s).
 UPCONV_KNOWN_HANGS = {("up-bucket-l0", "lanes")}
 
+#: stage shapes whose Mosaic compile is NONDETERMINISTICALLY hang-prone:
+#: bucket-l0-bn-concat compiled in 1.6 s once (round 3, 23:05) and then
+#: hung >420 s twice on identical source (01:05, 01:39), wedging the
+#: shared compile service each time.  Skipped in unattended runs; poke
+#: only interactively with the service health monitored.
+STAGE_KNOWN_HANGS = {"bucket-l0-bn-concat", "bucket-l0-concat"}
+
 _CHILD_STAGE = r"""
 import json, sys, time
 import numpy as np, jax, jax.numpy as jnp
@@ -418,6 +425,8 @@ def main() -> int:
     if args.what in ("stage", "all"):
         run_child(_CHILD_STAGE_PARITY, None, args.timeout)
         for spec in STAGE_SHAPES:
+            if spec[0] in STAGE_KNOWN_HANGS:
+                continue
             rec = run_child(_CHILD_STAGE, spec, args.timeout)
             if "error" in rec:  # hang — stop escalating shapes
                 ok = False
