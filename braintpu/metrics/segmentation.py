@@ -92,6 +92,33 @@ def confusion_counts(
     return jnp.stack([tp, fp, fn, tn], axis=1)
 
 
+def _region_counts_np(
+    pred: np.ndarray, gt: np.ndarray, regions: Tuple[Tuple[int, ...], ...]
+) -> np.ndarray:
+    """(R, 4) [tp, fp, fn, tn] per region from one bincount pass (numpy).
+
+    Same integer counts as :func:`confusion_counts`: builds the (M, M)
+    pred×gt label co-occurrence matrix in a single pass, then each
+    region's counts are sums over its member/non-member blocks.
+    """
+    p = np.asarray(pred).reshape(-1).astype(np.int64)
+    g = np.asarray(gt).reshape(-1).astype(np.int64)
+    top = max(int(p.max(initial=0)), int(g.max(initial=0)),
+              max((l for r in regions for l in r), default=0))
+    M = top + 1
+    c = np.bincount(p * M + g, minlength=M * M).reshape(M, M)
+    V = int(c.sum())
+    out = np.zeros((len(regions), 4), np.int64)
+    for i, labels in enumerate(regions):
+        m = np.zeros(M, bool)
+        m[list(labels)] = True
+        tp = int(c[m][:, m].sum())
+        fp = int(c[m][:, ~m].sum())
+        fn = int(c[~m][:, m].sum())
+        out[i] = (tp, fp, fn, V - tp - fp - fn)
+    return out
+
+
 def metrics_from_counts(tp: float, fp: float, fn: float, tn: float) -> SegMetrics:
     dice = (2 * tp) / (2 * tp + fp + fn + _EPS)
     iou = tp / (tp + fp + fn + _EPS)
@@ -118,13 +145,20 @@ def evaluate_segmentation(
     Labels are in BraTS-2025 space by default.  Returns the structured dict
     the pipeline persists (`per_label`, `compound`, `mean_dice`).
     """
-    pred_j = jnp.asarray(np.asarray(pred))
-    gt_j = jnp.asarray(np.asarray(gt))
     region_keys = [f"label_{l}" for l in labels] + list(COMPOUND_REGIONS)
     region_defs = tuple([(int(l),) for l in labels]) + tuple(
         COMPOUND_REGIONS[k] for k in COMPOUND_REGIONS
     )
-    counts = np.asarray(confusion_counts(pred_j, gt_j, region_defs))
+    if isinstance(pred, np.ndarray) and isinstance(gt, np.ndarray):
+        # host fast path: ONE bincount label-pair pass instead of a device
+        # round-trip (through the remote-dispatch tunnel the two uint8
+        # uploads + sync cost seconds); every region's counts come from
+        # tiny sums over the (M, M) confusion matrix — exact integers
+        counts = _region_counts_np(pred, gt, region_defs)
+    else:
+        counts = np.asarray(
+            confusion_counts(jnp.asarray(pred), jnp.asarray(gt), region_defs)
+        )
     results = {k: metrics_from_counts(*c) for k, c in zip(region_keys, counts)}
     mean_dice = float(
         np.mean([results[k].dice for k in COMPOUND_REGIONS])
