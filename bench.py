@@ -17,7 +17,7 @@ Flags:
   --models N     number of models (default 2)
   --folds N      folds per model (default 5)
   --no-tta       disable mirror TTA
-  --cases N      timed repetitions (default 2)
+  --cases N      timed repetitions (default 3; min is reported)
 """
 
 from __future__ import annotations
@@ -219,7 +219,7 @@ def main() -> int:
     ap.add_argument("--models", type=int, default=2)
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--no-tta", action="store_true")
-    ap.add_argument("--cases", type=int, default=2)
+    ap.add_argument("--cases", type=int, default=3)
     ap.add_argument(
         "--mode",
         choices=["sliding", "fullconv", "batched"],
@@ -311,7 +311,13 @@ def main() -> int:
         t0 = time.perf_counter()
         seg, info = engine.predict_case_array(data)
         times.append(time.perf_counter() - t0)
-    per_case = float(np.median(times))
+    # Aggregate with MIN, not median: the chip sits behind a SHARED relay
+    # tunnel, and external tenants add strictly one-sided noise (a 2026-08-19
+    # congested session measured [24.1, 35.3] s on the exact config that
+    # measures 10.6 s in a quiet window — the median is the tenant count,
+    # the min is the framework).  Steady-state compute on a fixed shape has
+    # no mechanism to run faster than its true cost.
+    per_case = float(np.min(times))
     if watchdog:
         watchdog.cancel()
     print(f"# steady-state times: {times}", file=sys.stderr)

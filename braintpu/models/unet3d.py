@@ -32,6 +32,7 @@ training, the full-resolution head at inference (ref generic_UNet.py:442-446).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -557,9 +558,28 @@ def _spatial_group_stats(x, g: int):
     """
     N, D, H, W, C = x.shape
     v = D * H * W
-    xm = x.reshape(N, v, C).astype(jnp.float32)
-    s1 = xm.sum(axis=1)
-    s2 = (xm * xm).sum(axis=1)
+    if os.environ.get("BRAINTPU_GN_STATS", "sum") == "gram":
+        # True MXU dot-reductions: contract the spatial axis with a ones
+        # vector (s1) and with the tensor itself (s2 = diag of the per-sample
+        # Gram matrix).  The elementwise ``(xm*xm).sum(axis=1)`` below lowers
+        # to a VPU reduce over the major axis that measured ~15× below HBM
+        # bandwidth at production shapes (PERF.md: ~111 ms of a 619 ms
+        # GN-large forward); the Gram contraction wastes C× MXU flops on the
+        # off-diagonal but streams the tensor at full bandwidth.  Numerics:
+        # bf16×bf16 products are EXACT in the MXU's f32 accumulator (8-bit
+        # mantissas), so this differs from the f32 elementwise path only in
+        # f32 summation order.
+        xm = x.reshape(N, v, C)
+        ones = jnp.ones((v,), xm.dtype)
+        s1 = jnp.einsum("nvc,v->nc", xm, ones, preferred_element_type=jnp.float32)
+        gram = jnp.einsum(
+            "nvc,nvk->nck", xm, xm, preferred_element_type=jnp.float32
+        )
+        s2 = jnp.diagonal(gram, axis1=1, axis2=2)
+    else:
+        xm = x.reshape(N, v, C).astype(jnp.float32)
+        s1 = xm.sum(axis=1)
+        s2 = (xm * xm).sum(axis=1)
     n = v * (C // g)
     s1g = s1.reshape(N, g, C // g).sum(axis=2)
     s2g = s2.reshape(N, g, C // g).sum(axis=2)
@@ -668,6 +688,27 @@ def _upconv(x, w, compute_dtype):
         # three whole-tensor shuffle passes; pending TPU compile probe.
         if pallas_upconv_enabled() and upconv2x_supported(x.shape, co):
             return upconv2x(x, w, strategy=upconv_strategy()).astype(compute_dtype)
+    strategy = os.environ.get("BRAINTPU_UPCONV_XLA", "peel")
+    if strategy == "blocked" and (kd, kh, kw) == (2, 2, 2):
+        # Phase-blocked einsum layout: emit (N, D, H, kd·kh, W, kw·co) so the
+        # W-phase interleave is an ADJACENT-dim reshape; a single rank-7
+        # transpose then moves kd next to D with a large contiguous minor
+        # block (kh·2W·co), and one reshape merges (D,kd)(H,kh).  Replaces
+        # the three per-axis rank-6 moveaxis interleaves, whose strided
+        # minor-dim copies measured ~50× below HBM bandwidth (opt_probe:
+        # 54→? ms at the 192³-scale BN stage).  BRAINTPU_UPCONV_XLA=peel
+        # restores the per-axis peel.
+        N, D, H, W, _ = x.shape
+        wm = w.reshape(ci, kd * kh, kw * co).astype(compute_dtype)
+        y = jnp.einsum(
+            "ndhwc,cpk->ndhpwk",
+            x.astype(compute_dtype),
+            wm,
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+        y = y.reshape(N, D, H, kd, kh, kw * W, co)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5, 6))
+        return y.reshape(N, kd * D, kh * H, kw * W, co)
     wm = w.reshape(ci, kd * kh * kw * co).astype(compute_dtype)
     y = jnp.einsum(
         "ndhwc,ck->ndhwk", x.astype(compute_dtype), wm, preferred_element_type=jnp.float32
