@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from functools import partial
 
@@ -42,12 +44,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 # --------------------------------------------------------------------------
 # upconv variants
 # --------------------------------------------------------------------------
 
 def upconv_peel(x, w):
+    # pin the baseline lowering: _upconv reads BRAINTPU_UPCONV_XLA /
+    # BRAINTPU_PALLAS_UPCONV at trace time, and inheriting a variant value
+    # from the environment would silently compare a variant against itself
+    import os
+
+    os.environ["BRAINTPU_UPCONV_XLA"] = "peel"
+    os.environ["BRAINTPU_PALLAS_UPCONV"] = "0"
     from braintpu.models.unet3d import _upconv
 
     return _upconv(x, w, jnp.bfloat16)
@@ -103,6 +114,11 @@ UPCONV_SHAPES = [
 # --------------------------------------------------------------------------
 
 def stats_sum(x, g):
+    # pin the baseline: _spatial_group_stats reads BRAINTPU_GN_STATS at
+    # trace time (same self-comparison hazard as upconv_peel above)
+    import os
+
+    os.environ["BRAINTPU_GN_STATS"] = "sum"
     from braintpu.models.unet3d import _spatial_group_stats
 
     return _spatial_group_stats(x, g)

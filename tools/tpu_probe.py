@@ -229,7 +229,11 @@ sys.path.insert(0, REPO)
 from braintpu._relay import relay_up  # noqa: E402  (stdlib-only module)
 
 
-def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
+def run_child(code: str, arg, timeout: float, env_extra=None, name: str = "") -> dict:
+    # `name` labels FAILURE records (no-output crash / timeout): probes that
+    # take no positional arg previously stringified it as probe="None",
+    # making Mosaic-hang entries unattributable (ADVICE r3)
+    name = name or str(arg)
     env = dict(os.environ)
     env.update(env_extra or {})
     t0 = time.time()
@@ -249,7 +253,7 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
             err = p.stderr or ""
             if len(err) > 4000:  # keep the head (the MLIR op + message)
                 err = err[:3000] + "\n...[truncated]...\n" + err[-1000:]
-            rec = {"probe": str(arg), "ok": False, "rc": p.returncode,
+            rec = {"probe": name, "ok": False, "rc": p.returncode,
                    "stderr": err}
             recs = [rec]
     except subprocess.TimeoutExpired as e:
@@ -259,7 +263,7 @@ def run_child(code: str, arg, timeout: float, env_extra=None) -> dict:
         if isinstance(out, bytes):
             out = out.decode(errors="replace")
         recs = _json_lines(out)
-        rec = {"probe": str(arg), "ok": False,
+        rec = {"probe": name, "ok": False,
                "error": f"TIMEOUT after {timeout}s (possible Mosaic hang — "
                         "do NOT retry the same shape; fix offline)"}
         recs.append(rec)
@@ -412,22 +416,22 @@ def main() -> int:
         nonlocal hung
         if not hung:
             return True
-        rec = run_child(_CHILD_SMOKE, None, 240.0)
+        rec = run_child(_CHILD_SMOKE, None, 240.0, name="smoke")
         hung = not rec.get("ok")
         return not hung
 
     if args.what in ("smoke", "all"):
-        rec = run_child(_CHILD_SMOKE, None, min(args.timeout, 240.0))
+        rec = run_child(_CHILD_SMOKE, None, min(args.timeout, 240.0), name="smoke")
         if args.what == "smoke":
             return 0 if rec.get("ok") else 1
         if not rec.get("ok"):
             return 1  # device not live — don't escalate to real probes
     if args.what in ("stage", "all"):
-        run_child(_CHILD_STAGE_PARITY, None, args.timeout)
+        run_child(_CHILD_STAGE_PARITY, None, args.timeout, name="stage:tpu-parity")
         for spec in STAGE_SHAPES:
             if spec[0] in STAGE_KNOWN_HANGS:
                 continue
-            rec = run_child(_CHILD_STAGE, spec, args.timeout)
+            rec = run_child(_CHILD_STAGE, spec, args.timeout, name=f"stage:{spec}")
             if "error" in rec:  # hang — stop escalating shapes
                 ok = False
                 hung = True
@@ -439,21 +443,23 @@ def main() -> int:
             for spec in UPCONV_SHAPES:
                 if (spec[0], strategy) in UPCONV_KNOWN_HANGS:
                     continue
-                rec = run_child(_CHILD_UPCONV, list(spec) + [strategy], args.timeout)
+                rec = run_child(_CHILD_UPCONV, list(spec) + [strategy], args.timeout,
+                                name=f"upconv:{spec}:{strategy}")
                 if "error" in rec:
                     ok = False
                     hung = True
                     break
     if args.what in ("int8", "all") and recovered():
-        run_child(_CHILD_INT8, None, args.timeout)
+        run_child(_CHILD_INT8, None, args.timeout, name="int8")
     if args.what in ("features", "all") and recovered():
-        run_child(_CHILD_FEATURES, None, max(args.timeout, 600.0))
+        run_child(_CHILD_FEATURES, None, max(args.timeout, 600.0), name="features")
     if args.what in ("fullconv", "all") and recovered():
         env = {"BRAINTPU_FUSED_STAGES": "1"} if args.fused else {}
         for which in ("bn", "gn"):
             for mirrors in (1, 8):
                 run_child(_CHILD_FULLCONV, [which, mirrors],
-                          max(args.timeout, 900.0), env)
+                          max(args.timeout, 900.0), env,
+                          name=f"fullconv:{which}:m{mirrors}")
     return 0 if ok else 1
 
 

@@ -1,0 +1,201 @@
+"""Train the flagship topology on synthetic gliomas to non-trivial Dice.
+
+The reference ships trained KAIST weights and publishes 95%+ Dice
+(/root/reference/README.md:43-49); no such weights are distributable in
+this environment, so this tool produces the framework's own proof of the
+full production loop on deterministic synthetic data
+(braintpu/train/synthetic.py):
+
+    generate on-disk cases → PatchSampler → fit() (orbax-checkpointed)
+    → export CLI-layout .npz fold → InferenceEngine (sliding AND fullconv,
+    TTA, ET post-process) → evaluate_segmentation vs held-out GT
+    → evaluation.json + PROVENANCE.md
+
+It also re-litigates the fullconv-vs-sliding mode delta under *saturated*
+probabilities (VERDICT r3: the random-weights ET cross-mode Dice of 0.912
+was the open question) — the cross-mode agreement on every held-out case
+is recorded next to the accuracy numbers.
+
+Usage:
+    python tools/train_synthetic.py --steps 2500 --out results/trained_synth
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--out", type=Path, default=REPO / "results" / "trained_synth")
+    ap.add_argument("--data-dir", type=Path, default=Path("/tmp/braintpu_synth"))
+    ap.add_argument("--train-cases", type=int, default=12)
+    ap.add_argument("--val-cases", type=int, default=3)
+    ap.add_argument("--patch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--base-lr", type=float, default=1e-2)
+    ap.add_argument("--shape", default="128,128,112")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate the committed checkpoint")
+    ap.add_argument("--log-every", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    from braintpu.ckpt import load_pytree_npz, save_pytree_npz
+    from braintpu.infer import InferenceEngine, ModelBundle
+    from braintpu.io.brats import find_cases
+    from braintpu.metrics import evaluate_segmentation
+    from braintpu.models import MODEL1_BN, init_params
+    from braintpu.train import TrainConfig, create_train_state
+    from braintpu.train.data import PatchSampler
+    from braintpu.train.synthetic import write_synth_dataset
+    from braintpu.train.trainer import fit
+    from braintpu.io import nifti
+
+    shape = tuple(int(s) for s in args.shape.split(","))
+    patch = (args.patch,) * 3
+    # flagship topology (6 stages, 32→320 features, conv_per_stage 2, BN —
+    # the plans constants, SURVEY.md §2.3) at a reduced training patch
+    cfg = dataclasses.replace(MODEL1_BN, patch_size=patch)
+
+    t0 = time.time()
+    train_dir = args.data_dir / "train"
+    val_dir = args.data_dir / "val"
+    print(f"# generating {args.train_cases} train + {args.val_cases} val cases "
+          f"@{shape} under {args.data_dir}", flush=True)
+    write_synth_dataset(train_dir, args.train_cases, seed0=0, shape=shape)
+    write_synth_dataset(val_dir, args.val_cases, seed0=100, shape=shape)
+    train_cases = find_cases(train_dir)
+    val_cases = find_cases(val_dir)
+    assert len(train_cases) == args.train_cases and len(val_cases) == args.val_cases
+    print(f"# dataset ready in {time.time()-t0:.1f}s", flush=True)
+
+    ckpt_npz = args.out / "checkpoints" / "model1" / "fold_0.npz"
+    metrics_log = args.out / "train_log.jsonl"
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    if not args.eval_only:
+        tc = TrainConfig(base_lr=args.base_lr, max_steps=args.steps)
+        params0 = init_params(cfg, jax.random.PRNGKey(0))
+        n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params0))
+        print(f"# flagship MODEL1_BN: {n_params/1e6:.1f}M params, patch {patch}", flush=True)
+        state = create_train_state(params0, tc)
+        sampler = PatchSampler(
+            train_cases, patch_size=patch, batch_size=args.batch,
+            seed=0, mirror=True,
+        )
+        log_fh = open(metrics_log, "a")
+        t_step = [time.time(), 0]
+
+        def on_metrics(m):
+            step = int(m["step"])
+            if step % args.log_every == 0 or step == 1:
+                now = time.time()
+                dt = (now - t_step[0]) / max(step - t_step[1], 1)
+                t_step[0], t_step[1] = now, step
+                rec = {"step": step, "loss": round(m["loss"], 4),
+                       "grad_norm": round(m["grad_norm"], 3),
+                       "s_per_step": round(dt, 3)}
+                print(f"# {json.dumps(rec)}", flush=True)
+                log_fh.write(json.dumps(rec) + "\n")
+                log_fh.flush()
+
+        state = fit(
+            state, iter(sampler), cfg, tc, num_steps=args.steps,
+            checkpoint_dir=args.data_dir / "ckpt", checkpoint_every=500,
+            rng=jax.random.PRNGKey(1), on_metrics=on_metrics,
+        )
+        log_fh.close()
+        # committed artifact: CLI checkpoint layout, f16 (weights-only —
+        # the CLI's bf16 compute path casts at use; f16 keeps the artifact
+        # half the size at 10 mantissa bits)
+        params_f16 = jax.tree_util.tree_map(
+            lambda l: np.asarray(l, np.float16), state.params
+        )
+        save_pytree_npz(params_f16, ckpt_npz)
+        print(f"# saved {ckpt_npz} ({ckpt_npz.stat().st_size/1e6:.1f} MB)", flush=True)
+
+    # ---- evaluation: held-out cases, both modes, cross-mode delta --------
+    params = load_pytree_npz(ckpt_npz)
+    bundle = ModelBundle.from_folds(cfg, [params], name="model1")
+    engines = {
+        mode: InferenceEngine(
+            models=[bundle], tta=True, ensemble="softmax", et_min_voxels=200,
+            output_convention="brats2025", mode=mode,
+        )
+        for mode in ("sliding", "fullconv")
+    }
+    per_case = []
+    for case in val_cases:
+        gt = np.round(nifti.load_f32(case.seg_path)[0]).astype(np.int32)
+        segs = {}
+        rec = {"case_id": case.case_id}
+        for mode, eng in engines.items():
+            t1 = time.time()
+            seg, _ = eng.predict_case(case)
+            segs[mode] = np.asarray(seg).astype(np.int32)
+            m = evaluate_segmentation(segs[mode], gt)
+            rec[mode] = {
+                "mean_dice": round(m["mean_dice"], 4),
+                "compound": {k: round(v["dice"], 4) for k, v in m["compound"].items()},
+                "seconds": round(time.time() - t1, 1),
+            }
+            print(f"# {case.case_id} {mode}: mean_dice={rec[mode]['mean_dice']} "
+                  f"{rec[mode]['compound']}", flush=True)
+        # cross-mode agreement (the round-3 open question, now under
+        # saturated probabilities)
+        x = evaluate_segmentation(segs["fullconv"], segs["sliding"])
+        rec["cross_mode"] = {
+            "mean_dice": round(x["mean_dice"], 4),
+            "compound": {k: round(v["dice"], 4) for k, v in x["compound"].items()},
+            "voxel_agreement": round(float((segs["fullconv"] == segs["sliding"]).mean()), 6),
+        }
+        print(f"# {case.case_id} cross-mode: {rec['cross_mode']}", flush=True)
+        per_case.append(rec)
+
+    mean_sliding = float(np.mean([r["sliding"]["mean_dice"] for r in per_case]))
+    mean_fullconv = float(np.mean([r["fullconv"]["mean_dice"] for r in per_case]))
+    cross_et = float(np.mean([r["cross_mode"]["compound"]["ET"] for r in per_case]))
+    result = {
+        "provenance": {
+            "data": "SYNTHETIC gliomas (braintpu/train/synthetic.py), deterministic seeds: "
+                    f"train 0..{args.train_cases-1}, val 100..{100+args.val_cases-1}, "
+                    f"shape {list(shape)}",
+            "weights": "trained in this repository by tools/train_synthetic.py "
+                       "(NOT the reference's KAIST checkpoints — those are not "
+                       "distributable here); flagship MODEL1_BN topology, "
+                       f"patch {list(patch)}, {args.steps} steps, batch {args.batch}, "
+                       f"SGD+Nesterov poly LR {args.base_lr}",
+            "date": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+            "device": None,  # filled below
+        },
+        "held_out_mean_dice": {"sliding": round(mean_sliding, 4),
+                               "fullconv": round(mean_fullconv, 4)},
+        "cross_mode_et_dice": round(cross_et, 4),
+        "per_case": per_case,
+    }
+    import jax
+    result["provenance"]["device"] = str(jax.devices()[0])
+    with open(args.out / "evaluation.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"held_out_mean_dice": result["held_out_mean_dice"],
+                      "cross_mode_et_dice": result["cross_mode_et_dice"]}), flush=True)
+    ok = mean_sliding >= 0.8 and mean_fullconv >= 0.8
+    print(f"# target mean_dice>=0.8 on held-out: {'MET' if ok else 'NOT MET'}", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
