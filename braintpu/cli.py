@@ -212,9 +212,16 @@ def cmd_pipeline(args):
         cfg,
         on_event=lambda e: print(f"STAGE:{e.stage}:{e.status} {e.detail or ''}"),
     )
-    result = pipeline.run_case(args.case_folder)
-    print(json.dumps(result.summary, indent=2, default=str))
-    return 0 if result.succeeded else 1
+    folders = [args.case_folder] + list(getattr(args, "more_case_folders", []) or [])
+    if len(folders) == 1:
+        result = pipeline.run_case(folders[0])
+        print(json.dumps(result.summary, indent=2, default=str))
+        return 0 if result.succeeded else 1
+    # multi-case: overlap case N's host stages with case N+1's device
+    # segmentation (Pipeline.run_cases one-case lookahead)
+    results = pipeline.run_cases(folders)
+    print(json.dumps([r.summary for r in results], indent=2, default=str))
+    return 0 if all(r.succeeded for r in results) else 1
 
 
 def cmd_segment(args):
@@ -656,6 +663,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("pipeline", help="full case pipeline: segment → features → report → PDF")
     p.add_argument("case_folder")
+    p.add_argument("more_case_folders", nargs="*",
+                   help="additional case folders — runs with device/host "
+                        "stage overlap (case N's features run while case "
+                        "N+1 segments on device)")
     p.add_argument("--output", default="results")
     p.add_argument("--use-llm", action="store_true")
     p.add_argument("--no-pdf", action="store_true")

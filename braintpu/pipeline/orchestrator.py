@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
@@ -112,6 +114,51 @@ class PipelineResult:
         return self.summary.get("status") == "completed"
 
 
+class _Prefetched:
+    """A value computed on a background thread; ``get()`` joins + re-raises.
+
+    Used to hide pure-host work (e.g. the ground-truth gz inflate) behind
+    the device's segmentation compute: the main thread blocks on the TPU
+    sync anyway, so a decode thread gets the core essentially for free.
+    """
+
+    def __init__(self, fn: Callable[[], Any]):
+        self._val: Any = None
+        self._exc: Optional[BaseException] = None
+
+        def run() -> None:
+            try:
+                self._val = fn()
+            except BaseException as e:  # re-raised on get()
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def get(self) -> Any:
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._val
+
+
+@dataclass
+class _SegOutcome:
+    """Hand-off from the segmentation span to the host stages."""
+
+    result: PipelineResult
+    case_folder: Optional[Path] = None
+    case: Any = None
+    loaded: Any = None  # (data[C,X,Y,Z], affine, zooms)
+    seg: Optional[np.ndarray] = None
+    info: Optional[Dict[str, Any]] = None
+    seg_path: Optional[Path] = None
+    gt: Optional[_Prefetched] = None
+    t_start: float = 0.0
+    failed: bool = False
+    exc: Optional[BaseException] = None
+
+
 class Pipeline:
     """End-to-end case pipeline: NIfTI in → segmentation + report out."""
 
@@ -139,18 +186,67 @@ class Pipeline:
     # -- main ---------------------------------------------------------------
 
     def run_case(self, case_folder) -> PipelineResult:
-        case_folder = Path(case_folder)
-        t_start = time.time()
+        outcome = self._segment_stage(Path(case_folder))
+        if outcome.failed:
+            if self.config.fail_fast and outcome.exc is not None:
+                raise outcome.exc
+            return outcome.result
+        return self._host_stages(outcome)
 
-        # stage 1: naming normalization (BraTS-2025 → 2021)
+    def run_cases(self, case_folders) -> List[PipelineResult]:
+        """Run many cases with device/host stage overlap (one-case lookahead).
+
+        The segmentation span (decode + preprocess + device ensemble +
+        export) of case *N+1* runs on a worker thread while the main thread
+        does the host-bound stages (evaluate, features, report, PDF) of
+        case *N*.  The device sits behind a blocking sync for most of the
+        segmentation span, so on a single-core host the two phases overlap
+        almost perfectly — steady-state per-case latency approaches
+        ``max(segment_span, host_span)`` instead of their sum.  (The
+        reference runs every stage of every case strictly serially,
+        /root/reference/run_full_pipeline.py:460-623.)
+
+        Only one segmentation is in flight at a time (single worker), so
+        device programs never contend; events/journals stay per-case.
+        """
+        folders = [Path(f) for f in case_folders]
+        results: List[PipelineResult] = []
+        if not folders:
+            return results
+        with ThreadPoolExecutor(max_workers=1, thread_name_prefix="seg") as pool:
+            fut = pool.submit(self._segment_stage, folders[0])
+            for i in range(len(folders)):
+                outcome = fut.result()
+                if i + 1 < len(folders):
+                    fut = pool.submit(self._segment_stage, folders[i + 1])
+                if outcome.failed:
+                    if self.config.fail_fast and outcome.exc is not None:
+                        raise outcome.exc
+                    results.append(outcome.result)
+                else:
+                    results.append(self._host_stages(outcome))
+        return results
+
+    def _segment_stage(self, case_folder: Path) -> _SegOutcome:
+        """Stages 1–2: rename/discover, decode, device ensemble, seg export.
+
+        Also kicks off the ground-truth gz inflate on a background thread
+        right before the device call: the main thread blocks on the TPU
+        sync for most of the segmentation span, so the GT decode that the
+        evaluation stage needs comes back essentially for free.
+        """
+        t_start = time.time()
         result = PipelineResult(case_id="", output_folder=Path("."))
+        outcome = _SegOutcome(result=result, case_folder=case_folder, t_start=t_start)
         try:
+            # stage 1: naming normalization (BraTS-2025 → 2021)
             self._emit(result, "renaming", "start")
             renamed = rename_brats2025_folder(case_folder)
             cases = find_cases(case_folder, recursive=False)
             if not cases:
                 raise FileNotFoundError(f"no complete BraTS case in {case_folder}")
             case = cases[0]
+            outcome.case = case
             result.case_id = case.case_id
             out = Path(self.config.output_root) / case.case_id
             result.output_folder = out
@@ -165,7 +261,14 @@ class Pipeline:
             # even the round-1 orchestrator re-decoded all four for stage 5).
             self._emit(result, "segmenting", "start")
             seg_path = out / f"{case.case_id}.nii.gz"
+            outcome.seg_path = seg_path
             loaded = load_case_volumes(case)
+            outcome.loaded = loaded
+            if self.config.evaluate_if_gt and case.seg_path is not None:
+                gt_path = case.seg_path
+                outcome.gt = _Prefetched(
+                    lambda: np.round(nifti.load_f32(gt_path)[0]).astype(np.int32)
+                )
             for attempt in range(self.config.segment_retries + 1):
                 try:
                     if self.config.fault_hook:
@@ -180,6 +283,8 @@ class Pipeline:
                         attempt=attempt + 1, error=str(e)[:300],
                     )
             result.seg = seg
+            outcome.seg = seg
+            outcome.info = info
             self._emit(
                 result,
                 "segmenting",
@@ -187,7 +292,25 @@ class Pipeline:
                 seconds=round(info["total_s"], 2),
                 volumes_cm3=info["volumes_cm3"],
             )
+            return outcome
+        except Exception as exc:
+            self._finalize_error(result, exc)
+            outcome.failed = True
+            outcome.exc = exc
+            return outcome
 
+    def _host_stages(self, outcome: _SegOutcome) -> PipelineResult:
+        """Stages 3–7: convert, evaluate, features, report, PDF, summary."""
+        result = outcome.result
+        case = outcome.case
+        case_folder = outcome.case_folder
+        loaded = outcome.loaded
+        seg = outcome.seg
+        info = outcome.info
+        seg_path = outcome.seg_path
+        out = result.output_folder
+        t_start = outcome.t_start
+        try:
             # stage 3: label conversion → BraTS-convention artifact
             # (honors config.save_brats_convention: "brats2025" ET=3 or
             # "brats2021" ET=4; ref convert_labels_to_brats.py:34-55)
@@ -216,14 +339,16 @@ class Pipeline:
             # ET=4, 2025 use ET=3).  Normalize BOTH sides to 2025 space so
             # the WT/TC/ET compounds see the same labels regardless of the
             # dataset vintage or the configured save convention.
-            if self.config.evaluate_if_gt and case.seg_path is not None:
+            if outcome.gt is not None:
                 self._emit(result, "evaluating", "start")
                 # evaluation is an optional add-on: a corrupt or
                 # shape-mismatched user-shipped GT must not abort the job
                 # after segmentation succeeded (features/report/PDF still
                 # run) — the failure is journaled instead
                 try:
-                    gt = np.round(nifti.load_f32(case.seg_path)[0]).astype(np.int32)
+                    # decoded on a background thread during device compute
+                    # (_segment_stage); get() joins + re-raises decode errors
+                    gt = outcome.gt.get()
                     # vintage-agnostic: maps BOTH ET spellings (2021: 4,
                     # 2025: 3) to 3 — the strict 2021→2025 map sends 3 to 0
                     # and would erase ET from 2025-space inputs (including
@@ -322,19 +447,7 @@ class Pipeline:
             return result
 
         except Exception as exc:
-            self._emit(result, "error", "error", error=str(exc))
-            result.summary = {
-                "case_id": result.case_id,
-                "status": "error",
-                "error": str(exc),
-                "traceback": traceback.format_exc(),
-            }
-            if result.output_folder != Path("."):
-                try:
-                    with open(result.output_folder / "pipeline_summary.json", "w") as f:
-                        json.dump(result.summary, f, indent=2, cls=NumpyJSONEncoder)
-                except OSError:
-                    pass
+            self._finalize_error(result, exc)
             if self.config.fail_fast:
                 raise
             return result
@@ -342,3 +455,22 @@ class Pipeline:
             if result.journal_fh:
                 result.journal_fh.close()
                 result.journal_fh = None
+
+    def _finalize_error(self, result: PipelineResult, exc: Exception) -> None:
+        """Journal + persist an error summary and close the journal."""
+        self._emit(result, "error", "error", error=str(exc))
+        result.summary = {
+            "case_id": result.case_id,
+            "status": "error",
+            "error": str(exc),
+            "traceback": traceback.format_exc(),
+        }
+        if result.output_folder != Path("."):
+            try:
+                with open(result.output_folder / "pipeline_summary.json", "w") as f:
+                    json.dump(result.summary, f, indent=2, cls=NumpyJSONEncoder)
+            except OSError:
+                pass
+        if result.journal_fh:
+            result.journal_fh.close()
+            result.journal_fh = None

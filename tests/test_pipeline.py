@@ -192,3 +192,53 @@ def test_segmentation_retry_on_transient_fault(tmp_path, tiny_engine, synth_case
     )
     result2 = Pipeline(tiny_engine, cfg2).run_case(synth_case)
     assert not result2.succeeded
+
+
+def _copy_case(src, dst_root, case_id):
+    """Clone the synth case under a new case id."""
+    import shutil
+
+    dst = dst_root / case_id
+    dst.mkdir(parents=True)
+    for p in src.iterdir():
+        shutil.copy(p, dst / p.name.replace(src.name, case_id))
+    return dst
+
+
+def test_run_cases_overlapped_matches_serial(tmp_path, tiny_engine, synth_case):
+    """run_cases (device/host stage overlap) produces per-case results
+    identical in content to serial run_case calls, including a failing
+    case mixed in the middle."""
+    from braintpu.io import nifti
+
+    a = _copy_case(synth_case, tmp_path / "cases", "BraTS-GLI-00001-000")
+    broken = tmp_path / "cases" / "BraTS-GLI-00002-000"
+    broken.mkdir()  # incomplete case: no modalities
+    b = _copy_case(synth_case, tmp_path / "cases", "BraTS-GLI-00003-000")
+
+    pipe = Pipeline(
+        tiny_engine,
+        PipelineConfig(output_root=tmp_path / "res_overlap", generate_pdf=False),
+    )
+    results = pipe.run_cases([a, broken, b])
+    assert [r.case_id for r in results] == [
+        "BraTS-GLI-00001-000", "", "BraTS-GLI-00003-000"
+    ]
+    assert results[0].succeeded and results[2].succeeded
+    assert not results[1].succeeded
+    assert results[1].summary["status"] == "error"
+
+    serial = Pipeline(
+        tiny_engine,
+        PipelineConfig(output_root=tmp_path / "res_serial", generate_pdf=False),
+    ).run_case(a)
+    # identical segmentation artifact and metrics as the serial path
+    seg_o = np.asarray(nifti.load(results[0].output_folder / "BraTS-GLI-00001-000.nii.gz").dataobj)
+    seg_s = np.asarray(nifti.load(serial.output_folder / "BraTS-GLI-00001-000.nii.gz").dataobj)
+    np.testing.assert_array_equal(seg_o, seg_s)
+    assert results[0].metrics["mean_dice"] == serial.metrics["mean_dice"]
+    # per-case journals exist and carry the full stage lifecycle
+    for r in (results[0], results[2]):
+        lines = (r.output_folder / "events.jsonl").read_text().splitlines()
+        stages = {json.loads(ln)["stage"] for ln in lines}
+        assert {"renaming", "segmenting", "evaluating", "extracting", "done"} <= stages
