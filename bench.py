@@ -306,21 +306,61 @@ def main() -> int:
         engine.predict_case_array(data)
         print(f"# settle: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    times = []
+    times, predict_times = [], []
     for _ in range(args.cases):
         t0 = time.perf_counter()
         seg, info = engine.predict_case_array(data)
         times.append(time.perf_counter() - t0)
-    # Aggregate with MIN, not median: the chip sits behind a SHARED relay
-    # tunnel, and external tenants add strictly one-sided noise (a 2026-08-19
-    # congested session measured [24.1, 35.3] s on the exact config that
-    # measures 10.6 s in a quiet window — the median is the tenant count,
-    # the min is the framework).  Steady-state compute on a fixed shape has
-    # no mechanism to run faster than its true cost.
+        predict_times.append(float(info.get("predict_s") or 0.0))
+    # Headline aggregation = MIN of N, with the median reported alongside:
+    # the chip sits behind a SHARED relay tunnel, and external tenants add
+    # strictly one-sided noise (a 2026-08-19 congested session measured
+    # [24.1, 35.3] s on the exact config that measures 10.6 s in a quiet
+    # window — the median is the tenant count, the min is the framework).
+    # Steady-state compute on a fixed shape has no mechanism to run faster
+    # than its true cost.  NOTE when comparing against the reference's
+    # ~330 s: that figure is a single-run wall-clock from its README
+    # (README.md:127), not a median of repeats — vs_baseline is therefore
+    # best-run vs single-run; the median-based ratio is in detail.
     per_case = float(np.min(times))
+    per_case_median = float(np.median(times))
     if watchdog:
         watchdog.cancel()
-    print(f"# steady-state times: {times}", file=sys.stderr)
+    print(f"# steady-state times: {times} (min {per_case:.2f}, "
+          f"median {per_case_median:.2f})", file=sys.stderr)
+
+    # MFU: analytic MXU FLOPs of the full ensemble forward at the bucket
+    # shape the programs actually ran (crop+pad of the synthetic case),
+    # over the measured span.  Two denominators: the device-side predict
+    # span (closest to device time this harness can observe without a
+    # trace) and the whole e2e per-case time (a floor).
+    mfu = {}
+    try:
+        from braintpu.infer.gaussian import patch_grid
+        from braintpu.models.unet3d import forward_flops
+
+        bucket = info.get("bucket_shape")
+        mirrors = 1 if args.no_tta else 8
+        flops = 0
+        for cfg_m in configs:
+            if mode == "sliding":
+                n_patch = len(patch_grid(bucket, cfg_m.patch_size, engine.step_size))
+                flops += (n_patch * args.folds * mirrors
+                          * forward_flops(cfg_m, cfg_m.patch_size))
+            else:
+                flops += args.folds * mirrors * forward_flops(cfg_m, bucket)
+        peak = 197e12  # v5e bf16
+        best_predict = min(t for t in predict_times if t > 0)
+        mfu = {
+            "ensemble_tflops": round(flops / 1e12, 2),
+            "bucket_shape": list(bucket),
+            "mfu_predict_span": round(flops / best_predict / peak, 4),
+            "mfu_e2e": round(flops / per_case / peak, 4),
+            "peak_tflops": 197,
+        }
+        print(f"# MFU: {mfu}", file=sys.stderr)
+    except Exception as e:  # MFU is diagnostics — never fail the bench on it
+        print(f"# MFU computation failed: {e}", file=sys.stderr)
 
     # Reference: full segmentation stage ~5-6 min on CPU → 330 s midpoint.
     baseline_s = 330.0
@@ -337,7 +377,11 @@ def main() -> int:
             "mode": args.mode,
             "cases_per_min_per_chip": round(60.0 / per_case, 2),
             "warmup_s": round(warm, 1),
+            "aggregation": f"min of {len(times)} runs (one-sided shared-tunnel noise)",
+            "median_s": round(per_case_median, 3),
+            "vs_baseline_median": round(baseline_s / per_case_median, 2),
             "device": str(jax.devices()[0]),
+            **({"mfu": mfu} if mfu else {}),
         },
     }
     print(json.dumps(result))

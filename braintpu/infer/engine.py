@@ -175,6 +175,9 @@ class InferenceEngine:
             )
             pre = preprocess_case(data_cxyz, patch_size=patch)
         info: Dict[str, Any] = {"preprocess_s": time.perf_counter() - t0}
+        # the shape device programs actually run at (crop + pad); bench.py
+        # derives analytic ensemble FLOPs → MFU from it
+        info["bucket_shape"] = tuple(int(s) for s in pre.data.shape[1:])
 
         t1 = time.perf_counter()
         vol = jnp.asarray(pre.data)  # one H2D transfer, shared across models

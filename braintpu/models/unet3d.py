@@ -690,14 +690,15 @@ def _upconv(x, w, compute_dtype):
             return upconv2x(x, w, strategy=upconv_strategy()).astype(compute_dtype)
     strategy = os.environ.get("BRAINTPU_UPCONV_XLA", "peel")
     if strategy == "blocked" and (kd, kh, kw) == (2, 2, 2):
+        # EXPERIMENTAL opt-in (BRAINTPU_UPCONV_XLA=blocked; not yet
+        # TPU-measured — tools/opt_probe.py is the validation harness).
         # Phase-blocked einsum layout: emit (N, D, H, kd·kh, W, kw·co) so the
         # W-phase interleave is an ADJACENT-dim reshape; a single rank-7
         # transpose then moves kd next to D with a large contiguous minor
-        # block (kh·2W·co), and one reshape merges (D,kd)(H,kh).  Replaces
-        # the three per-axis rank-6 moveaxis interleaves, whose strided
-        # minor-dim copies measured ~50× below HBM bandwidth (opt_probe:
-        # 54→? ms at the 192³-scale BN stage).  BRAINTPU_UPCONV_XLA=peel
-        # restores the per-axis peel.
+        # block (kh·2W·co), and one reshape merges (D,kd)(H,kh).  The hope
+        # is to beat the default three per-axis rank-6 moveaxis interleaves
+        # (~54 ms per BN forward at 192³ scale per traces); the default
+        # stays "peel" until an opt_probe run on hardware measures a win.
         N, D, H, W, _ = x.shape
         wm = w.reshape(ci, kd * kh, kw * co).astype(compute_dtype)
         y = jnp.einsum(
@@ -1096,3 +1097,47 @@ def estimate_activation_bytes(cfg: UNetConfig, batch: int = 1) -> int:
         scale = shrink ** (cfg.num_pool - 1 - u)
         total += (vox // scale) * (2 * ch["skip"] + ch["out"])
     return total * batch * itemsize
+
+
+def forward_flops(cfg: UNetConfig, spatial_shape: Tuple[int, int, int]) -> int:
+    """Analytic FLOPs of ONE eval-mode forward at ``spatial_shape``.
+
+    Counts the MXU work (convs, transposed convs, final seg head) at
+    2 × out_voxels × k³ × ci × co per conv — the >99 % term; norm/act
+    elementwise FLOPs and axial-attention variants are not counted
+    (the flagship KAIST models have no attention).  Used by bench.py to
+    report MFU against the v5e bf16 peak (~197 TF/s); the architecture
+    walk mirrors init_params/apply_unet (same stride plan: first conv of
+    each stage below the top is pooled by ``pool_kernel``).
+    """
+    k3 = int(np.prod(cfg.conv_kernel))
+    shrink = int(np.prod(cfg.pool_kernel))
+    vox_full = int(np.prod(spatial_shape))
+    enc = encoder_features(cfg)
+    bneck = bottleneck_features(cfg)
+    flops = 0
+    cin = cfg.in_channels
+    for d, f in enumerate(enc):
+        vox = vox_full // (shrink**d)  # output resolution of stage d
+        for c in range(cfg.conv_per_stage):
+            flops += 2 * vox * k3 * (cin if c == 0 else f) * f
+        cin = f
+    vox = vox_full // (shrink**cfg.num_pool)
+    for c in range(cfg.conv_per_stage):
+        flops += 2 * vox * k3 * (cin if c == 0 else bneck) * bneck
+        cin = bneck
+    for u, ch in enumerate(decoder_channels(cfg)):
+        vox = vox_full // (shrink ** (cfg.num_pool - 1 - u))
+        # transposed pool_kernel/stride-pool conv: non-overlapping windows →
+        # exactly ci MACs per output voxel per output channel
+        flops += 2 * vox * ch["from_down"] * ch["skip"]
+        blocks_ci = [2 * ch["skip"]] + [ch["skip"]] * max(cfg.conv_per_stage - 2, 0)
+        blocks_co = [ch["skip"]] * (len(blocks_ci) - 1) + [ch["out"]] if len(blocks_ci) > 1 else [ch["out"]]
+        # nnU-Net decoder floor-of-2 (see init_params): concat conv + out conv
+        blocks_ci.append(blocks_co[0] if len(blocks_ci) > 1 else ch["skip"])
+        blocks_co = [ch["skip"]] * (len(blocks_ci) - 1) + [ch["out"]]
+        for ci, co in zip(blocks_ci, blocks_co):
+            flops += 2 * vox * k3 * ci * co
+    # eval-mode seg head: 1×1×1 at full resolution only
+    flops += 2 * vox_full * decoder_channels(cfg)[-1]["out"] * cfg.num_classes
+    return int(flops)

@@ -35,9 +35,12 @@ from torch import nn  # noqa: E402
 
 REF_UNET = Path("/root/reference/model_architecture/generic_UNet.py")
 
-pytestmark = pytest.mark.skipif(
-    not REF_UNET.exists(), reason="reference generic_UNet.py not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # torch-oracle parity at 128³: minutes of single-core time
+    pytest.mark.skipif(
+        not REF_UNET.exists(), reason="reference generic_UNet.py not mounted"
+    ),
+]
 
 
 def _stub_modules():

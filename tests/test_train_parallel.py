@@ -24,6 +24,8 @@ from braintpu.train import (
 )
 from braintpu.infer import stack_folds
 
+pytestmark = pytest.mark.slow  # full fit()/resume/DP loops: the suite's heaviest file
+
 
 def tiny_cfg(**kw):
     defaults = dict(

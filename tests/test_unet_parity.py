@@ -31,6 +31,8 @@ from braintpu.models import (
 )
 
 torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.slow  # full-topology forwards at production feature widths
 F = torch.nn.functional
 
 

@@ -1,9 +1,11 @@
 """Equality of the switchable pure-XLA lowerings (upconv / GN stats).
 
-The production defaults (phase-blocked upconv einsum, Gram-matrix GroupNorm
-statistics — see PERF.md round-3) must compute the same function as the
-reference formulations they replace; the env switches exist so a TPU probe
-(tools/opt_probe.py) can compare them in place.
+The EXPERIMENTAL opt-in variants (BRAINTPU_UPCONV_XLA=blocked phase-blocked
+upconv einsum, BRAINTPU_GN_STATS=gram Gram-matrix GroupNorm statistics) must
+compute the same function as the production defaults ("peel" / "sum") they
+hope to beat; the env switches exist so a TPU probe (tools/opt_probe.py)
+can compare them in place.  Defaults flip only after a measured hardware
+win (none recorded yet — see PERF.md).
 """
 
 from __future__ import annotations
