@@ -185,6 +185,28 @@ def _bench_batched(args, engine, data, jax, watchdog=None) -> int:
         total = time.perf_counter() - t0
         assert len(results) == n_cases
         cases_per_min = 60.0 * n_cases / total
+        infos = [r[1] for r in results]
+        phase = {
+            "device_batch_s_mean": round(
+                float(np.mean([i["batch_seconds"] for i in infos])), 2
+            ),
+            "ensemble_host_s_mean": round(
+                float(np.mean([i.get("ensemble_host_s", 0.0) for i in infos])), 2
+            ),
+        }
+
+        seq = None
+        if args.compare_sequential:
+            # apples-to-apples: the SAME on-disk cases through per-case
+            # predict_case (disk decode included) — the round-3 "batched is
+            # slower" comparison put batched-with-decode against an
+            # in-memory sequential bench
+            t0 = time.perf_counter()
+            for c in cases:
+                engine.predict_case(c)
+            seq = time.perf_counter() - t0
+            print(f"# sequential same-disk-path: {seq / n_cases:.2f} s/case",
+                  file=sys.stderr)
         # disarm BEFORE printing: a timer firing between the success line
         # and main()'s cancel would append a failure line after it, and
         # last-JSON-line parsers would flip a completed bench to failed
@@ -205,6 +227,12 @@ def _bench_batched(args, engine, data, jax, watchdog=None) -> int:
                 "seconds_per_case": round(total / n_cases, 3),
                 "warmup_s": round(warm, 1),
                 "device": str(jax.devices()[0]),
+                **phase,
+                **(
+                    {"sequential_same_path_s_per_case": round(seq / n_cases, 3)}
+                    if seq is not None
+                    else {}
+                ),
             },
         }
         print(json.dumps(out))
@@ -231,6 +259,11 @@ def main() -> int:
         "batched: multi-case fullconv throughput (cases/min per chip, "
         "BASELINE throughput config — NIfTI decode overlapped with device "
         "compute via CasePrefetcher)",
+    )
+    ap.add_argument(
+        "--compare-sequential", action="store_true",
+        help="--mode batched only: also run per-case predict_case over the "
+        "same on-disk cases (identical decode path) and record it in detail",
     )
     ap.add_argument(
         "--batch-size", type=int, default=2,

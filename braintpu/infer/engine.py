@@ -395,8 +395,16 @@ class InferenceEngine:
         # bucket shape → [(case_index, case, affine, zooms, preprocess_result)]
         pending: Dict[Tuple[int, ...], List[Tuple[int, Any, Any, Any, Any]]] = {}
         n_pending = 0
+        # dispatched-but-undrained device batches: fullconv_predict dispatches
+        # asynchronously, so the host can run the previous batch's label
+        # ensemble / readback / NIfTI save WHILE the device computes the next
+        # batch.  Depth 1 (one computing + one being drained) bounds the
+        # extra HBM to one batch of probability maps (~2 × B × 70 MB).
+        # Round-3 measured the un-overlapped loop at 13.4 s/case vs 8.4–9.8
+        # sequential: the device idled through every host ensemble+save span.
+        inflight: List[Tuple[List[Tuple[int, Any, Any, Any, Any]], List[Any], float]] = []
 
-        def run_bucket(shape: Tuple[int, ...]) -> None:
+        def dispatch(shape: Tuple[int, ...]) -> None:
             nonlocal n_pending
             entries = pending.pop(shape)
             n_pending -= len(entries)
@@ -407,27 +415,34 @@ class InferenceEngine:
                     [jnp.moveaxis(jnp.asarray(e[4].data), 0, -1) for e in chunk]
                 )
                 per_model = self._batched_fullconv(vols, target)
-                # sync before timing: fullconv_predict dispatches
-                # asynchronously, so un-synced clocks measure dispatch
-                # latency, not compute
-                jax.block_until_ready(per_model)
-                batch_s = time.perf_counter() - t0
-                for bi, (i, case, affine, zooms, pre) in enumerate(chunk):
-                    seg_internal = self._ensemble_labels(
-                        [p[bi] for p in per_model], pre
-                    )
-                    out = self._to_output_convention(seg_internal, pre)
-                    info = {
-                        "case_id": case.case_id,
-                        "batch_seconds": batch_s,
-                        "batch_size": len(chunk),
-                        "volumes_cm3": self._case_volumes(out, zooms),
-                    }
-                    if output_dir is not None:
-                        path = Path(output_dir) / f"{case.case_id}.nii.gz"
-                        nifti.save(out.astype(np.uint8), path, affine=affine)
-                        info["output_path"] = str(path)
-                    results[i] = (out if keep_volumes else None, info)
+                inflight.append((chunk, per_model, t0))
+                while len(inflight) > 1:
+                    drain_one()
+
+        def drain_one() -> None:
+            chunk, per_model, t0 = inflight.pop(0)
+            # sync before timing: un-synced clocks measure dispatch latency,
+            # not compute.  device_span includes any wait (it started at
+            # dispatch), so overlapped host work shows up as device_span ≈
+            # batch compute rather than compute + host.
+            jax.block_until_ready(per_model)
+            device_span = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            for bi, (i, case, affine, zooms, pre) in enumerate(chunk):
+                seg_internal = self._ensemble_labels([p[bi] for p in per_model], pre)
+                out = self._to_output_convention(seg_internal, pre)
+                info = {
+                    "case_id": case.case_id,
+                    "batch_seconds": device_span,
+                    "batch_size": len(chunk),
+                    "volumes_cm3": self._case_volumes(out, zooms),
+                }
+                if output_dir is not None:
+                    path = Path(output_dir) / f"{case.case_id}.nii.gz"
+                    nifti.save(out.astype(np.uint8), path, affine=affine)
+                    info["output_path"] = str(path)
+                info["ensemble_host_s"] = time.perf_counter() - t1
+                results[i] = (out if keep_volumes else None, info)
 
         from ..io.brats import CasePrefetcher
 
@@ -440,11 +455,13 @@ class InferenceEngine:
             pending.setdefault(shape, []).append((i, case, affine, zooms, pre))
             n_pending += 1
             if len(pending[shape]) >= batch_size:
-                run_bucket(shape)
+                dispatch(shape)
             elif n_pending >= max_pending:
-                run_bucket(max(pending, key=lambda s: len(pending[s])))
+                dispatch(max(pending, key=lambda s: len(pending[s])))
         for shape in sorted(pending, key=lambda s: -len(pending[s])):
-            run_bucket(shape)
+            dispatch(shape)
+        while inflight:
+            drain_one()
         return [r for r in results if r is not None]
 
     def predict_case(
