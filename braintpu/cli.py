@@ -103,9 +103,16 @@ def load_engine(args):
                         f"checkpoint for {name}/fold_{f} not found under "
                         f"{args.checkpoints!r}; pass --random-weights for a dry run"
                     )
-                # stable seed (hash() is salted per process → irreproducible)
+                # stable seed (hash() is salted per process → irreproducible).
+                # Int seed + CPU default device: random init draws with
+                # numpy and keeps the leaves host-resident, so the bundle
+                # ships to the device in ONE stacked transfer (the prior
+                # per-tensor jax.random ops through the dispatch tunnel
+                # measured 85 s of engine start-up).
                 seed = selected.index(name) * 1000 + f
-                loaded = init_params(cfg, jax.random.PRNGKey(seed))
+                cpu = jax.local_devices(backend="cpu")[0]
+                with jax.default_device(cpu):
+                    loaded = init_params(cfg, seed)
             fold_params.append(loaded)
         bundles.append(ModelBundle.from_folds(cfg, fold_params, name=name))
 

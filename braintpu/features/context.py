@@ -115,6 +115,10 @@ class FeatureContext:
     _dilated_wt: Dict[int, np.ndarray] = field(default_factory=dict)
     _normal_stats: Dict[str, Dict] = field(default_factory=dict)
     _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
+    #: one-upload-per-case device residency (devstats.DeviceVolumes),
+    #: shared by every device feature kernel; built lazily on the
+    #: BRAINTPU_DEVICE_FEATURES=1 path only
+    _device_volumes: Optional[Any] = None
     _mass_stats: Optional[Dict[str, Any]] = None
     _artifact_stats: Optional[Dict[str, Any]] = None
     _morph_stats: Optional[Dict[str, Any]] = None
@@ -207,6 +211,19 @@ class FeatureContext:
             )
         return self._dilated_wt[iterations]
 
+    def device_volumes(self):
+        """Device-resident modality stack + seg + brain mask, uploaded ONCE
+        per case and shared by every device feature kernel
+        (devstats.DeviceVolumes — round 3's device path lost partly to
+        re-uploading the same volumes per kernel)."""
+        if self._device_volumes is None:
+            from .devstats import DeviceVolumes
+
+            self._device_volumes = DeviceVolumes(
+                self.modalities, self.seg, self.brain_mask("t1")
+            )
+        return self._device_volumes
+
     def _dev_stats(self) -> Dict[str, Dict[str, Dict]]:
         """All region × modality stats (plus the normal reference and the
         step-5 quality reductions) from ONE jitted device pass
@@ -215,7 +232,8 @@ class FeatureContext:
             from .devstats import compute_case_stats
 
             self._device_stats = compute_case_stats(
-                self.modalities, self.seg, self.brain_mask("t1")
+                self.modalities, self.seg, self.brain_mask("t1"),
+                dev=self.device_volumes(),
             )
         return self._device_stats
 
@@ -227,7 +245,8 @@ class FeatureContext:
             from .devstats import compute_mass_effect_stats
 
             self._mass_stats = compute_mass_effect_stats(
-                self.modalities["t1"], self.tumor_masks["wt"], self.brain_mask("t1")
+                self.modalities["t1"], self.tumor_masks["wt"],
+                self.brain_mask("t1"), dev=self.device_volumes(),
             )
         return self._mass_stats
 
@@ -240,7 +259,8 @@ class FeatureContext:
             from .devstats import compute_artifact_stats
 
             self._artifact_stats = compute_artifact_stats(
-                self.modalities, self.brain_mask("t1"), self.tumor_masks["wt"]
+                self.modalities, self.brain_mask("t1"),
+                self.tumor_masks["wt"], dev=self.device_volumes(),
             )
         return self._artifact_stats
 
@@ -252,7 +272,8 @@ class FeatureContext:
             from .devstats import compute_morphology_stats
 
             self._morph_stats = compute_morphology_stats(
-                self.modalities["t1ce"], self.tumor_masks["wt"]
+                self.modalities["t1ce"], self.tumor_masks["wt"],
+                dev=self.device_volumes(),
             )
         return self._morph_stats
 
@@ -266,6 +287,7 @@ class FeatureContext:
             self._paren_stats = compute_parenchyma_stats(
                 self.modalities["t1"], self.modalities["flair"],
                 self.brain_mask("t1"), self.tumor_masks["wt"],
+                dev=self.device_volumes(),
             )
         return self._paren_stats
 

@@ -55,6 +55,7 @@ import numpy as np
 
 __all__ = [
     "device_features_enabled",
+    "DeviceVolumes",
     "compute_case_stats",
     "compute_quality_stats",
     "compute_mass_effect_stats",
@@ -81,6 +82,55 @@ _SINGLE_LABELS = (1, 2)  # labels consumed as single-label regions
 
 def device_features_enabled() -> bool:
     return os.environ.get("BRAINTPU_DEVICE_FEATURES", "0") == "1"
+
+
+class DeviceVolumes:
+    """One-per-case device residency of the raw case volumes.
+
+    Round 3 measured the device feature path losing to host numpy partly
+    because every ``compute_*`` wrapper re-uploaded full volumes (the
+    modality stack alone went across the link three times per case:
+    case-stats flattened, artifacts 4-D, mass-effect/morphology/parenchyma
+    single modalities).  This holder uploads the (M, X, Y, Z) modality
+    stack, the segmentation and the brain mask ONCE; every kernel wrapper
+    below accepts ``dev=`` and slices device-resident views (reshape and
+    channel indexing are device ops, no host round-trip).
+
+    The segmentation engine's own device buffer cannot be shared here: it
+    holds the crop-to-nonzero, z-scored patch bucket
+    (infer/engine.py::predict_case_array), while the quality/artifact
+    features need raw intensities on the FULL grid (background shells,
+    per-z zero counts, volume-edge maxima — ref step5_quality.py:261-454).
+    """
+
+    def __init__(
+        self,
+        modalities: Dict[str, np.ndarray],
+        seg: Optional[np.ndarray] = None,
+        brain_mask: Optional[np.ndarray] = None,
+    ):
+        self.mods = list(modalities)
+        self.data = jnp.asarray(
+            np.stack([np.asarray(modalities[m], np.float32) for m in self.mods])
+        )
+        self.seg = (
+            jnp.asarray(np.round(np.asarray(seg)).astype(np.int32))
+            if seg is not None
+            else None
+        )
+        self.brain = (
+            jnp.asarray(np.asarray(brain_mask).astype(bool))
+            if brain_mask is not None
+            else None
+        )
+
+    def modality(self, name: str) -> jnp.ndarray:
+        return self.data[self.mods.index(name)]
+
+    @property
+    def wt(self) -> jnp.ndarray:
+        """Whole-tumor mask (seg > 0), matching context.tumor_masks['wt']."""
+        return self.seg > 0
 
 
 def _masked_quantiles(sorted_vals: jnp.ndarray, cum: jnp.ndarray, n, qs):
@@ -275,6 +325,7 @@ def compute_case_stats(
     modalities: Dict[str, np.ndarray],
     seg: np.ndarray,
     brain_mask: Optional[np.ndarray] = None,
+    dev: Optional[DeviceVolumes] = None,
 ) -> Dict[str, Dict[str, Dict]]:
     """One device pass → {region | 'normal' | 'quality'} → {modality} → stats.
 
@@ -282,17 +333,28 @@ def compute_case_stats(
     :func:`braintpu.features.context.intensity_stats`; 'quality' carries
     the step-5 SNR-block reductions.  ``brain_mask`` is the (t1-derived)
     host brain mask for the quality block; when omitted, an all-false
-    mask is used and the quality outputs are meaningless.
+    mask is used and the quality outputs are meaningless.  Pass ``dev``
+    (already device-resident volumes) to skip the host→device uploads.
     """
-    mods = list(modalities)
-    data = jnp.asarray(
-        np.stack([np.asarray(modalities[m], np.float32).ravel() for m in mods])
-    )
-    segf = jnp.asarray(np.round(np.asarray(seg)).astype(np.int32).ravel())
-    if brain_mask is None:
-        brain = jnp.zeros(segf.shape, bool)
+    if dev is not None:
+        mods = dev.mods
+        data = dev.data.reshape(dev.data.shape[0], -1)
+        segf = dev.seg.ravel()
+        brain = (
+            dev.brain.ravel()
+            if dev.brain is not None
+            else jnp.zeros(segf.shape, bool)
+        )
     else:
-        brain = jnp.asarray(np.asarray(brain_mask).ravel().astype(bool))
+        mods = list(modalities)
+        data = jnp.asarray(
+            np.stack([np.asarray(modalities[m], np.float32).ravel() for m in mods])
+        )
+        segf = jnp.asarray(np.round(np.asarray(seg)).astype(np.int32).ravel())
+        if brain_mask is None:
+            brain = jnp.zeros(segf.shape, bool)
+        else:
+            brain = jnp.asarray(np.asarray(brain_mask).ravel().astype(bool))
     raw = jax.device_get(_case_stats_kernel(data, segf, brain))
 
     out: Dict[str, Dict[str, Dict]] = {}
@@ -445,7 +507,10 @@ def _mass_effect_kernel(
 
 
 def compute_mass_effect_stats(
-    t1: np.ndarray, wt_mask: np.ndarray, brain_mask: np.ndarray
+    t1: np.ndarray,
+    wt_mask: np.ndarray,
+    brain_mask: np.ndarray,
+    dev: Optional[DeviceVolumes] = None,
 ) -> Dict[str, np.ndarray]:
     """Host wrapper: step-2 reductions as plain numpy scalars/arrays.
 
@@ -454,13 +519,15 @@ def compute_mass_effect_stats(
     index sums would round above 2^24); only the threshold and spreads
     are f32.
     """
-    raw = jax.device_get(
-        _mass_effect_kernel(
+    if dev is not None:
+        args = (dev.modality("t1"), dev.wt, dev.brain)
+    else:
+        args = (
             jnp.asarray(np.asarray(t1, np.float32)),
             jnp.asarray(np.asarray(wt_mask, bool)),
             jnp.asarray(np.asarray(brain_mask, bool)),
         )
-    )
+    raw = jax.device_get(_mass_effect_kernel(*args))
     return {
         "per_x_brain": np.asarray(raw["per_x_brain"], np.int64),
         "per_x_tumor": np.asarray(raw["per_x_tumor"], np.int64),
@@ -594,21 +661,23 @@ def compute_artifact_stats(
     modalities: Dict[str, np.ndarray],
     brain_mask: np.ndarray,
     wt_mask: np.ndarray,
+    dev: Optional[DeviceVolumes] = None,
 ) -> Dict[str, np.ndarray]:
     """Host wrapper for the step-5 artifact reductions; t1 must be the
     first modality in ``modalities`` iteration order."""
-    mods = list(modalities)
-    assert mods[0] == "t1", "artifact kernel expects t1 first"
-    data = jnp.asarray(
-        np.stack([np.asarray(modalities[k], np.float32) for k in mods])
-    )
-    raw = jax.device_get(
-        _artifact_kernel(
-            data,
-            jnp.asarray(np.asarray(brain_mask, bool)),
-            jnp.asarray(np.asarray(wt_mask, bool)),
+    if dev is not None:
+        mods = dev.mods
+        assert mods[0] == "t1", "artifact kernel expects t1 first"
+        data, brain, wt = dev.data, dev.brain, dev.wt
+    else:
+        mods = list(modalities)
+        assert mods[0] == "t1", "artifact kernel expects t1 first"
+        data = jnp.asarray(
+            np.stack([np.asarray(modalities[k], np.float32) for k in mods])
         )
-    )
+        brain = jnp.asarray(np.asarray(brain_mask, bool))
+        wt = jnp.asarray(np.asarray(wt_mask, bool))
+    raw = jax.device_get(_artifact_kernel(data, brain, wt))
     out: Dict[str, np.ndarray] = {
         "inner_count": int(raw["inner_count"]),
         "inner_mean": float(raw["inner_mean"]),
@@ -729,15 +798,19 @@ def _morphology_kernel(t1ce: jnp.ndarray, wt: jnp.ndarray):
 
 
 def compute_morphology_stats(
-    t1ce: np.ndarray, wt_mask: np.ndarray
+    t1ce: np.ndarray,
+    wt_mask: np.ndarray,
+    dev: Optional[DeviceVolumes] = None,
 ) -> Dict[str, float]:
     """Host wrapper for the step-4 border/margin reductions."""
-    raw = jax.device_get(
-        _morphology_kernel(
+    if dev is not None:
+        args = (dev.modality("t1ce"), dev.wt)
+    else:
+        args = (
             jnp.asarray(np.asarray(t1ce, np.float32)),
             jnp.asarray(np.asarray(wt_mask, bool)),
         )
-    )
+    raw = jax.device_get(_morphology_kernel(*args))
     out = {k: float(v) for k, v in raw.items()}
     for k in ("surface_count", "peri_count", "inner_count", "outer_count"):
         out[k] = int(raw[k])
@@ -783,16 +856,19 @@ def compute_parenchyma_stats(
     flair: np.ndarray,
     brain_mask: np.ndarray,
     wt_mask: np.ndarray,
+    dev: Optional[DeviceVolumes] = None,
 ) -> Dict[str, float]:
     """Host wrapper for the step-6 parenchyma reductions."""
-    raw = jax.device_get(
-        _parenchyma_kernel(
+    if dev is not None:
+        args = (dev.modality("t1"), dev.modality("flair"), dev.brain, dev.wt)
+    else:
+        args = (
             jnp.asarray(np.asarray(t1, np.float32)),
             jnp.asarray(np.asarray(flair, np.float32)),
             jnp.asarray(np.asarray(brain_mask, bool)),
             jnp.asarray(np.asarray(wt_mask, bool)),
         )
-    )
+    raw = jax.device_get(_parenchyma_kernel(*args))
     out = {k: float(v) for k, v in raw.items()}
     for k in ("normal_count", "brain_count", "deep_count", "cortical_count"):
         out[k] = int(raw[k])

@@ -18,6 +18,7 @@ to label painting is on-device XLA.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -56,12 +57,39 @@ class ModelBundle:
         fold_bn: bool = True,
         name: str = "",
     ) -> "ModelBundle":
-        """Stack fold pytrees; pre-fold BatchNorm when possible (faster eval)."""
-        folded = False
-        if fold_bn and cfg.norm == "batch":
-            fold_params = [fold_batchnorm(p, cfg) for p in fold_params]
-            folded = True
-        return cls(cfg, stack_folds(fold_params), folded, name or cfg.name)
+        """Stack fold pytrees; pre-fold BatchNorm when possible (faster eval).
+
+        Host-resident folds (numpy / CPU arrays — every checkpoint and
+        random-init path) are folded and stacked ON HOST: the per-block
+        jnp ops in fold_batchnorm otherwise each become an accelerator
+        dispatch (hundreds of tunnel round-trips per engine build), and
+        the stacked result rides to the device in one transfer at the
+        first forward instead.
+        """
+
+        def on_host(x) -> bool:
+            if isinstance(x, np.ndarray):
+                return True
+            devs = getattr(x, "devices", None)
+            return devs is not None and all(d.platform == "cpu" for d in x.devices())
+
+        host = all(on_host(leaf) for leaf in jax.tree_util.tree_leaves(fold_params[0]))
+        ctx = (
+            jax.default_device(jax.local_devices(backend="cpu")[0])
+            if host
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            folded = False
+            if fold_bn and cfg.norm == "batch":
+                fold_params = [fold_batchnorm(p, cfg) for p in fold_params]
+                folded = True
+            stacked = stack_folds(fold_params)
+        if host:
+            # one explicit residency transfer: numpy leaves left in the
+            # bundle would re-upload all fold weights on EVERY jit call
+            stacked = jax.device_put(stacked)
+        return cls(cfg, stacked, folded, name or cfg.name)
 
 
 def uncrop_labels(seg_cropped: np.ndarray, crop) -> np.ndarray:

@@ -56,7 +56,29 @@ MIRROR_COMBOS: Tuple[Tuple[int, ...], ...] = (
 
 
 def stack_folds(fold_params: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
-    """Stack per-fold param pytrees along a new leading axis (fold ensemble)."""
+    """Stack per-fold param pytrees along a new leading axis (fold ensemble).
+
+    Host-resident folds (numpy / CPU-backed jax arrays — the checkpoint
+    and random-init paths) stack on the host: per-leaf ``jnp.stack`` would
+    ship every fold to the accelerator as its own transfer (10 × ~55 MB
+    through a dispatch tunnel), while host-stacked params ride to the
+    device in one batch at the first jit call.  Device-resident folds keep
+    the on-device stack (no readback).
+    """
+
+    def on_host(x) -> bool:
+        if isinstance(x, np.ndarray):
+            return True
+        dev = getattr(x, "devices", None)
+        if dev is None:
+            return False
+        return all(d.platform == "cpu" for d in x.devices())
+
+    leaves = jax.tree_util.tree_leaves(fold_params[0])
+    if all(on_host(leaf) for leaf in leaves):
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *fold_params
+        )
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fold_params)
 
 

@@ -168,35 +168,71 @@ def decoder_channels(cfg: UNetConfig) -> List[Dict[str, int]]:
 # ---------------------------------------------------------------------------
 
 
-def _he_init(key, shape, negative_slope, dtype):
-    """Kaiming-normal fan-in with leaky-ReLU gain (torch ``kaiming_normal_``)."""
+def _rng_from_key(key) -> np.random.Generator:
+    """Deterministic numpy Generator derived from a PRNGKey or an int seed.
+
+    Conv-weight init draws with numpy: the previous per-tensor
+    ``jax.random.normal`` calls each compiled a tiny per-shape program —
+    through eager dispatch that cost ~40 s of engine start-up per model
+    on a 1-core host (measured round 4) for values that are arbitrary
+    anyway.  Passing a plain int avoids jax entirely (through a remote
+    dispatch tunnel even ``PRNGKey(0)`` + the 8-byte key readback
+    measured ~55 s of first-use cost); a PRNGKey stays supported and
+    maps to the same stream as ``int(key_data[-1])``.
+    """
+    if isinstance(key, (int, np.integer)):
+        return np.random.default_rng(int(key))
+    data = jax.device_get(jax.random.key_data(key)).astype(np.uint64).ravel()
+    return np.random.default_rng(int(data[-1]))
+
+
+def _he_init(rng, shape, negative_slope, dtype):
+    """Kaiming-normal fan-in with leaky-ReLU gain (torch ``kaiming_normal_``).
+
+    ``rng`` is a numpy Generator (the fast host path) or a PRNGKey/int
+    (legacy callers, e.g. modular_unet) — keys map through _rng_from_key.
+    """
+    if not isinstance(rng, np.random.Generator):
+        rng = _rng_from_key(rng)
     fan_in = int(np.prod(shape[:-1]))  # (kd, kh, kw, cin) for DHWIO
     gain = np.sqrt(2.0 / (1.0 + negative_slope**2))
     std = gain / np.sqrt(fan_in)
-    return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+    vals = rng.standard_normal(shape, dtype=np.float32) * np.float32(std)
+    return jnp.asarray(vals.astype(np.dtype(dtype)))
 
 
-def _init_block(key, cin, cout, cfg: UNetConfig) -> Dict[str, jnp.ndarray]:
-    kw, kb = jax.random.split(key)
+def _init_block(rng: np.random.Generator, cin, cout, cfg: UNetConfig) -> Dict[str, jnp.ndarray]:
     k = cfg.conv_kernel
+    dt = np.dtype(cfg.param_dtype)
     block = {
-        "w": _he_init(kw, (*k, cin, cout), cfg.negative_slope, cfg.param_dtype),
-        "b": jnp.zeros((cout,), cfg.param_dtype),
-        "scale": jnp.ones((cout,), cfg.param_dtype),
-        "shift": jnp.zeros((cout,), cfg.param_dtype),
+        "w": _he_init(rng, (*k, cin, cout), cfg.negative_slope, cfg.param_dtype),
+        "b": jnp.asarray(np.zeros((cout,), dt)),
+        "scale": jnp.asarray(np.ones((cout,), dt)),
+        "shift": jnp.asarray(np.zeros((cout,), dt)),
     }
     if cfg.norm == "batch":
-        block["mean"] = jnp.zeros((cout,), cfg.param_dtype)
-        block["var"] = jnp.ones((cout,), cfg.param_dtype)
+        block["mean"] = jnp.asarray(np.zeros((cout,), dt))
+        block["var"] = jnp.asarray(np.ones((cout,), dt))
     return block
 
 
-def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
-    """Random-initialize the full parameter pytree."""
+def init_params(cfg: UNetConfig, key) -> Dict[str, Any]:
+    """Random-initialize the full parameter pytree.
+
+    ``key`` may be a jax PRNGKey or a plain int seed (preferred on
+    tunnel-attached devices — see _rng_from_key); ``PRNGKey(s)`` and
+    ``s`` produce the same parameters.
+    """
     enc_feats = encoder_features(cfg)
     bneck = bottleneck_features(cfg)
-    n_keys = (cfg.num_pool + 2) * (cfg.conv_per_stage + 4)
-    keys = iter(jax.random.split(key, n_keys * 4))
+    rng = _rng_from_key(key)
+    if cfg.axial_attention:
+        if isinstance(key, (int, np.integer)):
+            key = jax.random.PRNGKey(int(key))
+        n_keys = (cfg.num_pool + 2) * (cfg.conv_per_stage + 4)
+        keys = iter(jax.random.split(key, n_keys * 4))
+    else:  # no jax RNG needed — avoid the split dispatch entirely
+        keys = iter(())
 
     encoder = []
     encoder_attn = {}
@@ -204,7 +240,7 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
     for d in range(cfg.num_pool):
         stage = []
         for c in range(cfg.conv_per_stage):
-            stage.append(_init_block(next(keys), cin if c == 0 else enc_feats[d], enc_feats[d], cfg))
+            stage.append(_init_block(rng, cin if c == 0 else enc_feats[d], enc_feats[d], cfg))
         encoder.append(stage)
         if (
             cfg.axial_attention
@@ -223,13 +259,13 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
 
     bottleneck = []
     for c in range(cfg.conv_per_stage):
-        bottleneck.append(_init_block(next(keys), cin if c == 0 else bneck, bneck, cfg))
+        bottleneck.append(_init_block(rng, cin if c == 0 else bneck, bneck, cfg))
         cin = bneck
 
     decoder = []
     for u, ch in enumerate(decoder_channels(cfg)):
         up_w = _he_init(
-            next(keys),
+            rng,
             (ch["from_down"], *cfg.pool_kernel, ch["skip"]),
             cfg.negative_slope,
             cfg.param_dtype,
@@ -240,12 +276,12 @@ def init_params(cfg: UNetConfig, key: jax.Array) -> Dict[str, Any]:
         # its first block (ref :135-143: one unconditional block plus
         # num_convs-1 more), so even conv_per_stage=1 yields TWO decoder
         # convs — this floor-of-2 is faithful, not a bug.
-        blocks = [_init_block(next(keys), 2 * ch["skip"], ch["skip"], cfg)]
+        blocks = [_init_block(rng, 2 * ch["skip"], ch["skip"], cfg)]
         for _ in range(max(cfg.conv_per_stage - 2, 0)):
-            blocks.append(_init_block(next(keys), ch["skip"], ch["skip"], cfg))
-        blocks.append(_init_block(next(keys), ch["skip"], ch["out"], cfg))
+            blocks.append(_init_block(rng, ch["skip"], ch["skip"], cfg))
+        blocks.append(_init_block(rng, ch["skip"], ch["out"], cfg))
         seg_w = _he_init(
-            next(keys), (1, 1, 1, ch["out"], cfg.num_classes), cfg.negative_slope, cfg.param_dtype
+            rng, (1, 1, 1, ch["out"], cfg.num_classes), cfg.negative_slope, cfg.param_dtype
         )
         stage = {"up": {"w": up_w}, "blocks": blocks, "seg": {"w": seg_w}}
         if cfg.axial_attention and cfg.axial_mode == "full":

@@ -511,3 +511,78 @@ def test_step6_identical_under_device_flag(monkeypatch):
     np.testing.assert_allclose(
         dp["normal_brain_volume_cm3"], hp["normal_brain_volume_cm3"]
     )
+
+
+def test_device_volumes_shared_upload_parity():
+    """Every wrapper given a shared DeviceVolumes (one upload per case)
+    returns exactly what the per-call upload path returns — the arrays
+    are identical device values, only the transfer count differs."""
+    from braintpu.features.devstats import (
+        DeviceVolumes,
+        compute_artifact_stats,
+        compute_case_stats,
+        compute_mass_effect_stats,
+        compute_morphology_stats,
+        compute_parenchyma_stats,
+    )
+
+    mods, seg = synth(11)
+    brain = brain_mask_from(mods["t1"])
+    wt = tumor_masks_from_seg(seg)["wt"]
+    dev = DeviceVolumes(mods, seg, brain)
+
+    def flat_eq(a, b, path=""):
+        assert type(a) is type(b), path
+        if isinstance(a, dict):
+            assert a.keys() == b.keys(), path
+            for k in a:
+                flat_eq(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, b, err_msg=path)
+        else:
+            assert a == b, f"{path}: {a} != {b}"
+
+    flat_eq(
+        compute_case_stats(mods, seg, brain, dev=dev),
+        compute_case_stats(mods, seg, brain),
+    )
+    flat_eq(
+        compute_mass_effect_stats(mods["t1"], wt, brain, dev=dev),
+        compute_mass_effect_stats(mods["t1"], wt, brain),
+    )
+    flat_eq(
+        compute_artifact_stats(mods, brain, wt, dev=dev),
+        compute_artifact_stats(mods, brain, wt),
+    )
+    flat_eq(
+        compute_morphology_stats(mods["t1ce"], wt, dev=dev),
+        compute_morphology_stats(mods["t1ce"], wt),
+    )
+    flat_eq(
+        compute_parenchyma_stats(mods["t1"], mods["flair"], brain, wt, dev=dev),
+        compute_parenchyma_stats(mods["t1"], mods["flair"], brain, wt),
+    )
+
+
+def test_feature_context_single_device_volumes(monkeypatch):
+    """The context builds DeviceVolumes once and routes every device
+    kernel through it (no per-kernel re-upload)."""
+    import braintpu.features.devstats as ds
+
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    mods, seg = synth(12)
+    ctx = FeatureContext.from_arrays(mods, seg)
+    builds = []
+    orig = ds.DeviceVolumes.__init__
+
+    def counting(self, *a, **kw):
+        builds.append(1)
+        orig(self, *a, **kw)
+
+    monkeypatch.setattr(ds.DeviceVolumes, "__init__", counting)
+    ctx.region_stats("wt", "t1")
+    ctx.mass_effect_stats()
+    ctx.artifact_stats()
+    ctx.morphology_stats()
+    ctx.parenchyma_stats()
+    assert sum(builds) == 1
