@@ -117,8 +117,10 @@ class FeatureContext:
     _device_stats: Optional[Dict[str, Dict[str, Dict]]] = None
     #: one-upload-per-case device residency (devstats.DeviceVolumes),
     #: shared by every device feature kernel; built lazily on the
-    #: BRAINTPU_DEVICE_FEATURES=1 path only
+    #: BRAINTPU_DEVICE_FEATURES device path only
     _device_volumes: Optional[Any] = None
+    #: in-flight background upload thread (start_device_upload)
+    _device_upload: Optional[Any] = None
     _mass_stats: Optional[Dict[str, Any]] = None
     _artifact_stats: Optional[Dict[str, Any]] = None
     _morph_stats: Optional[Dict[str, Any]] = None
@@ -215,7 +217,11 @@ class FeatureContext:
         """Device-resident modality stack + seg + brain mask, uploaded ONCE
         per case and shared by every device feature kernel
         (devstats.DeviceVolumes — round 3's device path lost partly to
-        re-uploading the same volumes per kernel)."""
+        re-uploading the same volumes per kernel).  Joins a pending
+        background upload (start_device_upload) if one is in flight."""
+        if self._device_upload is not None:
+            self._device_upload.join()
+            self._device_upload = None
         if self._device_volumes is None:
             from .devstats import DeviceVolumes
 
@@ -223,6 +229,37 @@ class FeatureContext:
                 self.modalities, self.seg, self.brain_mask("t1")
             )
         return self._device_volumes
+
+    def start_device_upload(self) -> None:
+        """Kick off the DeviceVolumes transfer on a background thread.
+
+        The feature runner calls this before step 1 when any device
+        kernel group is active: steps 1–4 are host-bound (~1.7 s at full
+        scale), which hides most of the ~2 s half-width link time so the
+        device steps 5–6 find the volumes already resident instead of
+        paying the upload synchronously (measured: a cold upload inside
+        step 5 costs more than the host math the kernels replace)."""
+        from .devstats import DeviceVolumes, device_features_enabled
+
+        if (
+            self._device_volumes is not None
+            or self._device_upload is not None
+            or not device_features_enabled()
+        ):
+            return
+        import threading
+
+        # derived host inputs compute on the calling thread (cached — the
+        # steps need them anyway), so the worker only stacks + transfers
+        brain = self.brain_mask("t1")
+
+        def build() -> None:
+            self._device_volumes = DeviceVolumes(
+                self.modalities, self.seg, brain
+            ).block_until_uploaded()
+
+        self._device_upload = threading.Thread(target=build, daemon=True)
+        self._device_upload.start()
 
     def _dev_stats(self) -> Dict[str, Dict[str, Dict]]:
         """All region × modality stats (plus the normal reference and the
@@ -298,20 +335,24 @@ class FeatureContext:
         ``BRAINTPU_DEVICE_FEATURES=1`` all regions' stats come from a
         single batched device reduction instead of per-mask host passes.
         """
-        if self._use_device_stats():
+        if self._use_device_stats("stats"):
             return self._dev_stats()[region][modality]
         return intensity_stats(self.modalities[modality], self.tumor_masks[region])
 
     @staticmethod
-    def _use_device_stats() -> bool:
+    def _use_device_stats(group: str = None) -> bool:
+        """Whether the device kernel group is active (devstats routing:
+        'stats' shared-sort quantiles, 'mass', 'morph', 'artifacts',
+        'parenchyma' — groups win/lose individually at full scale, so
+        BRAINTPU_DEVICE_FEATURES routes them independently)."""
         from .devstats import device_features_enabled
 
-        return device_features_enabled()
+        return device_features_enabled(group)
 
     def normal_stats(self, modality: str) -> Dict:
         """Normal-brain (non-tumor, >5th-pct) intensity reference per sequence."""
         if modality not in self._normal_stats:
-            if self._use_device_stats():
+            if self._use_device_stats("stats"):
                 self._normal_stats[modality] = self._dev_stats()["normal"][modality]
             else:
                 data = self.modalities[modality]

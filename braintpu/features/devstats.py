@@ -33,11 +33,12 @@ exclude them).
 
 TPU shape notes: everything is a flat (V,) pass — segment sums, one radix
 sort, cumsums and a handful of gathers; total device work for a 240³ case
-is a few tens of ms vs ~1 s of host numpy.  This path is **opt-in**
-(``BRAINTPU_DEVICE_FEATURES=1``): in dev environments where the device
-sits behind a dispatch tunnel, shipping the raw volumes across the wire
-costs more than the host math it replaces, so the numpy path stays the
-default until measured on directly-attached hardware.  The flag is read
+is a few tens of ms vs ~1 s of host numpy.  Routing is **per kernel
+group** (``BRAINTPU_DEVICE_FEATURES`` — see :func:`device_feature_groups`):
+round-4 full-scale TPU measurements showed the shared-sort quantile pass
+losing to host numpy while the artifact and parenchyma kernels win ~3×,
+so the default ``auto`` routes only the measured winners to an attached
+accelerator and keeps everything on host otherwise.  The flag is read
 per call (the wrappers here are host-level), but set it before the
 process starts — callers inside already-compiled jit programs will not
 observe a flip.
@@ -55,6 +56,7 @@ import numpy as np
 
 __all__ = [
     "device_features_enabled",
+    "device_feature_groups",
     "DeviceVolumes",
     "compute_case_stats",
     "compute_quality_stats",
@@ -80,8 +82,59 @@ _NEG_BUCKET = 6
 _SINGLE_LABELS = (1, 2)  # labels consumed as single-label regions
 
 
-def device_features_enabled() -> bool:
-    return os.environ.get("BRAINTPU_DEVICE_FEATURES", "0") == "1"
+#: kernel groups routable to the device independently.  Round-4 full-scale
+#: measurements (tools/feature_prof.py, 240×240×155, v5e behind the axon
+#: tunnel) showed the groups win or lose individually: the shared-sort
+#: quantile pass ('stats') loses hard to host numpy (5.36 s vs 0.72 s —
+#: an 8.9M-element radix sort ×4 modalities), while the artifact and
+#: parenchyma kernels beat their host twins (steady min-of-2: step5
+#: 1.21→1.03 s, step6 1.40→0.49 s).  BRAINTPU_DEVICE_FEATURES therefore
+#: accepts a group list, not just on/off.
+GROUPS = ("stats", "mass", "morph", "artifacts", "parenchyma")
+
+#: groups with a measured full-scale win on real TPU hardware — the set
+#: 'auto' resolves to when an accelerator backend is present.  Honest
+#: caveat from the round-4 end-to-end check (tools/feature_prof.py,
+#: steady min-of-2): on the 1-core dev box the per-step wins (step5
+#: 1.21→1.03 s, step6 1.40→0.49 s) are offset by the background upload
+#: thread stealing the only core from host-bound steps 1–2
+#: (0.64→1.41 s, 0.37→0.66 s) — net 4.18→4.16 s, a wash, not a
+#: regression.  On any ≥2-core host the upload thread is free and the
+#: ~1.1 s/case step-5/6 win is net.
+MEASURED_WIN_GROUPS = frozenset({"artifacts", "parenchyma"})
+
+
+def _accelerator_present() -> bool:
+    """True when jax's default backend is a real accelerator (not CPU)."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # no backend at all → host path
+        return False
+
+
+def device_feature_groups() -> frozenset:
+    """Resolve ``BRAINTPU_DEVICE_FEATURES`` to the set of device groups.
+
+    Values: ``0``/``off`` → none; ``1``/``all`` → every group; ``auto``
+    (the default) → the measured-win set when an accelerator is attached,
+    none on CPU-only hosts; or an explicit comma list of group names
+    (unknown names are ignored).  Read per call — set it before the
+    process starts.
+    """
+    val = os.environ.get("BRAINTPU_DEVICE_FEATURES", "auto").strip().lower()
+    if val in ("0", "off", "none", ""):
+        return frozenset()
+    if val in ("1", "all", "on"):
+        return frozenset(GROUPS)
+    if val == "auto":
+        return MEASURED_WIN_GROUPS if _accelerator_present() else frozenset()
+    return frozenset(g.strip() for g in val.split(",")) & frozenset(GROUPS)
+
+
+def device_features_enabled(group: Optional[str] = None) -> bool:
+    """Whether device feature kernels are active (for ``group``, or any)."""
+    groups = device_feature_groups()
+    return (group in groups) if group is not None else bool(groups)
 
 
 class DeviceVolumes:
@@ -101,6 +154,13 @@ class DeviceVolumes:
     (infer/engine.py::predict_case_array), while the quality/artifact
     features need raw intensities on the FULL grid (background shells,
     per-z zero counts, volume-edge maxima — ref step5_quality.py:261-454).
+
+    Transfers travel half-width when exact (the same trick as
+    pre/preprocess.py: BraTS voxels are integer-valued int16, int16→f32
+    is exact, and the axon tunnel moves ~36 MB/s — a 240³×4 f32 stack is
+    ~4 s of link time, int16 is ~2 s), and widen to f32 on device at
+    first kernel use.  The segmentation rides as the narrowest integer
+    dtype that holds its values (int8 for BraTS labels).
     """
 
     def __init__(
@@ -110,19 +170,57 @@ class DeviceVolumes:
         brain_mask: Optional[np.ndarray] = None,
     ):
         self.mods = list(modalities)
-        self.data = jnp.asarray(
-            np.stack([np.asarray(modalities[m], np.float32) for m in self.mods])
+        stack = np.stack([np.asarray(modalities[m], np.float32) for m in self.mods])
+        with np.errstate(invalid="ignore"):  # NaN/overflow just fail the check
+            as_i16 = stack.astype(np.int16)
+        self._raw = jnp.asarray(
+            as_i16 if np.array_equal(as_i16.astype(np.float32), stack) else stack
         )
-        self.seg = (
-            jnp.asarray(np.round(np.asarray(seg)).astype(np.int32))
-            if seg is not None
-            else None
-        )
+        self._data: Optional[jnp.ndarray] = None
+        if seg is not None:
+            seg_i = np.round(np.asarray(seg)).astype(np.int32)
+            for narrow in (np.int8, np.int16):
+                cand = seg_i.astype(narrow)
+                if np.array_equal(cand.astype(np.int32), seg_i):
+                    seg_i = cand
+                    break
+            self._seg_raw = jnp.asarray(seg_i)
+        else:
+            self._seg_raw = None
+        self._seg: Optional[jnp.ndarray] = None
         self.brain = (
             jnp.asarray(np.asarray(brain_mask).astype(bool))
             if brain_mask is not None
             else None
         )
+
+    @property
+    def data(self) -> jnp.ndarray:
+        """(M, X, Y, Z) float32 modality stack, widened on device once."""
+        if self._data is None:
+            self._data = (
+                self._raw
+                if self._raw.dtype == jnp.float32
+                else self._raw.astype(jnp.float32)
+            )
+        return self._data
+
+    @property
+    def seg(self) -> Optional[jnp.ndarray]:
+        """int32 segmentation labels, widened on device once."""
+        if self._seg is None and self._seg_raw is not None:
+            self._seg = (
+                self._seg_raw
+                if self._seg_raw.dtype == jnp.int32
+                else self._seg_raw.astype(jnp.int32)
+            )
+        return self._seg
+
+    def block_until_uploaded(self) -> "DeviceVolumes":
+        """Wait for the host→device transfers (background-upload support)."""
+        pending = [x for x in (self._raw, self._seg_raw, self.brain) if x is not None]
+        jax.block_until_ready(pending)
+        return self
 
     def modality(self, name: str) -> jnp.ndarray:
         return self.data[self.mods.index(name)]

@@ -75,7 +75,7 @@ def calculate_midline_shift(ctx: FeatureContext) -> Dict:
             "clinical_significance": "No tumor present to cause mass effect",
             "is_significant": False,
         }
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("mass"):
         # one fused device pass (features/devstats.py) supplies the exact
         # integer slab counts; the float64 COM math below is unchanged
         ms = ctx.mass_effect_stats()
@@ -159,7 +159,7 @@ def analyze_ventricular_compression(ctx: FeatureContext) -> Dict:
             "details": "Could not analyze - no brain tissue detected",
         }
     vox_cm3 = ctx.voxel_volume_mm3 / 1000.0
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("mass"):
         # threshold + hemispheric CSF counts from the fused device pass;
         # the (rare, EDT-only) host csf mask below reuses the same f32
         # threshold so counts and mask agree
@@ -244,7 +244,7 @@ def analyze_sulcal_effacement(ctx: FeatureContext) -> Dict:
             "severity": "No tumor detected",
             "details": "No tumor detected",
         }
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("mass"):
         # the 10× cross dilation runs on device as iterated per-axis
         # 3-max-windows (exactly scipy's 6-connected binary_dilation)
         ms = ctx.mass_effect_stats()

@@ -78,7 +78,7 @@ def analyze_border_regularity(
 ) -> Dict:
     if mask.sum() == 0:
         return {"regularity_score": 0, "classification": "No tumor", "description": "No tumor detected"}
-    if ctx is not None and ctx._use_device_stats():
+    if ctx is not None and ctx._use_device_stats("morph"):
         # signed-EDT gradient stats from the fused device pass (exact
         # separable squared-EDT + np.gradient semantics, devstats.py)
         ms = ctx.morphology_stats()
@@ -138,7 +138,7 @@ def analyze_margin_definition(ctx: FeatureContext) -> Dict:
     wt = ctx.tumor_masks["wt"]
     if wt.sum() == 0:
         return {"margin_sharpness": 0, "classification": "No tumor", "description": "No tumor detected"}
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("morph"):
         ms = ctx.morphology_stats()
         peri_n = ms["peri_count"]
         tumor_mean, peri_mean = ms["wt_t1ce_mean"], ms["peri_t1ce_mean"]
@@ -351,7 +351,7 @@ def calculate_shape_descriptors(ctx: FeatureContext) -> Dict:
             "elongation_classification": "No tumor",
         }
     volume_mm3 = float(wt.sum() * ctx.voxel_volume_mm3)
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("morph"):
         # erosion-surface count shared with the border kernel
         avg_face = (
             ctx.zooms[0] * ctx.zooms[1]

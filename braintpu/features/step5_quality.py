@@ -132,7 +132,7 @@ def assess_segmentation_quality(ctx: FeatureContext) -> Dict:
 def assess_image_quality(ctx: FeatureContext) -> Dict:
     brain = ctx.brain_mask("t1")
     dev = None
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("stats"):
         # the case's single fused device pass replaces the ~16 masked
         # host reductions below (shared with step 1's region stats)
         dev = ctx._dev_stats()["quality"]
@@ -230,7 +230,7 @@ def detect_artifacts(ctx: FeatureContext) -> Dict:
     # every reduction below has a fused device twin
     # (features/devstats.py::_artifact_kernel); the decision logic is
     # shared — only the stat source switches
-    arts = ctx.artifact_stats() if ctx._use_device_stats() else None
+    arts = ctx.artifact_stats() if ctx._use_device_stats("artifacts") else None
 
     if arts is not None:
         inner_n, outer_n = arts["inner_count"], arts["outer_count"]

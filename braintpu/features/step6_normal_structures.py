@@ -173,7 +173,7 @@ def analyze_parenchyma(ctx: FeatureContext) -> Dict:
         }
     v = ctx.voxel_volume_cm3
 
-    if ctx._use_device_stats():
+    if ctx._use_device_stats("parenchyma"):
         # depth field + band stats from the fused device pass (EDT is the
         # dominant host cost of step 6); ventricle CC stays host below
         ps = ctx.parenchyma_stats()

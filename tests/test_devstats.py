@@ -586,3 +586,91 @@ def test_feature_context_single_device_volumes(monkeypatch):
     ctx.morphology_stats()
     ctx.parenchyma_stats()
     assert sum(builds) == 1
+
+
+def test_device_feature_groups_parsing(monkeypatch):
+    """BRAINTPU_DEVICE_FEATURES resolves per-group: off/all/explicit list;
+    'auto' is off on CPU-only hosts (tests pin JAX_PLATFORMS=cpu)."""
+    import braintpu.features.devstats as ds
+
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "0")
+    assert ds.device_feature_groups() == frozenset()
+    assert not ds.device_features_enabled()
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "1")
+    assert ds.device_feature_groups() == frozenset(ds.GROUPS)
+    assert ds.device_features_enabled("stats")
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "artifacts, parenchyma")
+    assert ds.device_feature_groups() == {"artifacts", "parenchyma"}
+    assert ds.device_features_enabled("artifacts")
+    assert not ds.device_features_enabled("stats")
+    assert ds.device_features_enabled()  # any group active
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "artifacts,bogus")
+    assert ds.device_feature_groups() == {"artifacts"}
+    monkeypatch.delenv("BRAINTPU_DEVICE_FEATURES", raising=False)
+    # default 'auto': no accelerator in the test env -> host path
+    assert ds.device_feature_groups() == frozenset()
+
+
+def test_hybrid_group_routing(monkeypatch):
+    """With only 'artifacts' routed to the device, the context keeps the
+    shared-sort stats on host while step5's artifact detector goes through
+    the device kernel."""
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "artifacts")
+    mods, seg = synth(13)
+    ctx = FeatureContext.from_arrays(mods, seg)
+    assert not ctx._use_device_stats("stats")
+    assert ctx._use_device_stats("artifacts")
+    from braintpu.features import step5_quality
+
+    out = step5_quality.analyze_quality(ctx)
+    # same schema/decisions as the host run
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "0")
+    ctx2 = FeatureContext.from_arrays(mods, seg)
+    ref = step5_quality.analyze_quality(ctx2)
+    assert out["artifact_detection"]["artifacts_detected"] == \
+        ref["artifact_detection"]["artifacts_detected"]
+
+
+def test_device_volumes_halfwidth_and_background_upload(monkeypatch):
+    """Half-width (int16) upload is exact for integer-valued volumes, the
+    narrow seg dtype widens back losslessly, and the background-upload
+    thread hands the SAME DeviceVolumes to device_volumes()."""
+    import jax.numpy as jnp
+
+    from braintpu.features.devstats import DeviceVolumes
+
+    mods, seg = synth(14)
+    int_mods = {k: np.round(np.abs(v) * 10).astype(np.float32) for k, v in mods.items()}
+    brain = brain_mask_from(int_mods["t1"])
+    dv = DeviceVolumes(int_mods, seg, brain)
+    assert dv._raw.dtype == jnp.int16  # integral values ride half-width
+    assert dv._seg_raw.dtype == jnp.int8  # BraTS labels fit int8
+    assert dv.data.dtype == jnp.float32 and dv.seg.dtype == jnp.int32
+    np.testing.assert_array_equal(
+        np.asarray(dv.modality("t1")), int_mods["t1"]
+    )
+    np.testing.assert_array_equal(np.asarray(dv.seg), np.round(seg).astype(np.int32))
+
+    # non-integral values must stay f32 (the round-trip check fails)
+    frac = dict(int_mods)
+    frac["t1"] = int_mods["t1"] + 0.5
+    dv2 = DeviceVolumes(frac, seg, brain)
+    assert dv2._raw.dtype == jnp.float32
+
+    # background upload: start_device_upload builds once, join hands it over
+    monkeypatch.setenv("BRAINTPU_DEVICE_FEATURES", "artifacts")
+    ctx = FeatureContext.from_arrays(int_mods, seg)
+    ctx.start_device_upload()
+    assert ctx._device_upload is not None
+    first = ctx.device_volumes()
+    assert ctx._device_upload is None
+    assert ctx.device_volumes() is first
+
+    # and the kernels accept the background-built volumes
+    from braintpu.features.devstats import compute_artifact_stats
+
+    wt = tumor_masks_from_seg(seg)["wt"]
+    a = compute_artifact_stats(int_mods, brain, wt, dev=first)
+    b = compute_artifact_stats(int_mods, brain, wt)
+    assert a["inner_count"] == b["inner_count"]
+    np.testing.assert_allclose(a["inner_mean"], b["inner_mean"], rtol=1e-6)

@@ -1,0 +1,95 @@
+"""Cold-start measurement: fresh-process `cli pipeline` latency with a warm
+persistent XLA compile cache (VERDICT r3 item 6).
+
+The user-facing number this records is "first job after a restart": a NEW
+python process (no in-memory jit cache) running the full pipeline on a
+full-scale case, with ~/.cache/braintpu/xla already populated by earlier
+runs.  Round 3 measured 79.4 s truly cold (empty cache) vs 28.5 s warm
+in-process; this tool shows where a restarted server/CLI actually lands.
+
+Runs the pipeline N times, each in a fresh subprocess, and reports the
+total + per-stage spans (parsed from events.jsonl) per run.
+
+Usage:  python tools/coldstart.py [--runs 2] [--shape 240,240,155]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def stage_spans(events_path: Path) -> dict:
+    """stage → seconds from paired start/ok events (latest pair wins)."""
+    spans, starts = {}, {}
+    for ln in events_path.read_text().splitlines():
+        e = json.loads(ln)
+        if e["status"] == "start" and "step" not in e.get("detail", {}):
+            starts[e["stage"]] = e["t"]
+        elif e["status"] in ("ok", "skip") and e["stage"] in starts:
+            spans[e["stage"]] = round(e["t"] - starts.pop(e["stage"]), 2)
+    return spans
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--shape", default="240,240,155")
+    ap.add_argument("--keep-output", action="store_true")
+    ap.add_argument("--out", type=Path, default=REPO / "tools" / "coldstart_results.jsonl")
+    args = ap.parse_args()
+    shape = tuple(int(s) for s in args.shape.split(","))
+
+    from braintpu.train.synthetic import write_synth_case
+
+    case_root = Path("/tmp/braintpu_coldstart")
+    case_dir = case_root / "BraTS-CS-00000-000"
+    if not case_dir.exists():
+        write_synth_case(case_root, "BraTS-CS-00000-000", seed=7, shape=shape)
+    out_root = Path("/tmp/braintpu_coldstart_out")
+
+    cache = Path.home() / ".cache" / "braintpu" / "xla"
+    n_cache = len(list(cache.glob("*"))) if cache.exists() else 0
+
+    records = []
+    for run in range(args.runs):
+        if out_root.exists():
+            shutil.rmtree(out_root)
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "-m", "braintpu.cli", "pipeline", str(case_dir),
+             "--output", str(out_root), "--random-weights", "--mode", "fullconv"],
+            cwd=REPO, capture_output=True, text=True, timeout=1800,
+        )
+        wall = time.time() - t0
+        rec = {"run": run, "wall_s": round(wall, 1), "rc": p.returncode,
+               "cache_entries_before": n_cache}
+        ev = out_root / "BraTS-CS-00000-000" / "events.jsonl"
+        if ev.exists():
+            rec["stage_spans"] = stage_spans(ev)
+        if p.returncode != 0:
+            rec["stderr_tail"] = p.stderr[-500:]
+        print(json.dumps(rec), flush=True)
+        records.append(rec)
+        n_cache = len(list(cache.glob("*"))) if cache.exists() else 0
+
+    with open(args.out, "a") as f:
+        for rec in records:
+            rec["ts"] = time.time()
+            f.write(json.dumps(rec) + "\n")
+    if not args.keep_output:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return 0 if all(r["rc"] == 0 for r in records) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

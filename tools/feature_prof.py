@@ -27,17 +27,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="240,240,155")
     ap.add_argument(
-        "--device", action="store_true",
-        help="run with BRAINTPU_DEVICE_FEATURES=1 (devstats kernels via the "
-        "shared one-upload-per-case DeviceVolumes); runs a warm pass first "
-        "so steady numbers exclude jit compiles",
+        "--device", nargs="?", const="1", default=None,
+        help="run with BRAINTPU_DEVICE_FEATURES=<value> (default '1' = all "
+        "groups; pass e.g. 'artifacts,parenchyma' for the hybrid routing); "
+        "runs a warm pass first so steady numbers exclude jit compiles",
     )
     ap.add_argument("--repeat", type=int, default=1,
                     help="steady-state passes (fresh context each, min taken)")
     args = ap.parse_args()
     shape = tuple(int(s) for s in args.shape.split(","))
     if args.device:
-        os.environ["BRAINTPU_DEVICE_FEATURES"] = "1"
+        os.environ["BRAINTPU_DEVICE_FEATURES"] = args.device
+    else:
+        os.environ["BRAINTPU_DEVICE_FEATURES"] = "0"  # pin: 'auto' default
 
     from bench import synthetic_case
 
@@ -89,6 +91,9 @@ def main() -> int:
 
     def one_pass(c):
         res = {}
+        t0 = time.perf_counter()
+        c.start_device_upload()  # overlap transfer with host steps (no-op on host path)
+        res["upload_kickoff_s"] = round(time.perf_counter() - t0, 3)
         for name, fn in mapping:
             t0 = time.perf_counter()
             try:
@@ -102,7 +107,7 @@ def main() -> int:
         return res
 
     out = {"context_s": round(t_ctx, 3),
-           "path": "device" if args.device else "host"}
+           "path": f"device:{args.device}" if args.device else "host"}
     if args.device:
         warm = one_pass(ctx)  # first pass pays devstats jit compiles
         out["warm_total_s"] = warm["total_s"]
