@@ -695,7 +695,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--batch-cases", type=int, default=0,
         help="batch N cases through whole-volume inference together "
-        "(multi-case throughput; fullconv mode only)",
+        "(fullconv mode only). NOT recommended on a single chip — the "
+        "batched device program measured 0.58x per-case scaling at the "
+        "HBM ceiling (PERF.md round-4 post-mortem); intended for "
+        "case-wise sharding over a mesh via --dp-devices",
     )
     p.add_argument(
         "--dp-devices", type=int, default=0,

@@ -40,6 +40,37 @@ from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
 __all__ = ["ModelBundle", "InferenceEngine", "calculate_volumes", "uncrop_labels"]
 
 
+def _cast_matmul_weights(stacked, cfg: UNetConfig):
+    """Store conv/upconv/seg kernels at the compute dtype for inference.
+
+    Every ``"w"`` kernel in the conv U-Net forward is cast with
+    ``.astype(cfg.compute_dtype)`` at its point of use (models/unet3d.py:
+    _conv3d_xla, upconv, seg head), so pre-casting the stored copy from
+    f32 to bf16 is bit-identical — the cast merely moves from device to
+    host — while halving weight HBM residency (dual 5-fold production
+    ensemble: ~3.1 GB → ~1.6 GB) and halving the one-time parameter
+    upload (the dominant cost of a fresh-process engine start on
+    tunnel-attached devices: measured 119.7 s segmenting span, round 4).
+
+    Normalization stats / scale / shift / bias leaves stay f32 (they are
+    consumed in f32), and axial variants are excluded — their attention
+    path casts weights to the *activation* dtype, which is f32 in spots.
+    Only applied when the configured compute dtype is bf16 (a user
+    override to f32 compute keeps full-precision weights).
+    """
+    if cfg.axial_attention or cfg.compute_dtype != jnp.bfloat16:
+        return stacked
+
+    def cast(path, leaf):
+        last = path[-1]
+        key = getattr(last, "key", None)
+        if key == "w" and getattr(leaf, "ndim", 0) >= 5:
+            return leaf.astype(jnp.bfloat16)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, stacked)
+
+
 @dataclass
 class ModelBundle:
     """One architecture + its stacked fold weights, inference-ready."""
@@ -85,6 +116,7 @@ class ModelBundle:
                 fold_params = [fold_batchnorm(p, cfg) for p in fold_params]
                 folded = True
             stacked = stack_folds(fold_params)
+        stacked = _cast_matmul_weights(stacked, cfg)
         if host:
             # one explicit residency transfer: numpy leaves left in the
             # bundle would re-upload all fold weights on EVERY jit call

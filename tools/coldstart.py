@@ -46,16 +46,48 @@ def main() -> int:
     ap.add_argument("--shape", default="240,240,155")
     ap.add_argument("--keep-output", action="store_true")
     ap.add_argument("--out", type=Path, default=REPO / "tools" / "coldstart_results.jsonl")
+    ap.add_argument("--case-dir", type=Path, default=None,
+                    help="existing case folder to run (default: synthesize one; "
+                    "pointing at a case whose crop bucket is already in the "
+                    "compile cache isolates process start-up from XLA compile)")
+    ap.add_argument("--checkpoints", default=None,
+                    help="checkpoint root for trained weights (members without "
+                    "an npz fall back to random init); without this the run is "
+                    "--random-weights, whose whole-brain tumor makes feature "
+                    "extraction a pathological worst case")
+    ap.add_argument("--replicate-folds", type=int, default=0,
+                    help="symlink each model's fold_0.npz to folds 1..N-1")
     args = ap.parse_args()
     shape = tuple(int(s) for s in args.shape.split(","))
 
     from braintpu.train.synthetic import write_synth_case
 
-    case_root = Path("/tmp/braintpu_coldstart")
-    case_dir = case_root / "BraTS-CS-00000-000"
-    if not case_dir.exists():
-        write_synth_case(case_root, "BraTS-CS-00000-000", seed=7, shape=shape)
+    if args.case_dir is not None:
+        case_dir = args.case_dir
+        assert case_dir.exists(), case_dir
+    else:
+        case_root = Path("/tmp/braintpu_coldstart")
+        case_dir = case_root / "BraTS-CS-00000-000"
+        if not case_dir.exists():
+            write_synth_case(case_root, "BraTS-CS-00000-000", seed=7, shape=shape)
     out_root = Path("/tmp/braintpu_coldstart_out")
+
+    ckpt_args = ["--random-weights"]
+    if args.checkpoints:
+        ckpt_root = Path(args.checkpoints).resolve()
+        if args.replicate_folds:
+            rep = Path("/tmp/braintpu_coldstart_ckpt")
+            for model_dir in sorted(p for p in ckpt_root.iterdir() if p.is_dir()):
+                dst = rep / model_dir.name
+                dst.mkdir(parents=True, exist_ok=True)
+                for f in range(args.replicate_folds):
+                    link = dst / f"fold_{f}.npz"
+                    if not link.exists():
+                        link.symlink_to(model_dir / "fold_0.npz")
+            ckpt_root = rep
+        # --random-weights stays: members without an npz fall back to
+        # random init (see cli.load_engine) instead of erroring
+        ckpt_args += ["--checkpoints", str(ckpt_root)]
 
     cache = Path.home() / ".cache" / "braintpu" / "xla"
     n_cache = len(list(cache.glob("*"))) if cache.exists() else 0
@@ -67,25 +99,28 @@ def main() -> int:
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "-m", "braintpu.cli", "pipeline", str(case_dir),
-             "--output", str(out_root), "--random-weights", "--mode", "fullconv"],
+             "--output", str(out_root), "--mode", "fullconv", *ckpt_args],
             cwd=REPO, capture_output=True, text=True, timeout=1800,
         )
         wall = time.time() - t0
         rec = {"run": run, "wall_s": round(wall, 1), "rc": p.returncode,
-               "cache_entries_before": n_cache}
-        ev = out_root / "BraTS-CS-00000-000" / "events.jsonl"
+               "cache_entries_before": n_cache,
+               "weights": str(args.checkpoints) if args.checkpoints else "random",
+               "case": case_dir.name}
+        ev = out_root / case_dir.name / "events.jsonl"
         if ev.exists():
             rec["stage_spans"] = stage_spans(ev)
         if p.returncode != 0:
             rec["stderr_tail"] = p.stderr[-500:]
         print(json.dumps(rec), flush=True)
+        # append immediately — a later run wedging on a degraded tunnel
+        # (observed: >17 min blocked in device dispatch) must not lose
+        # the completed runs when the outer timeout fires
+        rec["ts"] = time.time()
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
         records.append(rec)
         n_cache = len(list(cache.glob("*"))) if cache.exists() else 0
-
-    with open(args.out, "a") as f:
-        for rec in records:
-            rec["ts"] = time.time()
-            f.write(json.dumps(rec) + "\n")
     if not args.keep_output:
         shutil.rmtree(out_root, ignore_errors=True)
     return 0 if all(r["rc"] == 0 for r in records) else 1

@@ -82,11 +82,20 @@ def main() -> int:
                     link.symlink_to(fold0)
         ckpt_root = str(rep)
 
+    # random_weights=True together with --checkpoints: models with an npz on
+    # disk load it, models without fall back to random init (perf is
+    # weight-independent; the softmax ensemble output stays realistic as long
+    # as one member is trained — its saturated probabilities dominate the
+    # argmax).  The record below says exactly which members were trained.
     eng_args = SimpleNamespace(
         models=args.models, folds=args.folds, no_tta=False, ensemble="softmax",
-        no_et_postprocess=False, random_weights=ckpt_root is None,
+        no_et_postprocess=False, random_weights=True,
         checkpoints=ckpt_root,
         mode="fullconv", dp_devices=0, spatial_shard=False,
+    )
+    trained_members = (
+        sorted(p.parent.name for p in Path(ckpt_root).glob("*/fold_0.npz"))
+        if ckpt_root else []
     )
     engine = load_engine(eng_args)
     warmup_s = engine.warmup()
@@ -135,6 +144,7 @@ def main() -> int:
         "models": args.models or "model1,model2",
         "folds": args.folds,
         "weights": "random" if ckpt_root is None else str(args.checkpoints),
+        "trained_members": trained_members,
         "warmup_s": round(warmup_s, 1),
         "warm_pass_s": round(warm_pass_s, 1),
         "sequential": run("sequential", Path("/tmp/braintpu_pmeas_seq")),

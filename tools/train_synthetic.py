@@ -39,6 +39,10 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--model", default="model1", choices=("model1", "model2"),
+                    help="model1 = flagship MODEL1_BN; model2 = MODEL2_GN_LARGE "
+                    "(so the full dual-model production ensemble can run on "
+                    "trained weights)")
     ap.add_argument("--out", type=Path, default=REPO / "results" / "trained_synth")
     ap.add_argument("--data-dir", type=Path, default=Path("/tmp/braintpu_synth"))
     ap.add_argument("--train-cases", type=int, default=12)
@@ -57,7 +61,7 @@ def main() -> int:
     from braintpu.infer import InferenceEngine, ModelBundle
     from braintpu.io.brats import find_cases
     from braintpu.metrics import evaluate_segmentation
-    from braintpu.models import MODEL1_BN, init_params
+    from braintpu.models import MODEL1_BN, MODEL2_GN_LARGE, init_params
     from braintpu.train import TrainConfig, create_train_state
     from braintpu.train.data import PatchSampler
     from braintpu.train.synthetic import write_synth_dataset
@@ -66,9 +70,12 @@ def main() -> int:
 
     shape = tuple(int(s) for s in args.shape.split(","))
     patch = (args.patch,) * 3
-    # flagship topology (6 stages, 32→320 features, conv_per_stage 2, BN —
-    # the plans constants, SURVEY.md §2.3) at a reduced training patch
-    cfg = dataclasses.replace(MODEL1_BN, patch_size=patch)
+    # production topologies (6 stages, conv_per_stage 2 — the plans
+    # constants, SURVEY.md §2.3) at a reduced training patch:
+    # model1 = flagship 32→320-feature BN net, model2 = GN double-width
+    base_cfg = MODEL1_BN if args.model == "model1" else MODEL2_GN_LARGE
+    cfg = dataclasses.replace(base_cfg, patch_size=patch)
+    cfg_name = "MODEL1_BN" if args.model == "model1" else "MODEL2_GN_LARGE"
 
     t0 = time.time()
     train_dir = args.data_dir / "train"
@@ -82,15 +89,16 @@ def main() -> int:
     assert len(train_cases) == args.train_cases and len(val_cases) == args.val_cases
     print(f"# dataset ready in {time.time()-t0:.1f}s", flush=True)
 
-    ckpt_npz = args.out / "checkpoints" / "model1" / "fold_0.npz"
-    metrics_log = args.out / "train_log.jsonl"
+    suffix = "" if args.model == "model1" else f"_{args.model}"
+    ckpt_npz = args.out / "checkpoints" / args.model / "fold_0.npz"
+    metrics_log = args.out / f"train_log{suffix}.jsonl"
     args.out.mkdir(parents=True, exist_ok=True)
 
     if not args.eval_only:
         tc = TrainConfig(base_lr=args.base_lr, max_steps=args.steps)
         params0 = init_params(cfg, jax.random.PRNGKey(0))
         n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params0))
-        print(f"# flagship MODEL1_BN: {n_params/1e6:.1f}M params, patch {patch}", flush=True)
+        print(f"# {cfg_name}: {n_params/1e6:.1f}M params, patch {patch}", flush=True)
         state = create_train_state(params0, tc)
         sampler = PatchSampler(
             train_cases, patch_size=patch, batch_size=args.batch,
@@ -114,7 +122,7 @@ def main() -> int:
 
         state = fit(
             state, iter(sampler), cfg, tc, num_steps=args.steps,
-            checkpoint_dir=args.data_dir / "ckpt", checkpoint_every=500,
+            checkpoint_dir=args.data_dir / f"ckpt{suffix}", checkpoint_every=500,
             rng=jax.random.PRNGKey(1), on_metrics=on_metrics,
         )
         log_fh.close()
@@ -129,7 +137,7 @@ def main() -> int:
 
     # ---- evaluation: held-out cases, both modes, cross-mode delta --------
     params = load_pytree_npz(ckpt_npz)
-    bundle = ModelBundle.from_folds(cfg, [params], name="model1")
+    bundle = ModelBundle.from_folds(cfg, [params], name=args.model)
     engines = {
         mode: InferenceEngine(
             models=[bundle], tta=True, ensemble="softmax", et_min_voxels=200,
@@ -175,7 +183,7 @@ def main() -> int:
                     f"shape {list(shape)}",
             "weights": "trained in this repository by tools/train_synthetic.py "
                        "(NOT the reference's KAIST checkpoints — those are not "
-                       "distributable here); flagship MODEL1_BN topology, "
+                       f"distributable here); {cfg_name} topology, "
                        f"patch {list(patch)}, {args.steps} steps, batch {args.batch}, "
                        f"SGD+Nesterov poly LR {args.base_lr}",
             "date": datetime.now(timezone.utc).isoformat(timespec="seconds"),
@@ -188,7 +196,7 @@ def main() -> int:
     }
     import jax
     result["provenance"]["device"] = str(jax.devices()[0])
-    with open(args.out / "evaluation.json", "w") as f:
+    with open(args.out / f"evaluation{suffix}.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"held_out_mean_dice": result["held_out_mean_dice"],
                       "cross_mode_et_dice": result["cross_mode_et_dice"]}), flush=True)
