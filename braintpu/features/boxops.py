@@ -34,7 +34,29 @@ __all__ = [
     "bbox_slices",
     "binary_dilation_bbox",
     "binary_erosion_bbox",
+    "edt",
 ]
+
+
+def edt(mask: np.ndarray, sampling=None) -> np.ndarray:
+    """``scipy.ndimage.distance_transform_edt`` with a native fast path.
+
+    At unit sampling (BraTS is 1 mm isotropic) the native int32 squared-EDT
+    (braintpu.native.edt_sq, Felzenszwalb) is exact: minimal squared
+    distances are unique integers, so ``np.sqrt`` of them is bit-identical
+    to scipy's float64 output — at ~4-6x less host time (the feature
+    layer's largest single cost after round-5's fusions).  Anisotropic
+    sampling or an unavailable native library falls back to scipy.
+    """
+    unit = sampling is None or np.allclose(np.asarray(sampling, float), 1.0)
+    if unit and mask.ndim == 3:
+        try:
+            from ..native import edt_sq
+
+            return np.sqrt(edt_sq(mask))
+        except (IOError, OSError, AttributeError):
+            pass
+    return ndimage.distance_transform_edt(mask, sampling=sampling)
 
 
 def bbox_slices(

@@ -64,12 +64,13 @@ def intensity_stats(data: np.ndarray, mask: np.ndarray) -> Dict:
     # replaces a full-grid scan per (region × sequence) extraction
     sl = bbox_slices(mask)
     values = data[sl][mask[sl]]
-    q25, median, q75 = np.percentile(values, [25, 50, 75])
+    # min/max ride the same partition pass as the quartiles (kth 0 and n-1)
+    vmin, q25, median, q75, vmax = np.percentile(values, [0, 25, 50, 75, 100])
     return {
         "mean": float(values.mean()),
         "std": float(values.std()),
-        "min": float(values.min()),
-        "max": float(values.max()),
+        "min": float(vmin),
+        "max": float(vmax),
         "median": float(median),
         "q25": float(q25),
         "q75": float(q75),
@@ -127,6 +128,21 @@ class FeatureContext:
     _paren_stats: Optional[Dict[str, Any]] = None
     #: (ventricles, csf) host masks cached by step6.identify_ventricles
     _ventricle_masks: Optional[Tuple[Any, Any]] = None
+    #: per-modality positive out-of-brain values (step-5 SNR + artifact
+    #: detectors both need them; one gather, shared)
+    _bg_values: Dict[str, np.ndarray] = field(default_factory=dict)
+    #: per-modality positive voxel values (brain-mask threshold + step-5
+    #: noise-floor percentile share one gather)
+    _pos_values: Dict[str, np.ndarray] = field(default_factory=dict)
+    #: per-region voxel counts from ONE seg bincount (dozens of call sites
+    #: otherwise each pay a full-volume mask popcount)
+    _region_counts: Optional[Dict[str, int]] = None
+    #: device-routing decision pinned for the case at start_device_upload
+    #: time (None → per-call global check).  Pinning prevents a mid-case
+    #: flip: if the device frees up at step 5 after the route was host at
+    #: step 1, a device kernel would pay a synchronous DeviceVolumes
+    #: upload — worse than the host math it replaces.
+    _device_route: Optional[frozenset] = None
 
     @classmethod
     def load(cls, input_folder, segmentation_path) -> "FeatureContext":
@@ -193,10 +209,60 @@ class FeatureContext:
             self._tumor_masks = tumor_masks_from_seg(self.seg)
         return self._tumor_masks
 
+    def positive_values(self, modality: str) -> np.ndarray:
+        """``data[data > 0]`` for one modality, gathered once per case
+        (shared by the brain-mask threshold and step 5's noise floor)."""
+        if modality not in self._pos_values:
+            data = self.modalities[modality]
+            self._pos_values[modality] = data[data > 0]
+        return self._pos_values[modality]
+
     def brain_mask(self, modality: str = "t1") -> np.ndarray:
         if modality not in self._brain_masks:
-            self._brain_masks[modality] = brain_mask_from(self.modalities[modality])
+            # same semantics as brain_mask_from (data > 5th pct of positive
+            # voxels; all-nonpositive → empty), via the shared gather
+            data = self.modalities[modality]
+            nz = self.positive_values(modality)
+            if nz.size:
+                self._brain_masks[modality] = data > np.percentile(nz, 5)
+            else:
+                self._brain_masks[modality] = data > 0
         return self._brain_masks[modality]
+
+    def region_count(self, region: str) -> int:
+        """Voxel count of a tumor region from one cached seg bincount."""
+        if self._region_counts is None:
+            # negatives clip to 0 before the bincount and are subtracted
+            # back out: host masks put them in NO region (wt = seg > 0,
+            # background = seg == 0); foreign labels >4 count toward wt only
+            flat = self.seg.reshape(-1)
+            n_neg = int((flat < 0).sum())
+            counts = np.bincount(np.clip(flat, 0, None), minlength=6)
+            by_label = {l: int(c) for l, c in enumerate(counts)}
+            et = by_label.get(3, 0) + by_label.get(4, 0)
+            ncr = by_label.get(1, 0)
+            zeros = by_label.get(0, 0) - n_neg
+            self._region_counts = {
+                "background": zeros,
+                "ncr": ncr,
+                "ed": by_label.get(2, 0),
+                "et": et,
+                "tc": ncr + et,
+                "wt": int(self.seg.size - zeros - n_neg),
+            }
+        return self._region_counts[region]
+
+    def background_values(self, modality: str) -> np.ndarray:
+        """Positive voxel values OUTSIDE the t1 brain mask, cached per case.
+
+        Step 5 needs this multiset twice per modality (SNR background noise
+        in ``assess_image_quality``, ghosting CV in ``detect_artifacts``) —
+        each recomputation is two full-volume boolean passes + a gather.
+        """
+        if modality not in self._bg_values:
+            data = self.modalities[modality]
+            self._bg_values[modality] = data[(data > 0) & ~self.brain_mask("t1")]
+        return self._bg_values[modality]
 
     def dilated_wt(self, iterations: int) -> np.ndarray:
         """``binary_dilation(wt, iterations)``, cached per case.
@@ -239,12 +305,16 @@ class FeatureContext:
         device steps 5–6 find the volumes already resident instead of
         paying the upload synchronously (measured: a cold upload inside
         step 5 costs more than the host math the kernels replace)."""
-        from .devstats import DeviceVolumes, device_features_enabled
+        from .devstats import DeviceVolumes, device_feature_groups
 
+        # pin the routing decision for this case (see _device_route): in the
+        # overlapped pipeline the device is claimed by the next case's
+        # segmentation and 'auto' resolves to host for the WHOLE case
+        self._device_route = device_feature_groups()
         if (
             self._device_volumes is not None
             or self._device_upload is not None
-            or not device_features_enabled()
+            or not self._device_route
         ):
             return
         import threading
@@ -339,12 +409,15 @@ class FeatureContext:
             return self._dev_stats()[region][modality]
         return intensity_stats(self.modalities[modality], self.tumor_masks[region])
 
-    @staticmethod
-    def _use_device_stats(group: str = None) -> bool:
+    def _use_device_stats(self, group: str = None) -> bool:
         """Whether the device kernel group is active (devstats routing:
         'stats' shared-sort quantiles, 'mass', 'morph', 'artifacts',
         'parenchyma' — groups win/lose individually at full scale, so
-        BRAINTPU_DEVICE_FEATURES routes them independently)."""
+        BRAINTPU_DEVICE_FEATURES routes them independently).  Uses the
+        per-case pinned route when start_device_upload ran (the pipeline
+        path), else the live global check."""
+        if self._device_route is not None:
+            return (group in self._device_route) if group else bool(self._device_route)
         from .devstats import device_features_enabled
 
         return device_features_enabled(group)
@@ -356,12 +429,13 @@ class FeatureContext:
                 self._normal_stats[modality] = self._dev_stats()["normal"][modality]
             else:
                 data = self.modalities[modality]
-                normal = self.brain_mask(modality) & (self.seg == 0)
+                # tumor_masks["background"] is the cached seg == 0
+                normal = self.brain_mask(modality) & self.tumor_masks["background"]
                 self._normal_stats[modality] = intensity_stats(data, normal)
         return self._normal_stats[modality]
 
     def region_volume_cm3(self, region: str) -> float:
-        return float(self.tumor_masks[region].sum() * self.voxel_volume_cm3)
+        return float(self.region_count(region) * self.voxel_volume_cm3)
 
     def voxel_info(self) -> Dict:
         return {

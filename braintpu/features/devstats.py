@@ -46,7 +46,9 @@ observe a flip.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 from functools import partial
 from typing import Dict, Optional
 
@@ -57,6 +59,8 @@ import numpy as np
 __all__ = [
     "device_features_enabled",
     "device_feature_groups",
+    "device_claim",
+    "device_busy",
     "DeviceVolumes",
     "compute_case_stats",
     "compute_quality_stats",
@@ -112,6 +116,38 @@ def _accelerator_present() -> bool:
         return False
 
 
+# -- device-busy gate ---------------------------------------------------------
+#
+# In the overlapped pipeline (Pipeline.run_cases) case N's feature steps run
+# WHILE case N+1's multi-second segmentation ensemble occupies the device: a
+# feature kernel dispatched then queues behind the seg program and stalls the
+# host thread for seconds — strictly worse than its host twin.  The
+# segmentation span claims the device; 'auto' routing falls back to host while
+# any claim is held.  Explicit BRAINTPU_DEVICE_FEATURES settings override (a
+# user who pinned the device path keeps it).
+
+_device_claims = 0
+_device_claims_lock = threading.Lock()
+
+
+@contextlib.contextmanager
+def device_claim():
+    """Mark the device busy for the duration (held by segmentation spans)."""
+    global _device_claims
+    with _device_claims_lock:
+        _device_claims += 1
+    try:
+        yield
+    finally:
+        with _device_claims_lock:
+            _device_claims -= 1
+
+
+def device_busy() -> bool:
+    """True while any segmentation span holds a device claim."""
+    return _device_claims > 0
+
+
 def device_feature_groups() -> frozenset:
     """Resolve ``BRAINTPU_DEVICE_FEATURES`` to the set of device groups.
 
@@ -127,6 +163,8 @@ def device_feature_groups() -> frozenset:
     if val in ("1", "all", "on"):
         return frozenset(GROUPS)
     if val == "auto":
+        if device_busy():
+            return frozenset()  # don't queue behind an in-flight segmentation
         return MEASURED_WIN_GROUPS if _accelerator_present() else frozenset()
     return frozenset(g.strip() for g in val.split(",")) & frozenset(GROUPS)
 

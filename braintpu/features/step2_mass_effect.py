@@ -195,7 +195,7 @@ def analyze_ventricular_compression(ctx: FeatureContext) -> Dict:
         # by out-of-box CSF — i.e. it IS the full-volume answer.  Typical
         # tumors sit within ~32 voxels of ventricular CSF, making the
         # first box ~25x smaller than the 240^3 grid.
-        from .boxops import bbox_slices
+        from .boxops import bbox_slices, edt
 
         min_zoom = float(min(ctx.zooms))
         for pad in (32, 64, 128, max(t1.shape)):
@@ -203,7 +203,7 @@ def analyze_ventricular_compression(ctx: FeatureContext) -> Dict:
             csf_sl = csf[sl]
             if not csf_sl.any():
                 continue  # nearest CSF lies beyond this box — escalate
-            dist = ndimage.distance_transform_edt(~csf_sl, sampling=ctx.zooms)
+            dist = edt(~csf_sl, sampling=ctx.zooms)
             md = float(dist[tumor[sl]].min())
             full_box = all(
                 s.start == 0 and s.stop == n

@@ -24,9 +24,8 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 import numpy as np
-from scipy.ndimage import distance_transform_edt
 
-from .boxops import bbox_slices, binary_dilation_bbox, binary_erosion_bbox
+from .boxops import bbox_slices, binary_dilation_bbox, binary_erosion_bbox, edt
 from .context import FeatureContext
 
 __all__ = ["analyze_morphology"]
@@ -94,7 +93,7 @@ def analyze_border_regularity(
             # margin) is exact, and ~25x less EDT work than the full grid
             sl = bbox_slices(mask, pad=4)
             msk = mask[sl]
-            signed = distance_transform_edt(msk) - distance_transform_edt(~msk)
+            signed = edt(msk) - edt(~msk)
             grads = np.gradient(signed)
             grad_mag = np.sqrt(grads[0] ** 2 + grads[1] ** 2 + grads[2] ** 2)
             surf_grad = grad_mag[surface[sl]]

@@ -24,9 +24,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 from scipy import ndimage
-from scipy.ndimage import distance_transform_edt
 
-from .boxops import bbox_slices, binary_dilation_bbox, binary_erosion_bbox
+from .boxops import bbox_slices, binary_dilation_bbox, binary_erosion_bbox, edt
 
 from .context import FeatureContext
 
@@ -191,10 +190,11 @@ def analyze_parenchyma(ctx: FeatureContext) -> Dict:
         sl = bbox_slices(brain, pad=1)
         brain_b = brain[sl]
         normal_b, t1_b, flair_b = normal[sl], t1[sl], flair[sl]
-        brain_dist = distance_transform_edt(brain_b)
-        deep_thr = np.percentile(brain_dist[brain_b], 60)
+        brain_dist = edt(brain_b)
+        in_brain_dist = brain_dist[brain_b]
+        cort_thr, deep_thr = np.percentile(in_brain_dist, [40, 60])
         deep_wm = normal_b & (brain_dist > deep_thr)
-        cortical = normal_b & (brain_dist < np.percentile(brain_dist[brain_b], 40))
+        cortical = normal_b & (brain_dist < cort_thr)
         deep_count, cortical_count = int(deep_wm.sum()), int(cortical.sum())
         deep_t1_mean = float(t1_b[deep_wm].mean()) if deep_count else 0.0
         cort_t1_mean = float(t1_b[cortical].mean()) if cortical_count else 0.0

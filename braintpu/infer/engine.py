@@ -58,7 +58,9 @@ def _cast_matmul_weights(stacked, cfg: UNetConfig):
     Only applied when the configured compute dtype is bf16 (a user
     override to f32 compute keeps full-precision weights).
     """
-    if cfg.axial_attention or cfg.compute_dtype != jnp.bfloat16:
+    # dtype-normalized: a config carrying jnp.dtype('bfloat16') or the
+    # string 'bfloat16' must not silently skip the HBM/upload optimization
+    if cfg.axial_attention or jnp.dtype(cfg.compute_dtype) != jnp.dtype(jnp.bfloat16):
         return stacked
 
     def cast(path, leaf):

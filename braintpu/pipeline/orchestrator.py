@@ -213,12 +213,28 @@ class Pipeline:
         results: List[PipelineResult] = []
         if not folders:
             return results
+
+        def segment_claimed(folder: Path, claimed: threading.Event) -> _SegOutcome:
+            # the claim routes concurrent feature steps (devstats 'auto')
+            # to host so they never queue behind this multi-second device
+            # span — see devstats.device_claim
+            from ..features.devstats import device_claim
+
+            with device_claim():
+                claimed.set()
+                return self._segment_stage(folder)
+
         with ThreadPoolExecutor(max_workers=1, thread_name_prefix="seg") as pool:
-            fut = pool.submit(self._segment_stage, folders[0])
+            evt = threading.Event()
+            fut = pool.submit(segment_claimed, folders[0], evt)
             for i in range(len(folders)):
                 outcome = fut.result()
                 if i + 1 < len(folders):
-                    fut = pool.submit(self._segment_stage, folders[i + 1])
+                    evt = threading.Event()
+                    fut = pool.submit(segment_claimed, folders[i + 1], evt)
+                    # don't let this case's feature routing pin 'device idle'
+                    # before the worker actually claims it (scheduling race)
+                    evt.wait(timeout=1.0)
                 if outcome.failed:
                     if self.config.fail_fast and outcome.exc is not None:
                         raise outcome.exc
@@ -262,7 +278,9 @@ class Pipeline:
             self._emit(result, "segmenting", "start")
             seg_path = out / f"{case.case_id}.nii.gz"
             outcome.seg_path = seg_path
+            t_dec0 = time.perf_counter()
             loaded = load_case_volumes(case)
+            decode_s = time.perf_counter() - t_dec0
             outcome.loaded = loaded
             if self.config.evaluate_if_gt and case.seg_path is not None:
                 gt_path = case.seg_path
@@ -291,6 +309,9 @@ class Pipeline:
                 "ok",
                 seconds=round(info["total_s"], 2),
                 volumes_cm3=info["volumes_cm3"],
+                decode_s=round(decode_s, 3),
+                preprocess_s=round(info.get("preprocess_s") or 0.0, 3),
+                predict_s=round(info.get("predict_s") or 0.0, 3),
             )
             return outcome
         except Exception as exc:
@@ -348,14 +369,18 @@ class Pipeline:
                 try:
                     # decoded on a background thread during device compute
                     # (_segment_stage); get() joins + re-raises decode errors
+                    t0 = time.perf_counter()
                     gt = outcome.gt.get()
+                    t_join = time.perf_counter() - t0
                     # vintage-agnostic: maps BOTH ET spellings (2021: 4,
                     # 2025: 3) to 3 — the strict 2021→2025 map sends 3 to 0
                     # and would erase ET from 2025-space inputs (including
                     # the prediction under save_brats_convention=brats2025)
                     gt_eval = np.asarray(normalize_to_brats2025(gt)).astype(np.int32)
                     pred_eval = np.asarray(normalize_to_brats2025(seg_brats)).astype(np.int32)
+                    t_norm = time.perf_counter() - t0 - t_join
                     metrics = evaluate_segmentation(pred_eval, gt_eval)
+                    t_dice = time.perf_counter() - t0 - t_join - t_norm
                 except Exception as e:
                     self._emit(result, "evaluating", "skip", reason=f"unusable ground truth: {e}")
                 else:
@@ -363,13 +388,16 @@ class Pipeline:
                     with open(out / "evaluation.json", "w") as f:
                         json.dump(metrics, f, indent=2, cls=NumpyJSONEncoder)
                     self._emit(
-                        result, "evaluating", "ok", mean_dice=round(metrics["mean_dice"], 4)
+                        result, "evaluating", "ok", mean_dice=round(metrics["mean_dice"], 4),
+                        gt_join_s=round(t_join, 3), normalize_s=round(t_norm, 3),
+                        dice_s=round(t_dice, 3),
                     )
             else:
                 self._emit(result, "evaluating", "skip", reason="no ground truth")
 
             # stage 5: feature extraction (6 steps, shared context, BraTS labels)
             self._emit(result, "extracting", "start")
+            t_fe0 = time.perf_counter()
             fe_out = out / "feature_extraction"
             # feature steps read 2025-space labels (step3's ET-foci analysis
             # is seg==3 by documented reference quirk) — normalize so
@@ -386,15 +414,33 @@ class Pipeline:
                     m: str(p.name) for m, p in case.modality_paths.items()
                 },
             )
+            # per-step spans: the span of step K is the gap between its
+            # progress callback and the next one (the last step's span ends
+            # at run_all_steps' return) — cheap to collect, and the only way
+            # to see where feature time goes INSIDE a pipeline run instead
+            # of a synthetic standalone profile (VERDICT r4 item 1)
+            step_spans: Dict[str, float] = {"context_s": round(time.perf_counter() - t_fe0, 3)}
+            _last: List[Any] = [None, time.perf_counter()]
+
+            def _progress(step_name: str) -> None:
+                now = time.perf_counter()
+                if _last[0] is not None:
+                    step_spans[_last[0]] = round(now - _last[1], 3)
+                _last[0], _last[1] = step_name, now
+                self._emit(result, "extracting", "start", step=step_name)
+
             features = run_all_steps(
                 case_folder,
                 brats_path,
                 fe_out,
                 ctx=ctx,
-                progress=lambda s: self._emit(result, "extracting", "start", step=s),
+                progress=_progress,
             )
+            if _last[0] is not None:
+                # last step + report compile + JSON writes
+                step_spans[_last[0] + "+finalize"] = round(time.perf_counter() - _last[1], 3)
             result.features = features
-            self._emit(result, "extracting", "ok")
+            self._emit(result, "extracting", "ok", step_spans=step_spans)
 
             # stage 6: report generation (deterministic + optional LLM)
             self._emit(result, "generating", "start")

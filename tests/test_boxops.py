@@ -65,3 +65,33 @@ def test_bbox_slices_pad_clip():
     m[2:4, 5:6, 0:2] = True
     sl = bbox_slices(m, pad=2)
     assert sl == (slice(0, 6), slice(3, 8), slice(0, 4))
+
+
+def test_edt_matches_scipy(rng):
+    """boxops.edt (native int32 squared-EDT + sqrt) is bit-identical to
+    scipy.ndimage.distance_transform_edt at unit sampling — including masks
+    with full-True lines and masks touching the volume border."""
+    from braintpu.features.boxops import edt
+
+    for _ in range(4):
+        m = random_mask(rng, shape=(37, 41, 29), blobs=4)
+        np.testing.assert_array_equal(edt(m), ndimage.distance_transform_edt(m))
+    # dense mask (full-True z-lines exercise the INF propagation)
+    m = np.ones((16, 18, 14), bool)
+    m[0, 0, 0] = False
+    np.testing.assert_array_equal(edt(m), ndimage.distance_transform_edt(m))
+    # anisotropic sampling falls back to scipy (same answer either way)
+    m = random_mask(rng, shape=(20, 22, 18))
+    np.testing.assert_array_equal(
+        edt(m, sampling=(1.0, 2.0, 1.5)),
+        ndimage.distance_transform_edt(m, sampling=(1.0, 2.0, 1.5)),
+    )
+
+
+def test_edt_empty_and_inverse(rng):
+    from braintpu.features.boxops import edt
+
+    m = np.zeros((10, 10, 10), bool)
+    np.testing.assert_array_equal(edt(m), np.zeros_like(m, float))
+    m = random_mask(rng, shape=(24, 24, 24))
+    np.testing.assert_array_equal(edt(~m), ndimage.distance_transform_edt(~m))

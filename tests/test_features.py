@@ -379,3 +379,36 @@ def test_context_load_keeps_foreign_labels_in_wt(tmp_path, synth_case):
     ctx = FeatureContext.load(synth_case, seg_f)
     assert (ctx.seg == 7).sum() == int((seg == 7).sum())
     assert ctx.tumor_masks["wt"].sum() == int((seg > 0).sum())
+
+
+def test_context_shared_caches_match_direct_formulas():
+    """region_count / positive_values / background_values / brain_mask are
+    one-pass caches of the exact quantities the steps previously recomputed
+    (r5 host-feature fusions) — pin them to the direct definitions,
+    including negative + foreign labels."""
+    ctx = make_ctx()
+    ctx.seg[0, 0, 0] = -2   # negatives: in no region, not background-normal
+    ctx.seg[0, 0, 1] = 7    # foreign labels: count toward wt only
+    ctx.seg[1, 1, 1] = 4    # 2021 ET spelling
+    seg = ctx.seg
+    assert ctx.region_count("wt") == int((seg > 0).sum())
+    assert ctx.region_count("et") == int(((seg == 3) | (seg == 4)).sum())
+    assert ctx.region_count("tc") == int(
+        ((seg == 1) | (seg == 3) | (seg == 4)).sum()
+    )
+    assert ctx.region_count("ncr") == int((seg == 1).sum())
+    assert ctx.region_count("ed") == int((seg == 2).sum())
+    assert ctx.region_count("background") == int((seg == 0).sum())
+
+    for mod, data in ctx.modalities.items():
+        np.testing.assert_array_equal(
+            np.sort(ctx.positive_values(mod)), np.sort(data[data > 0])
+        )
+    brain = ctx.brain_mask("t1")
+    from braintpu.features.context import brain_mask_from
+
+    np.testing.assert_array_equal(brain, brain_mask_from(ctx.modalities["t1"]))
+    t2 = ctx.modalities["t2"]
+    np.testing.assert_array_equal(
+        np.sort(ctx.background_values("t2")), np.sort(t2[(t2 > 0) & ~brain])
+    )

@@ -32,6 +32,15 @@ def stage_spans(events) -> dict:
             starts[e.stage] = e.t
         elif e.status in ("ok", "skip") and e.stage in starts:
             spans[e.stage] = round(e.t - starts.pop(e.stage), 2)
+            # sub-span instrumentation (r5): per-feature-step spans on the
+            # extracting event, gt-join/normalize/dice on evaluating,
+            # decode/preprocess/predict on segmenting
+            detail = {
+                k: v for k, v in e.detail.items()
+                if k.endswith("_s") or k == "step_spans"
+            }
+            if detail:
+                spans[e.stage + "_detail"] = detail
     return spans
 
 
@@ -42,6 +51,12 @@ def main() -> int:
     ap.add_argument("--out", type=Path, default=REPO / "tools" / "pipeline_meas_results.jsonl")
     ap.add_argument("--models", default=None, help="comma list (default model1,model2)")
     ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="repeat the overlapped measurement N times (min/median "
+                    "reported; the steady mean of one 4-case run is too thin a "
+                    "basis for the headline — VERDICT r4 item 7)")
+    ap.add_argument("--seq-runs", type=int, default=1,
+                    help="repeat the sequential baseline N times")
     ap.add_argument("--checkpoints", default=None, help="checkpoint root (model{1,2}/fold_N.npz)")
     ap.add_argument(
         "--replicate-folds", action="store_true",
@@ -72,14 +87,17 @@ def main() -> int:
     if ckpt_root and args.replicate_folds:
         src = Path(ckpt_root).resolve()
         rep = Path("/tmp/braintpu_pmeas_ckpt")
+        # recreate per run: stale symlinks from a previous invocation against
+        # a different --checkpoints root must never silently survive (ADVICE r4)
+        shutil.rmtree(rep, ignore_errors=True)
         for model_dir in sorted(p for p in src.iterdir() if p.is_dir()):
+            fold0 = model_dir / "fold_0.npz"
+            if not fold0.exists():
+                continue  # model without a trained fold: leave absent → random init
             dst = rep / model_dir.name
             dst.mkdir(parents=True, exist_ok=True)
-            fold0 = model_dir / "fold_0.npz"
             for f in range(args.folds):
-                link = dst / f"fold_{f}.npz"
-                if not link.exists():
-                    link.symlink_to(fold0)
+                (dst / f"fold_{f}.npz").symlink_to(fold0)
         ckpt_root = str(rep)
 
     # random_weights=True together with --checkpoints: models with an npz on
@@ -97,6 +115,14 @@ def main() -> int:
         sorted(p.parent.name for p in Path(ckpt_root).glob("*/fold_0.npz"))
         if ckpt_root else []
     )
+    if args.checkpoints and not trained_members:
+        # random_weights=True bypasses load_engine's missing-checkpoint
+        # SystemExit — a mistyped --checkpoints path must fail loudly, not
+        # silently measure all-random weights (ADVICE r4)
+        raise SystemExit(
+            f"--checkpoints {args.checkpoints!r} contains no */fold_0.npz — "
+            "refusing to measure with all-random weights under a trained label"
+        )
     engine = load_engine(eng_args)
     warmup_s = engine.warmup()
     # the generic-bucket warmup may not cover these cases' crop buckets —
@@ -138,6 +164,12 @@ def main() -> int:
             "stage_spans": spans,
         }
 
+    seq_runs = [run("sequential", Path("/tmp/braintpu_pmeas_seq"))
+                for _ in range(max(1, args.seq_runs))]
+    ovl_runs = [run("overlapped", Path("/tmp/braintpu_pmeas_ovl"))
+                for _ in range(max(1, args.runs))]
+    seq_means = sorted(r["steady_mean_s"] for r in seq_runs)
+    ovl_means = sorted(r["steady_mean_s"] for r in ovl_runs)
     rec = {
         "shape": list(shape),
         "n_cases": args.cases,
@@ -147,13 +179,15 @@ def main() -> int:
         "trained_members": trained_members,
         "warmup_s": round(warmup_s, 1),
         "warm_pass_s": round(warm_pass_s, 1),
-        "sequential": run("sequential", Path("/tmp/braintpu_pmeas_seq")),
-        "overlapped": run("overlapped", Path("/tmp/braintpu_pmeas_ovl")),
+        "sequential": seq_runs[0],
+        "overlapped": ovl_runs[0],
+        "sequential_steady_means": seq_means,
+        "overlapped_steady_means": ovl_means,
+        "overlapped_steady_min": ovl_means[0],
+        "overlapped_steady_median": ovl_means[len(ovl_means) // 2],
         "ts": time.time(),
     }
-    rec["speedup"] = round(
-        rec["sequential"]["steady_mean_s"] / rec["overlapped"]["steady_mean_s"], 3
-    )
+    rec["speedup"] = round(seq_means[0] / ovl_means[0], 3)
     print(json.dumps(rec, indent=1))
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
