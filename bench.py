@@ -149,6 +149,63 @@ def _apply_tuned_flags() -> None:
     apply_validated_flags(verbose=True)
 
 
+def _bench_pipeline(engine, n_cases: int = 4, shape=(240, 240, 155)) -> dict:
+    """End-to-end pipeline throughput: BraTS folders in → reports out.
+
+    The segmentation headline above measures the in-memory device span;
+    the deliverable the ≤10 s/case north star is written against is the
+    FULL pipeline (decode → segment → convert → evaluate → features →
+    report → PDF).  This runs ``Pipeline.run_cases`` (host/device stage
+    overlap) over on-disk synthetic cases and reports the steady per-case
+    wall so BENCH_r* tracks the true end-to-end metric (VERDICT r4 item 2).
+
+    One untimed warm pass covers these cases' crop buckets; steady = mean
+    of cases 2..N of the timed pass (case 1 has no overlap partner).
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from braintpu.pipeline import Pipeline, PipelineConfig
+    from braintpu.train.synthetic import write_synth_case
+
+    case_root = Path(tempfile.mkdtemp(prefix="braintpu_benchpipe_"))
+    out_root = case_root / "out"
+    try:
+        folders = []
+        for i in range(n_cases):
+            cid = f"BraTS-BP-{i:05d}-000"
+            write_synth_case(case_root, cid, seed=50 + i, shape=shape)
+            folders.append(case_root / cid)
+        pipe = Pipeline(engine, PipelineConfig(output_root=out_root, fail_fast=True))
+        t0 = time.perf_counter()
+        warm = pipe.run_cases(folders)
+        warm_s = time.perf_counter() - t0
+        assert all(r.succeeded for r in warm)
+        print(f"# pipeline warm pass: {warm_s:.1f}s", file=sys.stderr)
+        shutil.rmtree(out_root, ignore_errors=True)
+        epoch0 = time.time()
+        results = pipe.run_cases(folders)
+        assert all(r.succeeded for r in results)
+        done_ts = [next(e.t for e in r.events if e.stage == "done") for r in results]
+        walls = [done_ts[0] - epoch0] + [
+            done_ts[i] - done_ts[i - 1] for i in range(1, len(done_ts))
+        ]
+        steady = walls[1:] if len(walls) > 1 else walls
+        steady_s = sum(steady) / len(steady)
+        return {
+            "pipeline_s_per_case": round(steady_s, 2),
+            "pipeline_cases_per_min": round(60.0 / steady_s, 2),
+            "per_case_wall_s": [round(w, 2) for w in walls],
+            "n_cases": n_cases,
+            "warm_pass_s": round(warm_s, 1),
+            "stages": "decode+segment+convert+evaluate+features+report+pdf",
+            "weights": "random-init (runtime is weight-independent)",
+        }
+    finally:
+        shutil.rmtree(case_root, ignore_errors=True)
+
+
 def _bench_batched(args, engine, data, jax, watchdog=None) -> int:
     """Multi-case throughput: N synthetic cases on disk → cases/min per chip.
 
@@ -357,8 +414,9 @@ def main() -> int:
     # best-run vs single-run; the median-based ratio is in detail.
     per_case = float(np.min(times))
     per_case_median = float(np.median(times))
-    if watchdog:
-        watchdog.cancel()
+    # NOTE: the watchdog stays armed through the MFU + pipeline diagnostics
+    # below (a hang there must still yield a parsable failure line); it is
+    # cancelled immediately before the success line prints.
     print(f"# steady-state times: {times} (min {per_case:.2f}, "
           f"median {per_case_median:.2f})", file=sys.stderr)
 
@@ -395,8 +453,27 @@ def main() -> int:
     except Exception as e:  # MFU is diagnostics — never fail the bench on it
         print(f"# MFU computation failed: {e}", file=sys.stderr)
 
+    # End-to-end pipeline throughput (the metric the ≤10 s/case north star
+    # is written against).  Diagnostics: a failure degrades to an error
+    # note in detail, never kills the segmentation headline.
+    # BRAINTPU_BENCH_NO_PIPELINE=1 skips it (e.g. quick TPU probes).
+    pipe_detail = {}
+    if not args.quick and not shape_env and os.environ.get(
+        "BRAINTPU_BENCH_NO_PIPELINE"
+    ) != "1":
+        try:
+            pipe_detail = _bench_pipeline(engine)
+            print(f"# pipeline: {pipe_detail['pipeline_s_per_case']} s/case "
+                  f"({pipe_detail['pipeline_cases_per_min']} cases/min)",
+                  file=sys.stderr)
+        except Exception as e:
+            pipe_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"# pipeline bench failed: {e}", file=sys.stderr)
+
     # Reference: full segmentation stage ~5-6 min on CPU → 330 s midpoint.
     baseline_s = 330.0
+    if watchdog:
+        watchdog.cancel()
     result = {
         "metric": "brats_case_e2e_seconds"
         + ("_quick" if args.quick else ""),
@@ -415,6 +492,7 @@ def main() -> int:
             "vs_baseline_median": round(baseline_s / per_case_median, 2),
             "device": str(jax.devices()[0]),
             **({"mfu": mfu} if mfu else {}),
+            **({"pipeline": pipe_detail} if pipe_detail else {}),
         },
     }
     print(json.dumps(result))

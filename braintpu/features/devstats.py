@@ -97,15 +97,19 @@ _SINGLE_LABELS = (1, 2)  # labels consumed as single-label regions
 GROUPS = ("stats", "mass", "morph", "artifacts", "parenchyma")
 
 #: groups with a measured full-scale win on real TPU hardware — the set
-#: 'auto' resolves to when an accelerator backend is present.  Honest
-#: caveat from the round-4 end-to-end check (tools/feature_prof.py,
-#: steady min-of-2): on the 1-core dev box the per-step wins (step5
-#: 1.21→1.03 s, step6 1.40→0.49 s) are offset by the background upload
-#: thread stealing the only core from host-bound steps 1–2
-#: (0.64→1.41 s, 0.37→0.66 s) — net 4.18→4.16 s, a wash, not a
-#: regression.  On any ≥2-core host the upload thread is free and the
-#: ~1.1 s/case step-5/6 win is net.
-MEASURED_WIN_GROUPS = frozenset({"artifacts", "parenchyma"})
+#: 'auto' resolves to when an accelerator backend is present.
+#:
+#: Round-5 re-measurement: EMPTY.  The round-4 winners ('artifacts',
+#: 'parenchyma') were beaten by the r5 host path — shared per-case gathers,
+#: bbox-restricted fill/label, and the native int32 squared-EDT cut host
+#: step 5 to ~0.9 s and step 6 to ~1.0 s at full scale, while the device
+#: route measured 5.5 s for step 5 inside a real sequential pipeline run
+#: (tools/pipeline_meas_results.jsonl, 2026-08-20: sequential extracting
+#: 16.3 s device-routed vs 5.5 s host; the DeviceVolumes upload thread also
+#: steals the single host core from steps 1–4).  The kernels remain
+#: available via an explicit BRAINTPU_DEVICE_FEATURES group list for
+#: multi-core hosts on faster links.
+MEASURED_WIN_GROUPS = frozenset()
 
 
 def _accelerator_present() -> bool:

@@ -77,13 +77,18 @@ def main() -> int:
         ckpt_root = Path(args.checkpoints).resolve()
         if args.replicate_folds:
             rep = Path("/tmp/braintpu_coldstart_ckpt")
+            # recreate per run: stale symlinks from a previous invocation
+            # against a different --checkpoints root (or a dangling link)
+            # must never silently change which weights get measured
+            shutil.rmtree(rep, ignore_errors=True)
             for model_dir in sorted(p for p in ckpt_root.iterdir() if p.is_dir()):
+                fold0 = model_dir / "fold_0.npz"
+                if not fold0.exists():
+                    continue  # no trained fold: leave absent → random init
                 dst = rep / model_dir.name
                 dst.mkdir(parents=True, exist_ok=True)
                 for f in range(args.replicate_folds):
-                    link = dst / f"fold_{f}.npz"
-                    if not link.exists():
-                        link.symlink_to(model_dir / "fold_0.npz")
+                    (dst / f"fold_{f}.npz").symlink_to(fold0)
             ckpt_root = rep
         # --random-weights stays: members without an npz fall back to
         # random init (see cli.load_engine) instead of erroring
