@@ -57,10 +57,30 @@ def _cast_matmul_weights(stacked, cfg: UNetConfig):
     path casts weights to the *activation* dtype, which is f32 in spots.
     Only applied when the configured compute dtype is bf16 (a user
     override to f32 compute keeps full-precision weights).
+
+    Restricted to folded-BN bundles (``cfg.norm == "batch"``): with
+    bf16-STORED weights on an unfolded GroupNorm net, the XLA:TPU
+    executable for the TTA sliding-window scan computes garbage (NaN
+    probabilities → empty segmentations) on this backend, while the
+    numerically identical program with the weights left at their loaded
+    storage dtype (f16 npz / f32 random-init — the use-site convert is a
+    real op) is correct and a CPU replay of the bf16-stored program is
+    also correct — i.e. a
+    backend miscompilation of that program variant, not a semantics
+    difference (measured 2026-08-20 on the trained model2-GN checkpoint:
+    cast+TTA NaN in two independent processes, uncast+TTA clean at every
+    mirror_chunk, CPU cast+TTA clean; see PERF.md round-5 addendum).
+    The latency-critical flagship member (model1-BN, folded) keeps the
+    optimization; GN/instance bundles pay ~2× weight upload instead of
+    risking a silently-empty segmentation.
     """
     # dtype-normalized: a config carrying jnp.dtype('bfloat16') or the
     # string 'bfloat16' must not silently skip the HBM/upload optimization
-    if cfg.axial_attention or jnp.dtype(cfg.compute_dtype) != jnp.dtype(jnp.bfloat16):
+    if (
+        cfg.axial_attention
+        or cfg.norm != "batch"
+        or jnp.dtype(cfg.compute_dtype) != jnp.dtype(jnp.bfloat16)
+    ):
         return stacked
 
     def cast(path, leaf):

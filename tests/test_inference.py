@@ -511,3 +511,38 @@ def test_engine_spatial_shard_matches_plain_fullconv():
     seg_s, _ = sharded.predict_case_array(data)
     assert seg_s.shape == data.shape[1:]
     assert set(np.unique(seg_s)) <= {0, 1, 2, 3}
+
+
+def test_bf16_weight_precast_restricted_to_folded_bn():
+    """The bf16 weight pre-cast must apply ONLY to folded-BN bundles.
+
+    On the TPU backend, the TTA sliding-window executable compiled against
+    bf16-STORED weights of an unfolded GroupNorm net computes garbage (NaN
+    probabilities → empty segmentations) even though the program is
+    numerically identical to the f32-stored one (weights are cast to the
+    compute dtype at point of use) and a CPU replay of the bf16-stored
+    program is clean — a backend miscompilation, measured 2026-08-20 on
+    the trained model2-GN checkpoint (engine._cast_matmul_weights
+    docstring, PERF.md round-5 addendum).  This pins the contract that
+    keeps GN/instance bundles on f32-stored weights.
+    """
+    for norm, expect_cast in (("batch", True), ("group", False), ("instance", False)):
+        cfg = tiny_cfg(norm=norm)
+        cfg = cfg.__class__(**{**cfg.__dict__, "compute_dtype": jnp.bfloat16})
+        bundle = ModelBundle.from_folds(cfg, [init_params(cfg, jax.random.PRNGKey(0))])
+        w_dtypes = {
+            leaf.dtype
+            for path, leaf in jax.tree_util.tree_leaves_with_path(bundle.params_stacked)
+            if getattr(path[-1], "key", None) == "w" and leaf.ndim >= 5
+        }
+        if expect_cast:
+            assert w_dtypes == {jnp.dtype(jnp.bfloat16)}, (norm, w_dtypes)
+        else:
+            assert w_dtypes == {jnp.dtype(jnp.float32)}, (norm, w_dtypes)
+        # norm/scale/shift leaves stay f32 in every case
+        other = {
+            leaf.dtype
+            for path, leaf in jax.tree_util.tree_leaves_with_path(bundle.params_stacked)
+            if getattr(path[-1], "key", None) in ("scale", "shift", "b")
+        }
+        assert jnp.dtype(jnp.bfloat16) not in other

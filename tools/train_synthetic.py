@@ -62,6 +62,9 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+    from braintpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # eval reruns skip the multi-minute XLA compiles
     from braintpu.ckpt import load_pytree_npz, save_pytree_npz
     from braintpu.infer import InferenceEngine, ModelBundle
     from braintpu.io.brats import find_cases
