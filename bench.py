@@ -9,8 +9,12 @@ reports it against the reference pipeline's ~5-6 min CPU segmentation stage
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Weights are randomly initialized (no public checkpoints ship with the
-reference repo); runtime is independent of weight values.
+Weights: the committed synthetic-trained checkpoints (results/trained_synth/)
+when present, cycled up to the fold count; random init otherwise
+(BRAINTPU_BENCH_RANDOM_WEIGHTS=1 forces random).  The reference ships no
+public checkpoints; the segmentation headline is weight-independent, but the
+pipeline sub-bench's feature stage is representative only under trained
+weights (see _bench_pipeline docstring).
 
 Flags:
   --quick        single model, single fold, no TTA (BASELINE config 1)
@@ -200,7 +204,6 @@ def _bench_pipeline(engine, n_cases: int = 4, shape=(240, 240, 155)) -> dict:
             "n_cases": n_cases,
             "warm_pass_s": round(warm_s, 1),
             "stages": "decode+segment+convert+evaluate+features+report+pdf",
-            "weights": "random-init (runtime is weight-independent)",
         }
     finally:
         shutil.rmtree(case_root, ignore_errors=True)
@@ -354,13 +357,40 @@ def main() -> int:
     enable_compilation_cache()  # warm-up reflects cached compiles on reruns
 
     configs = [MODEL1_BN, MODEL2_GN_LARGE][: args.models]
-    key = jax.random.PRNGKey(0)
+    # Weights: the committed synthetic-trained checkpoints when present
+    # (results/trained_synth/, fold files cycled up to --folds), random
+    # init otherwise.  The segmentation headline is weight-INDEPENDENT
+    # (fixed shapes, no data-dependent control flow), but the pipeline
+    # sub-bench below is not: feature-extraction cost scales with the
+    # predicted tumor, and random weights label most of the brain as
+    # tumor — the documented pathological case — while trained weights
+    # produce the production-representative segmentations the ≤10 s/case
+    # north star was measured against (tools/pipeline_meas_results.jsonl).
+    from braintpu.ckpt import load_pytree_npz
+
+    ckpt_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results", "trained_synth", "checkpoints",
+    )
+    model_names = ["model1", "model2"][: args.models]
     bundles = []
-    for i, cfg in enumerate(configs):
-        folds = [
-            init_params(cfg, jax.random.PRNGKey(i * 10 + f)) for f in range(args.folds)
-        ]
+    weights_src = []
+    for i, (name, cfg) in enumerate(zip(model_names, configs)):
+        fold_files = sorted(
+            __import__("glob").glob(os.path.join(ckpt_root, name, "fold_*.npz"))
+        )
+        if fold_files and os.environ.get("BRAINTPU_BENCH_RANDOM_WEIGHTS") != "1":
+            host = [load_pytree_npz(f) for f in fold_files]
+            folds = [host[f % len(host)] for f in range(args.folds)]
+            weights_src.append(f"{name}:trained({len(host)} folds cycled)")
+        else:
+            folds = [
+                init_params(cfg, jax.random.PRNGKey(i * 10 + f))
+                for f in range(args.folds)
+            ]
+            weights_src.append(f"{name}:random")
         bundles.append(ModelBundle.from_folds(cfg, folds))
+    print(f"# weights: {', '.join(weights_src)}", file=sys.stderr)
     mode = "fullconv" if args.mode == "batched" else args.mode
     engine = InferenceEngine(models=bundles, tta=not args.no_tta, mode=mode)
 
@@ -488,6 +518,7 @@ def main() -> int:
             "cases_per_min_per_chip": round(60.0 / per_case, 2),
             "warmup_s": round(warm, 1),
             "aggregation": f"min of {len(times)} runs (one-sided shared-tunnel noise)",
+            "weights": weights_src,
             "median_s": round(per_case_median, 3),
             "vs_baseline_median": round(baseline_s / per_case_median, 2),
             "device": str(jax.devices()[0]),
