@@ -366,19 +366,16 @@ def main() -> int:
     # tumor — the documented pathological case — while trained weights
     # produce the production-representative segmentations the ≤10 s/case
     # north star was measured against (tools/pipeline_meas_results.jsonl).
+    from pathlib import Path
+
     from braintpu.ckpt import load_pytree_npz
 
-    ckpt_root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "results", "trained_synth", "checkpoints",
-    )
+    ckpt_root = Path(__file__).resolve().parent / "results" / "trained_synth" / "checkpoints"
     model_names = ["model1", "model2"][: args.models]
     bundles = []
     weights_src = []
     for i, (name, cfg) in enumerate(zip(model_names, configs)):
-        fold_files = sorted(
-            __import__("glob").glob(os.path.join(ckpt_root, name, "fold_*.npz"))
-        )
+        fold_files = sorted((ckpt_root / name).glob("fold_*.npz"))
         if fold_files and os.environ.get("BRAINTPU_BENCH_RANDOM_WEIGHTS") != "1":
             host = [load_pytree_npz(f) for f in fold_files]
             folds = [host[f % len(host)] for f in range(args.folds)]
@@ -483,27 +480,8 @@ def main() -> int:
     except Exception as e:  # MFU is diagnostics — never fail the bench on it
         print(f"# MFU computation failed: {e}", file=sys.stderr)
 
-    # End-to-end pipeline throughput (the metric the ≤10 s/case north star
-    # is written against).  Diagnostics: a failure degrades to an error
-    # note in detail, never kills the segmentation headline.
-    # BRAINTPU_BENCH_NO_PIPELINE=1 skips it (e.g. quick TPU probes).
-    pipe_detail = {}
-    if not args.quick and not shape_env and os.environ.get(
-        "BRAINTPU_BENCH_NO_PIPELINE"
-    ) != "1":
-        try:
-            pipe_detail = _bench_pipeline(engine)
-            print(f"# pipeline: {pipe_detail['pipeline_s_per_case']} s/case "
-                  f"({pipe_detail['pipeline_cases_per_min']} cases/min)",
-                  file=sys.stderr)
-        except Exception as e:
-            pipe_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
-            print(f"# pipeline bench failed: {e}", file=sys.stderr)
-
     # Reference: full segmentation stage ~5-6 min on CPU → 330 s midpoint.
     baseline_s = 330.0
-    if watchdog:
-        watchdog.cancel()
     result = {
         "metric": "brats_case_e2e_seconds"
         + ("_quick" if args.quick else ""),
@@ -523,9 +501,53 @@ def main() -> int:
             "vs_baseline_median": round(baseline_s / per_case_median, 2),
             "device": str(jax.devices()[0]),
             **({"mfu": mfu} if mfu else {}),
-            **({"pipeline": pipe_detail} if pipe_detail else {}),
         },
     }
+
+    # End-to-end pipeline throughput (the metric the ≤10 s/case north star
+    # is written against).  Diagnostics: a failure degrades to an error
+    # note in detail, never kills the segmentation headline — including a
+    # HANG: the already-measured headline `result` above is complete, so
+    # the main watchdog is swapped for one that prints the SUCCESS line
+    # (with a pipeline-timeout note) instead of a failure record, and the
+    # sub-bench gets its own fresh budget rather than whatever is left of
+    # the main 1800 s (a slow-tunnel day must not destroy the headline).
+    # BRAINTPU_BENCH_NO_PIPELINE=1 skips it (e.g. quick TPU probes).
+    if watchdog:
+        watchdog.cancel()
+    if not args.quick and not shape_env and os.environ.get(
+        "BRAINTPU_BENCH_NO_PIPELINE"
+    ) != "1":
+        import threading
+
+        def _pipe_boom():
+            result["detail"]["pipeline"] = {
+                "error": "watchdog: pipeline sub-bench exceeded its budget "
+                "(headline above is unaffected)"
+            }
+            print(json.dumps(result), flush=True)
+            os._exit(0)
+
+        pipe_budget = float(os.environ.get("BRAINTPU_BENCH_PIPELINE_WATCHDOG",
+                                           1500.0))
+        pipe_dog = None
+        if pipe_budget > 0:
+            pipe_dog = threading.Timer(pipe_budget, _pipe_boom)
+            pipe_dog.daemon = True
+            pipe_dog.start()
+        try:
+            pipe_detail = _bench_pipeline(engine)
+            print(f"# pipeline: {pipe_detail['pipeline_s_per_case']} s/case "
+                  f"({pipe_detail['pipeline_cases_per_min']} cases/min)",
+                  file=sys.stderr)
+        except Exception as e:
+            pipe_detail = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"# pipeline bench failed: {e}", file=sys.stderr)
+        finally:
+            if pipe_dog:
+                pipe_dog.cancel()
+        result["detail"]["pipeline"] = pipe_detail
+
     print(json.dumps(result))
     return 0
 

@@ -109,6 +109,10 @@ GROUPS = ("stats", "mass", "morph", "artifacts", "parenchyma")
 #: steals the single host core from steps 1–4).  The kernels remain
 #: available via an explicit BRAINTPU_DEVICE_FEATURES group list for
 #: multi-core hosts on faster links.
+#: NOTE: while this set is empty, the device-busy claim machinery below
+#: (and the orchestrator's segment-claim handshake) is LATENT — 'auto'
+#: resolves to host either way; it only changes outcomes again when a
+#: re-measured winner repopulates this set.
 MEASURED_WIN_GROUPS = frozenset()
 
 

@@ -40,7 +40,7 @@ from .sliding_window import predict_probs, region_probs_to_labels, stack_folds
 __all__ = ["ModelBundle", "InferenceEngine", "calculate_volumes", "uncrop_labels"]
 
 
-def _cast_matmul_weights(stacked, cfg: UNetConfig):
+def _cast_matmul_weights(stacked, cfg: UNetConfig, folded: bool):
     """Store conv/upconv/seg kernels at the compute dtype for inference.
 
     Every ``"w"`` kernel in the conv U-Net forward is cast with
@@ -58,7 +58,10 @@ def _cast_matmul_weights(stacked, cfg: UNetConfig):
     Only applied when the configured compute dtype is bf16 (a user
     override to f32 compute keeps full-precision weights).
 
-    Restricted to folded-BN bundles (``cfg.norm == "batch"``): with
+    Restricted to folded-BN bundles (the ``folded`` flag from
+    ``from_folds`` — ``cfg.norm == "batch"`` alone is not enough, since a
+    ``fold_bn=False`` BN bundle keeps its norm ops in the forward pass and
+    is structurally the program class that miscompiles): with
     bf16-STORED weights on an unfolded GroupNorm net, the XLA:TPU
     executable for the TTA sliding-window scan computes garbage (NaN
     probabilities → empty segmentations) on this backend, while the
@@ -78,7 +81,7 @@ def _cast_matmul_weights(stacked, cfg: UNetConfig):
     # string 'bfloat16' must not silently skip the HBM/upload optimization
     if (
         cfg.axial_attention
-        or cfg.norm != "batch"
+        or not folded
         or jnp.dtype(cfg.compute_dtype) != jnp.dtype(jnp.bfloat16)
     ):
         return stacked
@@ -138,7 +141,7 @@ class ModelBundle:
                 fold_params = [fold_batchnorm(p, cfg) for p in fold_params]
                 folded = True
             stacked = stack_folds(fold_params)
-        stacked = _cast_matmul_weights(stacked, cfg)
+        stacked = _cast_matmul_weights(stacked, cfg, folded)
         if host:
             # one explicit residency transfer: numpy leaves left in the
             # bundle would re-upload all fold weights on EVERY jit call

@@ -526,10 +526,20 @@ def test_bf16_weight_precast_restricted_to_folded_bn():
     docstring, PERF.md round-5 addendum).  This pins the contract that
     keeps GN/instance bundles on f32-stored weights.
     """
-    for norm, expect_cast in (("batch", True), ("group", False), ("instance", False)):
+    # fold_bn=False on a BN net keeps the norm ops in the forward pass —
+    # structurally the program class that miscompiles — so it must NOT be
+    # cast either: the gate keys on the bundle's folded flag, not cfg.norm
+    for norm, fold_bn, expect_cast in (
+        ("batch", True, True),
+        ("batch", False, False),
+        ("group", True, False),
+        ("instance", True, False),
+    ):
         cfg = tiny_cfg(norm=norm)
         cfg = cfg.__class__(**{**cfg.__dict__, "compute_dtype": jnp.bfloat16})
-        bundle = ModelBundle.from_folds(cfg, [init_params(cfg, jax.random.PRNGKey(0))])
+        bundle = ModelBundle.from_folds(
+            cfg, [init_params(cfg, jax.random.PRNGKey(0))], fold_bn=fold_bn
+        )
         w_dtypes = {
             leaf.dtype
             for path, leaf in jax.tree_util.tree_leaves_with_path(bundle.params_stacked)

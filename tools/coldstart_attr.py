@@ -82,6 +82,20 @@ def main() -> int:
     import numpy as np
     from types import SimpleNamespace
     from braintpu.cli import load_engine
+    # random_weights=True lets members without an npz fall back to random
+    # init — but a mistyped --checkpoints must fail loudly, not silently
+    # measure all-random weights under a trained label (ADVICE r4; same
+    # guard as tools/pipeline_meas.py)
+    trained_members = (
+        sorted(p.parent.name for p in Path(args.checkpoints).glob("*/fold_0.npz"))
+        if args.checkpoints else []
+    )
+    if args.checkpoints and not trained_members:
+        raise SystemExit(
+            f"--checkpoints {args.checkpoints!r} contains no */fold_0.npz — "
+            "refusing to attribute a cold start with all-random weights "
+            "under a trained label"
+        )
     eng_args = SimpleNamespace(
         models=args.models, folds=args.folds, no_tta=False, ensemble="softmax",
         no_et_postprocess=False, random_weights=True,
@@ -120,6 +134,7 @@ def main() -> int:
         "models": args.models or "model1,model2",
         "folds": args.folds,
         "weights": args.checkpoints or "random",
+        "trained_members": trained_members,
         "cache_entries_before": cache_before,
         "device": str(dev),
         "spans": _spans,

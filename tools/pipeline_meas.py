@@ -187,7 +187,15 @@ def main() -> int:
         "overlapped_steady_median": ovl_means[len(ovl_means) // 2],
         "ts": time.time(),
     }
+    # min-vs-min is symmetric only when both sides have comparable sample
+    # counts; with the default single sequential run the ratio inherits
+    # that one sample's shared-tunnel luck, so label it as such
     rec["speedup"] = round(seq_means[0] / ovl_means[0], 3)
+    rec["speedup_basis"] = (
+        f"min of {len(seq_means)} sequential / min of {len(ovl_means)} overlapped"
+        + (" (single sequential sample — indicative only)"
+           if len(seq_means) == 1 and len(ovl_means) > 1 else "")
+    )
     print(json.dumps(rec, indent=1))
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
