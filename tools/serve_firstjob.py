@@ -83,8 +83,17 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=8873)
     ap.add_argument("--warm-timeout", type=float, default=900.0)
     ap.add_argument("--out", type=Path, default=REPO / "tools" / "coldstart_attr.jsonl")
+    ap.add_argument("--checkpoints", default=None,
+                    help="checkpoint root (model{1,2}/fold_N.npz); members "
+                    "without an npz fall back to random init")
+    ap.add_argument("--folds", type=int, default=5)
     args = ap.parse_args()
     shape = tuple(int(s) for s in args.shape.split(","))
+    if args.checkpoints and not sorted(Path(args.checkpoints).glob("*/fold_0.npz")):
+        raise SystemExit(
+            f"--checkpoints {args.checkpoints!r} contains no */fold_0.npz — "
+            "refusing to measure all-random weights under a trained label"
+        )
 
     from braintpu.train.synthetic import write_synth_case
 
@@ -97,7 +106,9 @@ def main() -> int:
     t0 = time.monotonic()
     proc = subprocess.Popen(
         [sys.executable, "-m", "braintpu.cli", "serve", "--port", str(args.port),
-         "--root", "/tmp/braintpu_serve_root", "--random-weights"],
+         "--root", "/tmp/braintpu_serve_root", "--random-weights",
+         "--folds", str(args.folds)]
+        + (["--checkpoints", args.checkpoints] if args.checkpoints else []),
         cwd=REPO, stdout=log, stderr=subprocess.STDOUT, text=True,
     )
     spans = {}
@@ -144,7 +155,7 @@ def main() -> int:
         log.close()
 
     rec = {"kind": "serve_firstjob", "shape": list(shape), "spans": spans,
-           "weights": "random", "ts": time.time()}
+           "weights": args.checkpoints or "random", "ts": time.time()}
     print(json.dumps(rec, indent=1))
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
